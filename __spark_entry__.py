@@ -1,38 +1,745 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2) to callables
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB-
+runnable ANSI-SQL equivalent (same column names, same values).
+
+Spatial queries derive deterministic integer points/footprints from the
+driver tables (``events``/``range``) with pure integer arithmetic, so the
+engine's cell/tile/join math is checkable bit-for-bit against an
+independent SQL implementation.  Pixel-level operators (stitch, burn-in
+canvases, zonal over decoded pixels) have no SQL analog → rows-only.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from veranda_spark.grid import RegularGrid
+from veranda_spark.cells import cell_id, cell_id_sql
+
+# ---- shared derivations -----------------------------------------------------
+
+WORLD_W, WORLD_H = 4096, 2048
+TILE = 256
+GRID = RegularGrid(
+    ul_x=0.0, ul_y=0.0, psx=1.0, psy=1.0,
+    tile_cols=TILE, tile_rows=TILE,
+    n_tile_cols=WORLD_W // TILE, n_tile_rows=WORLD_H // TILE,
+)
+CELL_RES = 6  # 64-px cells
+
+# triangle / square probes in pixel space (y down); .5 vertices keep every
+# integer point strictly off the boundary (verified in tests)
+TRI = [(100.5, 100.5), (3900.5, 300.5), (2000.5, 1900.5)]
+SQ = [(200.5, 200.5), (1200.5, 200.5), (1200.5, 900.5), (200.5, 900.5)]
+
+N_KNN_QUERIES, KNN_K = 25, 5
+
+PTS_SQL = (
+    "SELECT event_id AS point_id, (event_id*7919)%4096 AS px, "
+    "(event_id*104729)%2048 AS py, value AS val FROM events"
+)
+QRY_SQL = (
+    f"SELECT i AS query_id, (i*373587883)%4096 AS qx, (i*129401)%2048 AS qy "
+    f"FROM range({N_KNN_QUERIES}) t(i)"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("point_id"),
+        ((F.col("event_id") * 7919) % WORLD_W).alias("px"),
+        ((F.col("event_id") * 104729) % WORLD_H).alias("py"),
+        F.col("value").alias("val"),
+    )
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.range(N_KNN_QUERIES).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 373587883) % WORLD_W).alias("qx"),
+        ((F.col("id") * 129401) % WORLD_H).alias("qy"),
+    )
+
+
+def _tri_sign_sql(ax, ay, bx, by) -> str:
+    """SQL half-plane test: sign of cross((B-A), (P-A)) in pixel space."""
+    return f"(({bx}-{ax})*(py-{ay}) - ({by}-{ay})*(px-{ax}))"
+
+
+def _poly_inside_sql(poly) -> str:
+    """Strict all-same-sign point-in-convex-polygon predicate (vertices are
+    .5-offset so no integer point sits on an edge)."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % n]
+        terms.append(_tri_sign_sql(ax, ay, bx, by))
+    pos = " AND ".join(f"{t} > 0" for t in terms)
+    neg = " AND ".join(f"{t} < 0" for t in terms)
+    return f"(({pos}) OR ({neg}))"
+
+
+# ---- entry ------------------------------------------------------------------
+
+
+def _tile_assign(pts: DataFrame) -> DataFrame:
+    """Point→tile keying in pixel space (xy2tile analog, base.py:471-477)."""
+    tr = GRID.tile_row_of(F.col("py"))
+    tc = GRID.tile_col_of(F.col("px"))
+    return pts.withColumn("tile_row", tr).withColumn("tile_col", tc).withColumn(
+        "tile_id", GRID.tile_id_of(tr, tc)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join + tile-assignment pipeline on sf0.001 —
+    derive points, assign tiles, broadcast-join the tile dimension,
+    aggregate per tile."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points(spark, sf_dir)
+    tiles = GRID.tiles_df(spark)
+    assigned = _tile_assign(pts)
+    return (
+        assigned.join(F.broadcast(tiles), ["tile_id", "tile_row", "tile_col"], "inner")
+        .groupBy("tile_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("val"), 3).alias("avg_val"),
+            F.min("point_id").alias("min_point"),
+        )
+        .orderBy("tile_id")
+    )
+
+
+# ---- queries ---------------------------------------------------------------
+
+
+def q_tile_assign(spark, sf_dir):
+    return (
+        _tile_assign(_points(spark, sf_dir))
+        .groupBy("tile_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("point_id").alias("min_point"),
+            F.max("point_id").alias("max_point"),
+        )
+    )
+
+
+def q_select_tiles(spark, sf_dir):
+    from veranda_spark.operators.select import select_tiles
+
+    keep = ["0_0", "1_1", "2_2", "3_3", "4_4"]
+    return select_tiles(_tile_assign(_points(spark, sf_dir)), keep).select(
+        "point_id", "tile_id", "px", "py"
+    )
+
+
+def q_px_window(spark, sf_dir):
+    # P4 on points (1x1 footprints): window [256,1024) x [512,2048)
+    pts = _points(spark, sf_dir).withColumn("px_col0", F.col("px")).withColumn(
+        "px_row0", F.col("py")
+    ).withColumn("w", F.lit(1)).withColumn("h", F.lit(1))
+    from veranda_spark.operators.select import select_px_window
+
+    out = select_px_window(pts, 256, 512, 768, 1536)
+    return out.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.sum("px").alias("sum_px"),
+        F.sum("py").alias("sum_py"),
+    )
+
+
+def q_pip_triangle(spark, sf_dir):
+    from veranda_spark.operators.joins import pip_join
+
+    pts = _points(spark, sf_dir).withColumn("pyw", -F.col("py"))
+    polys = {
+        "tri": [(x, -y) for x, y in TRI],
+        "sq": [(x, -y) for x, y in SQ],
+    }
+    out = pip_join(pts, polys, x_col="px", y_col="pyw", res=CELL_RES)
+    return out.groupBy("polygon_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("point_id").alias("sum_ids"),
+        F.round(F.avg("val"), 3).alias("avg_val"),
+    )
+
+
+def q_cell_histogram(spark, sf_dir):
+    from veranda_spark.operators.joins import cell_histogram
+
+    hist = cell_histogram(_points(spark, sf_dir), "px", "py", res=CELL_RES)
+    return hist.select("cell", F.col("count").alias("n_points"))
+
+
+def q_knn(spark, sf_dir):
+    from veranda_spark.operators.joins import knn_join
+
+    return knn_join(
+        _points(spark, sf_dir), _queries_df(spark), k=KNN_K, res=CELL_RES
+    )
+
+
+def q_point_in_tile(spark, sf_dir):
+    tiles = GRID.tiles_df(spark)
+    assigned = _tile_assign(_points(spark, sf_dir))
+    return assigned.join(F.broadcast(tiles), ["tile_id", "tile_row", "tile_col"]).select(
+        "point_id", "tile_id", "xmin", "ymax", "px_row0", "px_col0"
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    # hot-key join: tile_col is heavily reused; salted result == plain join
+    from veranda_spark.operators.joins import salted_broadcast_join
+
+    pts = _tile_assign(_points(spark, sf_dir)).withColumn("key", F.col("tile_col"))
+    dim = spark.range(WORLD_W // TILE).select(
+        F.col("id").alias("key"), F.concat(F.lit("meta_"), F.col("id")).alias("meta")
+    )
+    out = salted_broadcast_join(pts, dim, "key", salt_map={0: 4, 1: 4, 2: 8})
+    return out.groupBy("meta").agg(
+        F.count("*").alias("n_rows"), F.sum("point_id").alias("sum_ids")
+    )
+
+
+def q_zonal_points(spark, sf_dir):
+    # zonal extraction over point values (pixel-zonal is rows-only; this
+    # checks the PIP+agg pipeline relationally)
+    from veranda_spark.operators.joins import pip_join
+
+    pts = _points(spark, sf_dir).withColumn("pyw", -F.col("py"))
+    polys = {"tri": [(x, -y) for x, y in TRI], "sq": [(x, -y) for x, y in SQ]}
+    out = pip_join(pts, polys, x_col="px", y_col="pyw", res=CELL_RES)
+    return out.groupBy("polygon_id").agg(
+        F.count("*").alias("n_px"),
+        F.round(F.avg("val"), 3).alias("mean_val"),
+        F.round(F.min("val"), 3).alias("min_val"),
+        F.round(F.max("val"), 3).alias("max_val"),
+    )
+
+
+def q_tile_cover_counts(spark, sf_dir):
+    # the burn-in tiling join, metadata level: footprints (w,h cycling) ×
+    # covered tiles — oracle'able in pure SQL via generate_series
+    n = 2000
+    imgs = spark.range(n).select(
+        F.col("id").alias("image_id"),
+        ((F.col("id") * 7919) % WORLD_W).alias("px_col0"),
+        ((F.col("id") * 104729) % WORLD_H).alias("px_row0"),
+        F.element_at(F.array(F.lit(16), F.lit(32), F.lit(64)), (F.col("id") % 3 + 1).cast("int")).alias("w"),
+        F.element_at(F.array(F.lit(16), F.lit(32), F.lit(48)), (F.col("id") % 3 + 1).cast("int")).alias("h"),
+    )
+    cover = GRID.explode_cover(imgs)
+    return cover.groupBy("tile_id").agg(
+        F.count("*").alias("n_images"),
+        F.sum("win_h").alias("sum_win_h"),
+        F.sum("win_w").alias("sum_win_w"),
+        F.sum("src_row0").alias("sum_src_row0"),
+        F.sum("dst_col0").alias("sum_dst_col0"),
+    )
+
+
+# ---- relational operator coverage (Catalyst built-ins) ----------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_agg(spark, sf_dir):
+    # orders ⋈ customer ⋈ nation ⋈ region: revenue per nation
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).limit(10)
+
+
+def q_window_rank(spark, sf_dir):
+    # layer assignment semantics (J7/base.py:786-795): row_number per
+    # partition in deterministic order
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    out = ev.withColumn("layer_id", F.row_number().over(w))
+    return out.filter(F.col("layer_id") <= 3).select(
+        "user_id", "event_id", "layer_id"
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    # gap-based sessionization: new session when gap > 600s
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    out = ev.withColumn("session_nr", sess)
+    return out.groupBy("user_id").agg(
+        F.max("session_nr").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    # customers with no orders (set-difference semantics, base.py:383-384)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_event_type_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 3).alias("avg_value"),
+        F.round(F.min("value"), 3).alias("min_value"),
+        F.round(F.max("value"), 3).alias("max_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---- documents / text ops ----------------------------------------------------
+
+
+def q_doc_tokens(spark, sf_dir):
+    from veranda_spark.functions.text import char_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars2"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from veranda_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_stopwords(spark, sf_dir):
+    from veranda_spark.functions.text import stopword_hits
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        stopword_hits(F.col("text"), "en").alias("en_hits"),
+        stopword_hits(F.col("text"), "de").alias("de_hits"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    # oracle-friendly quality features: token count band + non-alnum ratio
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    nonalnum = F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", ""))
+    ratio = F.round(nonalnum / F.greatest(F.length("text"), F.lit(1)), 6)
+    return d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        ratio.alias("nonalnum_ratio"),
+        (toks >= 30).cast("int").alias("len_ok"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from veranda_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    groups = exact_duplicates(d)
+    return groups.select("fp", "n_docs", F.element_at("doc_ids", 1).alias("first_doc"))
+
+
+# ---- embeddings / ANN ---------------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    from veranda_spark.operators.ann import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(e, qs, k=10)
+    return out.filter(F.col("query_id") != F.col("vec_id"))
+
+
+def q_label_centroid_sim(spark, sf_dir):
+    # per-label mean vector norm (vector agg via posexplode + groupBy)
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    comp = ex.groupBy("label", "pos").agg(F.avg("v").alias("mean_v"))
+    return comp.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias("centroid_norm"),
+        F.count("*").alias("dim"),
+    )
+
+
+# ---- rows-only (non-SQL-expressible pixel / sketch ops) -----------------------
+
+
+def q_burn_in_tiles(spark, sf_dir):
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import burn_in
+
+    imgs = generate_images(spark, 1000)
+    tiles = burn_in(imgs, GRID, per_layer=False)
+    return tiles.select("tile_id", "tile_row", "tile_col", "n_images", "h", "w")
+
+
+def q_zonal_pixels(spark, sf_dir):
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import zonal_stats
+
+    imgs = generate_images(spark, 500)
+    polys = {"tri": [(x, -y) for x, y in TRI], "sq": [(x, -y) for x, y in SQ]}
+    return zonal_stats(imgs, GRID, polys, auto_decode=False)
+
+
+def q_image_features(spark, sf_dir):
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.sources.multimodal import extract_features
+
+    return extract_features(generate_images(spark, 300)).select(
+        "image_id", "mean_val", "std_val", "edge_energy"
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from veranda_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+def q_simhash_sigs(spark, sf_dir):
+    from veranda_spark.functions.text import simhash64, word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash64(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("simhash")
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from veranda_spark.operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return embedding_neardup_pairs(e, threshold=0.5, dim=dim, n_planes=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # spatial / tiling engine
+        "tile_assign": q_tile_assign,
+        "select_tiles": q_select_tiles,
+        "px_window": q_px_window,
+        "pip_polygon": q_pip_triangle,
+        "cell_histogram": q_cell_histogram,
+        "knn": q_knn,
+        "point_in_tile": q_point_in_tile,
+        "salted_join": q_salted_join,
+        "zonal_points": q_zonal_points,
+        "tile_cover_counts": q_tile_cover_counts,
+        # relational coverage
+        "tpch_q1": q_tpch_q1,
+        "join_agg": q_join_agg,
+        "topk_orders": q_topk_orders,
+        "window_rank": q_window_rank,
+        "sessionize": q_sessionize,
+        "anti_join": q_anti_join,
+        "event_type_stats": q_event_type_stats,
+        # documents / text
+        "doc_tokens": q_doc_tokens,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_stopwords": q_doc_stopwords,
+        "doc_quality": q_doc_quality,
+        "dedup_exact": q_dedup_exact,
+        # embeddings
+        "ann_topk": q_ann_topk,
+        "label_centroid_sim": q_label_centroid_sim,
+        # rows-only pixel/sketch ops (no SQL analog)
+        "burn_in_tiles": q_burn_in_tiles,
+        "zonal_pixels": q_zonal_pixels,
+        "image_features": q_image_features,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_sigs": q_simhash_sigs,
+        "embedding_neardup": q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tile_expr = (
+        "concat(cast(cast(floor(py/256) as bigint) as varchar), '_', "
+        "cast(cast(floor(px/256) as bigint) as varchar))"
+    )
+    tri_in = _poly_inside_sql(TRI)
+    sq_in = _poly_inside_sql(SQ)
+    cell_expr = cell_id_sql("px", "py", CELL_RES)
+    return {
+        "tile_assign": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT {tile_expr} AS tile_id, count(*) AS n_points,
+                   min(point_id) AS min_point, max(point_id) AS max_point
+            FROM pts GROUP BY 1
+        """,
+        "select_tiles": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT point_id, {tile_expr} AS tile_id, px, py FROM pts
+            WHERE {tile_expr} IN ('0_0','1_1','2_2','3_3','4_4')
+        """,
+        "px_window": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT count(*) AS n_rows, cast(sum(px) as bigint) AS sum_px, cast(sum(py) as bigint) AS sum_py
+            FROM pts
+            WHERE px >= 512 AND px < 512+1536 AND py >= 256 AND py < 256+768
+        """,
+        "pip_polygon": f"""
+            WITH pts AS ({PTS_SQL}),
+            hits AS (
+              SELECT 'tri' AS polygon_id, point_id, val FROM pts WHERE {tri_in}
+              UNION ALL
+              SELECT 'sq' AS polygon_id, point_id, val FROM pts WHERE {sq_in}
+            )
+            SELECT polygon_id, count(*) AS n_points, cast(sum(point_id) as bigint) AS sum_ids,
+                   round(avg(val), 3) AS avg_val
+            FROM hits GROUP BY 1
+        """,
+        "cell_histogram": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT {cell_expr} AS cell, count(*) AS n_points FROM pts GROUP BY 1
+        """,
+        "knn": f"""
+            WITH pts AS ({PTS_SQL}), qs AS ({QRY_SQL}),
+            cand AS (
+              SELECT query_id, point_id,
+                     (px-qx)*(px-qx) + (py-qy)*(py-qy) AS dist_sq
+              FROM pts CROSS JOIN qs
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY dist_sq ASC, point_id ASC
+              ) AS knn_rank FROM cand
+            )
+            SELECT query_id, point_id, dist_sq, knn_rank
+            FROM ranked WHERE knn_rank <= {KNN_K}
+        """,
+        "point_in_tile": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT point_id, {tile_expr} AS tile_id,
+                   cast(floor(px/256) as bigint)*256.0 AS xmin,
+                   0.0 - cast(floor(py/256) as bigint)*256.0 AS ymax,
+                   cast(floor(py/256) as bigint)*256 AS px_row0,
+                   cast(floor(px/256) as bigint)*256 AS px_col0
+            FROM pts
+        """,
+        "salted_join": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT concat('meta_', cast(cast(floor(px/256) as bigint) as varchar)) AS meta,
+                   count(*) AS n_rows, cast(sum(point_id) as bigint) AS sum_ids
+            FROM pts GROUP BY 1
+        """,
+        "zonal_points": f"""
+            WITH pts AS ({PTS_SQL}),
+            hits AS (
+              SELECT 'tri' AS polygon_id, val FROM pts WHERE {tri_in}
+              UNION ALL
+              SELECT 'sq' AS polygon_id, val FROM pts WHERE {sq_in}
+            )
+            SELECT polygon_id, count(*) AS n_px, round(avg(val),3) AS mean_val,
+                   round(min(val),3) AS min_val, round(max(val),3) AS max_val
+            FROM hits GROUP BY 1
+        """,
+        "tile_cover_counts": """
+            WITH imgs AS (
+              SELECT i AS image_id, (i*7919)%4096 AS px_col0, (i*104729)%2048 AS px_row0,
+                     CASE i%3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+                     CASE i%3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h
+              FROM range(2000) t(i)
+            ),
+            cover AS (
+              SELECT image_id, px_col0, px_row0, w, h, tr.tile_row, tc.tile_col
+              FROM imgs,
+                   LATERAL (SELECT unnest(generate_series(px_row0//256, (px_row0+h-1)//256)) AS tile_row) tr,
+                   LATERAL (SELECT unnest(generate_series(px_col0//256, (px_col0+w-1)//256)) AS tile_col) tc
+              WHERE tr.tile_row BETWEEN 0 AND 7 AND tc.tile_col BETWEEN 0 AND 15
+            )
+            SELECT concat(cast(tile_row as varchar), '_', cast(tile_col as varchar)) AS tile_id,
+                   count(*) AS n_images,
+                   cast(sum(least(px_row0+h, tile_row*256+256) - greatest(px_row0, tile_row*256)) as bigint) AS sum_win_h,
+                   cast(sum(least(px_col0+w, tile_col*256+256) - greatest(px_col0, tile_col*256)) as bigint) AS sum_win_w,
+                   cast(sum(greatest(px_row0, tile_row*256) - px_row0) as bigint) AS sum_src_row0,
+                   cast(sum(greatest(px_col0, tile_col*256) - tile_col*256) as bigint) AS sum_dst_col0
+            FROM cover GROUP BY 1
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus, cast(sum(l_quantity) as double) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "join_agg": """
+            SELECT r_name, n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_rank": """
+            SELECT user_id, event_id, layer_id FROM (
+              SELECT user_id, event_id, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ) AS layer_id FROM events
+            ) WHERE layer_id <= 3
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     date_diff('second', lag(ts) OVER w, ts) AS gap
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_nr
+              FROM g
+            )
+            SELECT user_id, max(session_nr) AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY 1
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "event_type_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   round(avg(value), 3) AS avg_value,
+                   round(min(value), 3) AS min_value,
+                   round(max(value), 3) AS max_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "doc_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   length(text) AS n_chars2
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "doc_stopwords": """
+            SELECT doc_id,
+              (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+               WHERE t IN ('the','a','of','and','to','in','is','that','it','for')) AS en_hits,
+              (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+               WHERE t IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')) AS de_hits
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   round(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS nonalnum_ratio,
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 30
+                        THEN 1 ELSE 0 END AS len_ok
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            WITH fps AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+              FROM documents
+            )
+            SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+            FROM fps GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ann_topk": """
+            WITH qs AS (SELECT vec_id AS query_id,
+                               CAST(embedding AS DOUBLE[]) AS qemb
+                        FROM embeddings WHERE vec_id < 5),
+            es AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.emb, q.qemb) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS cos
+              FROM es e CROSS JOIN qs q
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cos, rank FROM ranked
+            WHERE rank <= 10 AND query_id != vec_id
+        """,
+        "label_centroid_sim": """
+            WITH ex AS (
+              SELECT label,
+                     unnest(generate_series(1, len(embedding))) - 1 AS pos,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ),
+            comp AS (
+              SELECT label, pos, avg(v) AS mean_v FROM ex GROUP BY 1, 2
+            )
+            SELECT label, round(sqrt(sum(mean_v * mean_v)), 6) AS centroid_norm,
+                   count(*) AS dim
+            FROM comp GROUP BY 1
+        """,
+    }

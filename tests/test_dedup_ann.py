@@ -1,0 +1,138 @@
+"""Dedup + ANN operators vs brute-force goldens on small corpora."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from veranda_spark.operators.ann import brute_force_topk, ivf_topk
+from veranda_spark.operators.dedup import (
+    dedup_keep_first,
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+WORDS = "the quick brown fox jumps over a lazy dog near the old river bank".split()
+
+
+def _mk_docs(n=120, seed=7):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n):
+        base = " ".join(rng.choice(WORDS, size=30))
+        docs.append((i, base))
+        if i % 10 == 0:  # exact duplicate
+            docs.append((i + 1000, base))
+        if i % 15 == 0:  # near duplicate: mutate one word
+            toks = base.split()
+            toks[5] = "MUTANT"
+            docs.append((i + 2000, " ".join(toks)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_mk_docs(), schema="doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 12  # i % 10 == 0 for i in 0..119
+    for g in groups:
+        assert g["n_docs"] == 2 and g["doc_ids"][1] - g["doc_ids"][0] == 1000
+    kept = dedup_keep_first(docs)
+    assert kept.count() == docs.count() - 12
+    assert kept.filter(F.col("doc_id") >= 1000).filter(F.col("doc_id") < 2000).count() == 0
+
+
+def _brute_jaccard_pairs(docs_list, n, threshold):
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+    out = set()
+    for i, (ida, ta) in enumerate(docs_list):
+        sa = sh(ta)
+        for idb, tb in docs_list[i + 1 :]:
+            sb = sh(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out.add((min(ida, idb), max(ida, idb)))
+    return out
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(spark, docs):
+    got = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    want = _brute_jaccard_pairs(_mk_docs(), 3, 0.8)
+    assert got == want
+    assert len(want) >= 12  # at least the exact dups
+
+
+def test_minhash_lsh_recall(spark, docs):
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    want = _brute_jaccard_pairs(_mk_docs(), 3, 0.8)
+    # exact Jaccard re-check bounds precision at 1.0; LSH bounds recall
+    assert got <= want
+    assert len(got) >= 0.9 * len(want)
+
+
+def test_simhash_finds_exact_dups(spark, docs):
+    got = simhash_pairs(docs, max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    exact = {(i, i + 1000) for i in range(0, 120, 10)}
+    assert exact <= pairs  # hamming 0 for identical docs
+    for r in got:
+        assert r["hamming"] <= 3
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((80, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    # near-dups: tiny perturbation of first 10
+    rows += [
+        (1000 + i, [float(x) for x in base[i] + rng.standard_normal(16) * 0.01])
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<double>").cache()
+
+
+def test_embedding_neardup(spark, embeddings):
+    got = embedding_neardup_pairs(embeddings, threshold=0.95, dim=16, n_planes=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    want = {(i, 1000 + i) for i in range(10)}
+    assert len(want & pairs) >= 8  # LSH recall
+    for r in got:
+        assert r["cos"] >= 0.95
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    qs = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(embeddings, qs, k=5).collect()
+    rows = embeddings.collect()
+    mat = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    for qid in range(3):
+        q = mat[qid]
+        sims = [
+            (round(float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), 6), vid)
+            for vid, v in mat.items()
+        ]
+        want = [vid for s, vid in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+        mine = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert mine == want
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, qs, k=5).collect()
+    approx = ivf_topk(embeddings, qs, k=5, nlist=8, nprobe=4, sample_rows=200).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(ex & ap) / len(ex) >= 0.8

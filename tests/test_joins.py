@@ -1,0 +1,101 @@
+"""Join operators vs brute-force goldens (FIXTURES.md F4: PIP and kNN have
+no reference analog — self-consistency against small-N brute force)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from veranda_spark.functions.geometry import points_in_polygon
+from veranda_spark.grid import RegularGrid
+from veranda_spark.operators.joins import (
+    cell_histogram,
+    derive_salt_map,
+    knn_join,
+    pip_join,
+    point_in_tile_join,
+    salted_broadcast_join,
+)
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    # deterministic integer points in a 1024x1024 world (y negative = south)
+    df = spark.range(N).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 7919) % 1024).alias("px"),
+        (-((F.col("id") * 104729) % 1024)).alias("py"),
+    )
+    return df.cache()
+
+
+def _points_np():
+    ids = np.arange(N)
+    return ids, (ids * 7919) % 1024, -((ids * 104729) % 1024)
+
+
+TRIANGLE = [(100.5, -100.5), (900.5, -150.5), (500.5, -900.5)]
+SQUARE = [(0.5, -0.5), (200.5, -0.5), (200.5, -200.5), (0.5, -200.5)]
+
+
+def test_pip_join_matches_bruteforce(spark, points):
+    got = pip_join(points, {"tri": TRIANGLE, "sq": SQUARE}).collect()
+    ids, xs, ys = _points_np()
+    want = set()
+    for pid, poly in [("tri", TRIANGLE), ("sq", SQUARE)]:
+        inside = points_in_polygon(xs.astype(float), ys.astype(float), np.array(poly))
+        want |= {(pid, int(i)) for i in ids[inside]}
+    assert {(r["polygon_id"], r["point_id"]) for r in got} == want
+    assert len(want) > 50
+
+
+@pytest.mark.parametrize("k", [1, 5, 20])
+def test_knn_matches_bruteforce(spark, points, k):
+    rng = np.random.default_rng(42)
+    qpts = [(int(i), int(x), -int(y)) for i, (x, y) in enumerate(rng.integers(0, 1024, (25, 2)))]
+    queries = spark.createDataFrame(qpts, schema="query_id long, qx long, qy long")
+    got = knn_join(points, queries, k=k, res=5).collect()
+    ids, xs, ys = _points_np()
+    for qid, qx, qy in qpts:
+        d2 = (xs - qx) ** 2 + (ys - qy) ** 2
+        order = np.lexsort((ids, d2))[:k]
+        want = [(int(ids[j]), int(d2[j])) for j in order]
+        mine = sorted(
+            [(r["point_id"], r["dist_sq"]) for r in got if r["query_id"] == qid],
+            key=lambda t: (t[1], t[0]),
+        )
+        assert mine == want, f"query {qid} k={k}"
+
+
+def test_point_in_tile_join(spark, points):
+    grid = RegularGrid(tile_cols=128, tile_rows=128, n_tile_cols=8, n_tile_rows=8)
+    tiles = grid.tiles_df(spark)
+    got = point_in_tile_join(points, tiles, grid).select("point_id", "tile_id").collect()
+    assert len(got) == N  # every point lands in exactly one tile
+    ids, xs, ys = _points_np()
+    lookup = {int(i): f"{int(-y) // 128}_{int(x) // 128}" for i, x, y in zip(ids, xs, ys)}
+    for r in got:
+        assert r["tile_id"] == lookup[r["point_id"]]
+
+
+def test_salted_join_equals_plain_join(spark, points):
+    # hotspot: all points share few cells → salted join must not change results
+    small = spark.createDataFrame(
+        [(int(c), f"meta_{c}") for c in range(8)], schema="key long, meta string"
+    )
+    big = points.withColumn("key", F.col("point_id") % 8)
+    plain = big.join(small, "key").select("point_id", "meta")
+    salted = salted_broadcast_join(big, small, "key", salt_map={0: 4, 1: 8})
+    got = salted.select("point_id", "meta").collect()
+    assert sorted((r["point_id"], r["meta"]) for r in got) == sorted(
+        (r["point_id"], r["meta"]) for r in plain.collect()
+    )
+
+
+def test_cell_histogram_and_salt_map(spark, points):
+    hist = cell_histogram(points.withColumn("py", -F.col("py")), "px", "py", res=8)
+    total = hist.agg(F.sum("count")).collect()[0][0]
+    assert total == N
+    salt = derive_salt_map(hist, target_rows_per_part=100)
+    assert salt and all(v >= 2 for v in salt.values())

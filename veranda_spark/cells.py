@@ -106,10 +106,13 @@ def cover_cells(
 
 
 def cell_id_sql(px_col_expr: str, px_row_expr: str, res: int) -> str:
-    """ANSI-SQL rendering of cell_id() for DuckDB oracle parity."""
+    """ANSI-SQL rendering of cell_id() for DuckDB oracle parity.
+
+    floor() returns DOUBLE in DuckDB — cast to BIGINT before the 2^58-scale
+    packing arithmetic or the key loses precision past 2^53."""
     size = 1 << res
     return (
         f"({int(res)} * {1 << 58} "
-        f"+ (floor(({px_row_expr}) / {size}) + {CELL_OFFSET}) * {1 << 29} "
-        f"+ (floor(({px_col_expr}) / {size}) + {CELL_OFFSET}))"
+        f"+ (cast(floor(({px_row_expr}) / {size}) as bigint) + {CELL_OFFSET}) * {1 << 29} "
+        f"+ (cast(floor(({px_col_expr}) / {size}) as bigint) + {CELL_OFFSET}))"
     )

@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, each a standalone DataFrame operator over a
+`documents(doc_id, text, ...)` or `embeddings(vec_id, embedding, ...)`
+table:
+
+- exact:        md5-of-normalized-text groupBy (hash dedup)
+- ngram-jaccard: word-shingle set overlap on candidate pairs
+- minhash-LSH:   shingle → MinHash signature → banded bucket join
+- simhash:       64-bit simhash + hamming-radius self-join on bucket keys
+- embedding:     cosine near-dup via sign-LSH buckets
+
+Scale notes: every variant generates candidate pairs through an equi-join
+on a compact key (hash, band, bucket) — never an O(n²) cross join; the
+exact similarity re-check runs only on candidates.  Pair output is
+canonicalized (id_a < id_b) to avoid duplicates and self-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from veranda_spark.functions.text import (
+    MINHASH_PERMS,
+    fingerprint,
+    hamming64,
+    minhash_signature,
+    simhash64,
+    word_ngrams,
+)
+from veranda_spark.functions.vectors import cosine, lsh_bucket_udf
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (fingerprint, n_docs, doc_ids).  Plain hash groupBy — fully
+    partial-aggregated map-side."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the smallest id per fingerprint group (the
+    deterministic survivor rule)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs by shared n-gram, exact Jaccard re-check.
+
+    Plan: explode distinct shingles → self equi-join on shingle →
+    distinct candidate pairs → Jaccard via array_intersect/union sizes.
+    The shingle join is the LSH-free baseline; for web scale prefer
+    minhash_lsh_pairs (bounded candidates per band)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    ).cache()
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs (shingle→minhash→band→bucket
+    join), exact Jaccard re-check on candidates.
+
+    64 perms / ``bands`` bands of 64/bands rows each: collision prob for
+    Jaccard s is 1-(1-s^r)^b — tuned for s≥0.7 at the defaults."""
+    rows_per_band = MINHASH_PERMS // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"))).cache()
+    band_keys = sh.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    cand = (
+        band_keys.alias("a")
+        .join(band_keys.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Candidates via the 4-block trick: any pair with hamming ≤ 3 shares at
+    least one identical 16-bit block (pigeonhole) → equi-join per block,
+    exact bit_count re-check."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("sim"),
+    ).cache()
+    blocks = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright(F.col("sim"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sim", "bk.block", "bk.key")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["block", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup via sign-LSH buckets + exact cosine
+    re-check.  n_planes trades recall vs candidate volume (12 planes →
+    4096 buckets)."""
+    bucketer = lsh_bucket_udf(dim, n_planes)
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("emb")
+    ).withColumn("bucket", bucketer(F.col("emb")))
+    cand = (
+        e.alias("a")
+        .join(e.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.emb").alias("emb_a"),
+            F.col("b.emb").alias("emb_b"),
+        )
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,263 @@
+"""Spatial joins: point-in-polygon, point-in-tile, kNN, skew salting.
+
+North-rule additions over the reference (SURVEY.md §2.3): veranda's only
+join-shaped computations are register⋈mosaic tile pruning (J1),
+polygon⋈tile intersection (J2, base.py:546-555) and point→tile lookup
+(J3, base.py:471-477).  This module re-expresses them as real Spark joins
+and adds what veranda lacks: kNN (ring expansion + distance re-rank) and
+explicit skew handling (cell histogram → salted broadcast join).
+
+All coordinates here are integer pixel coords (SURVEY.md §7 hard-part #1:
+join on integers, never rounded floats); distances are exact integer
+squared distances, ties broken by id — so results are reproducible in
+ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from veranda_spark.cells import cell_id, pack_cell, ring_cells
+from veranda_spark.functions.geometry import points_in_polygon, polygon_bbox
+
+
+# ---- point-in-polygon -------------------------------------------------------
+
+
+def _polygon_cover_rows(
+    polygons: dict[str, Sequence[tuple[float, float]]],
+    res: int,
+    to_px: callable,
+) -> list[tuple[str, int]]:
+    """Driver-side cell cover of each polygon's bbox at resolution res
+    (polygons are a small dimension — the H3 polyfill analog)."""
+    size = 1 << res
+    out = []
+    for pid, poly in polygons.items():
+        xmin, ymin, xmax, ymax = polygon_bbox(np.asarray(poly, dtype="float64"))
+        (c0, r0), (c1, r1) = to_px(xmin, ymax), to_px(xmax, ymin)
+        from veranda_spark.cells import CELL_OFFSET
+
+        for iy in range(int(np.floor(r0 / size)), int(np.floor(r1 / size)) + 1):
+            for ix in range(int(np.floor(c0 / size)), int(np.floor(c1 / size)) + 1):
+                cell = (res << 58) + (iy + CELL_OFFSET) * (1 << 29) + (ix + CELL_OFFSET)
+                out.append((pid, cell))
+    return out
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: dict[str, Sequence[tuple[float, float]]],
+    x_col: str = "px",
+    y_col: str = "py",
+    res: int = 6,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-polygon join (the north rule's core join; veranda analog:
+    polygon select P7, base.py:510-557).
+
+    Two-phase plan:
+    1. coarse: broadcast equi-join of point cell keys against the
+       polygons' cell covers (cheap, prunes almost everything);
+    2. exact: vectorized ray-cast re-check inside an Arrow pandas UDF.
+
+    ``points`` uses world coords equal to pixel coords here (grid with
+    ul=0, ps=1); pass transformed columns otherwise.
+    """
+    spark = points.sparkSession
+    cover = _polygon_cover_rows(polygons, res, lambda x, y: (x, -y))
+    cover_df = spark.createDataFrame(cover, schema="polygon_id string, cell long")
+    pts = points.withColumn(
+        "_cell", cell_id(F.col(x_col), -F.col(y_col), res)
+    )
+    cand = pts.join(F.broadcast(cover_df), pts["_cell"] == cover_df["cell"], "inner").drop(
+        "cell", "_cell"
+    )
+    polys = {k: np.asarray(v, dtype="float64") for k, v in polygons.items()}
+
+    @F.pandas_udf("boolean")
+    def inside(px: pd.Series, py: pd.Series, pid: pd.Series) -> pd.Series:
+        out = np.zeros(len(px), dtype=bool)
+        xv, yv = px.to_numpy("float64"), py.to_numpy("float64")
+        for p, poly in polys.items():
+            m = (pid == p).to_numpy()
+            if m.any():
+                out[m] = points_in_polygon(xv[m], yv[m], poly)
+        return pd.Series(out)
+
+    hits = cand.filter(inside(F.col(x_col), F.col(y_col), F.col("polygon_id")))
+    if how == "inner":
+        return hits
+    if how == "left":
+        return points.join(
+            hits.select(*points.columns, "polygon_id"), points.columns, "left"
+        )
+    raise ValueError(f"how={how!r}")
+
+
+# ---- point -> tile lookup (J1/J3) ------------------------------------------
+
+
+def point_in_tile_join(
+    points: DataFrame, tiles: DataFrame, grid, x_col: str = "px", y_col: str = "py"
+) -> DataFrame:
+    """J3 (xy2tile, base.py:471-477) as a broadcast equi join against the
+    tile dimension: the point's tile key is computed, not searched."""
+    keyed = points.withColumn(
+        "tile_id", grid.tile_of_xy(F.col(x_col), F.col(y_col))
+    )
+    return keyed.join(F.broadcast(tiles), "tile_id", "inner")
+
+
+# ---- kNN by ring expansion --------------------------------------------------
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = 6,
+    point_id: str = "point_id",
+    px: str = "px",
+    py: str = "py",
+    query_id: str = "query_id",
+    qx: str = "qx",
+    qy: str = "qy",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """k-nearest-neighbors of each query point (north-rule addition; no
+    reference analog — SURVEY.md §2.3 J3 note).
+
+    Plan: iterative cell-ring expansion.  Round i broadcast-joins the
+    (small) query set, exploded over its Chebyshev ring of radius r_i, to
+    the (big) point set on the cell key — the big side never shuffles.
+    A query is satisfied once its k-th candidate lies within the
+    guaranteed-covered radius r_i·cellsize (no closer point can hide
+    outside the ring).  Unsatisfied queries escalate; stragglers fall back
+    to a brute-force broadcast NL join.
+
+    Distances are exact integer squared distances; ties break on point id
+    so output is deterministic and oracle-reproducible.
+    """
+    size = 1 << res
+    pts = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col(px).cast("long").alias("_px"),
+        F.col(py).cast("long").alias("_py"),
+    ).withColumn("_pcell", cell_id(F.col("_px"), F.col("_py"), res))
+    qs = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(qx).cast("long").alias("_qx"),
+        F.col(qy).cast("long").alias("_qy"),
+    )
+
+    remaining = qs
+    results: DataFrame | None = None
+    r = 1
+    for _ in range(max_rounds):
+        ring = remaining.withColumn(
+            "_cell", F.explode(ring_cells(cell_id(F.col("_qx"), F.col("_qy"), res), r, res))
+        )
+        cand = pts.join(F.broadcast(ring), pts["_pcell"] == ring["_cell"], "inner")
+        dx = F.col("_px") - F.col("_qx")
+        dy = F.col("_py") - F.col("_qy")
+        cand = cand.withColumn("_d2", dx * dx + dy * dy)  # exact integer distance
+        w = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_pid").asc())
+        ranked = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+        # satisfied: k candidates AND kth distance within guaranteed radius
+        guard = (r * size) ** 2
+        sat_ids = (
+            ranked.groupBy("_qid")
+            .agg(F.count("*").alias("_n"), F.max("_d2").alias("_dk"))
+            .filter((F.col("_n") == k) & (F.col("_dk") <= guard))
+            .select("_qid")
+        )
+        done = ranked.join(sat_ids, "_qid", "left_semi")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(sat_ids, "_qid", "left_anti")
+        if not remaining.take(1):
+            remaining = None
+            break
+        r *= 4
+    if remaining is not None and remaining.take(1):
+        # brute force for stragglers (tiny query side → broadcast NL join)
+        cand = pts.crossJoin(F.broadcast(remaining))
+        dx = F.col("_px") - F.col("_qx")
+        dy = F.col("_py") - F.col("_qy")
+        cand = cand.withColumn("_d2", dx * dx + dy * dy)
+        w = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_pid").asc())
+        brute = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+        results = brute if results is None else results.unionByName(brute)
+    return results.select(
+        F.col("_qid").alias(query_id),
+        F.col("_pid").alias(point_id),
+        F.col("_d2").alias("dist_sq"),
+        F.col("_rn").alias("knn_rank"),
+    )
+
+
+# ---- skew handling ----------------------------------------------------------
+
+
+def cell_histogram(df: DataFrame, x_col: str, y_col: str, res: int) -> DataFrame:
+    """Per-cell row counts — the skew diagnostic the salt map derives from
+    (BASELINE.json north_rule: 'adaptive repartitioning keyed on H3 cell
+    histograms')."""
+    return (
+        df.withColumn("cell", cell_id(F.col(x_col), F.col(y_col), res))
+        .groupBy("cell")
+        .count()
+    )
+
+
+def derive_salt_map(hist: DataFrame, target_rows_per_part: int = 100_000) -> dict[int, int]:
+    """cell → salt fan-out for cells whose count exceeds the target
+    (collected to the driver: the histogram of HOT cells is tiny)."""
+    hot = hist.filter(F.col("count") > target_rows_per_part).collect()
+    return {int(r["cell"]): int(np.ceil(r["count"] / target_rows_per_part)) for r in hot}
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_map: dict[int, int] | None = None,
+    default_salt: int = 1,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join resilient to hot keys: the big side gets a per-row salt in
+    [0, n_key) (n from the salt map, 1 for cold keys); the small side is
+    exploded over every salt value.  With a broadcast small side Spark
+    never shuffles the big side at all; the salt also protects downstream
+    groupBys on (key, salt).
+    """
+    spark = big.sparkSession
+    if salt_map:
+        entries = [(int(c), int(n)) for c, n in salt_map.items()]
+        sm = F.broadcast(
+            spark.createDataFrame(entries, schema=f"{key} long, _nsalt int")
+        )
+        big = big.join(sm, key, "left").withColumn(
+            "_nsalt", F.coalesce(F.col("_nsalt"), F.lit(default_salt))
+        )
+        small = small.join(sm, key, "left").withColumn(
+            "_nsalt", F.coalesce(F.col("_nsalt"), F.lit(default_salt))
+        )
+    else:
+        big = big.withColumn("_nsalt", F.lit(default_salt))
+        small = small.withColumn("_nsalt", F.lit(default_salt))
+    big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns if c not in ("_nsalt",)]), F.col("_nsalt")).cast("int")
+    ).drop("_nsalt")
+    small = (
+        small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1)))
+        .withColumn("_salt", F.col("_salt").cast("int"))
+        .drop("_nsalt")
+    )
+    out = big.join(F.broadcast(small), [key, "_salt"], how)
+    return out.drop("_salt")

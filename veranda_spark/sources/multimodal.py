@@ -1,0 +1,122 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Binary payloads are opaque `binary` columns with typed metadata; the
+Spark-side plumbing — schemas, batch shapes, partitioning, UDF
+signatures — is real and tested.  Actual media codecs (JPEG, MP3, H.264)
+are NOT importable in this environment, so the decode kernels are gated:
+formats the engine owns (raw / png) decode for real; everything else
+raises NotImplementedError or, with ``fake=True``, produces a
+deterministic synthetic decode so downstream stages stay testable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from veranda_spark.functions.codec import decode_image, png_encode
+
+FEATURES_SCHEMA = (
+    "image_id string, w int, h int, mean_val double, std_val double, "
+    "edge_energy double, histogram array<int>"
+)
+
+
+def _decode_any(row, fake: bool) -> np.ndarray:
+    fmt = row.fmt
+    if fmt in ("raw", "png"):
+        return decode_image(row.bytes, fmt, int(row.h), int(row.w))
+    if fake:
+        # deterministic fake decode keyed on payload hash (media libs absent)
+        seed = np.frombuffer(row.bytes[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+        rng = np.random.default_rng(int(seed))
+        return rng.integers(0, 256, (int(row.h), int(row.w)), dtype=np.uint8)
+    raise NotImplementedError(
+        f"decode for fmt={fmt!r} requires a media codec library (not in this env)"
+    )
+
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-image feature extraction: mean/std, gradient edge energy and a
+    16-bin histogram — Arrow-batched, one decode per image, pixels never
+    leave the executor."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = _decode_any(row, fake).astype("float64")
+                gy, gx = np.gradient(arr)
+                hist = np.histogram(arr, bins=16, range=(0, 256))[0]
+                rows.append(
+                    (
+                        row.image_id, int(row.w), int(row.h),
+                        float(arr.mean()), float(arr.std()),
+                        float(np.sqrt(gx**2 + gy**2).mean()),
+                        [int(x) for x in hist],
+                    )
+                )
+            yield pd.DataFrame(
+                rows or None,
+                columns=["image_id", "w", "h", "mean_val", "std_val", "edge_energy", "histogram"],
+            )
+
+    return df.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize(df: DataFrame, out_w: int, out_h: int, fake: bool = False) -> DataFrame:
+    """Nearest-neighbor resize to (out_h, out_w), re-encoded as PNG."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = _decode_any(row, fake)
+                h, w = arr.shape[:2]
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                small = arr[np.ix_(yi, xi)]
+                rows.append((row.image_id, png_encode(small), out_w, out_h, "png"))
+            yield pd.DataFrame(rows or None, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
+    """Video frame sampling plumbing: one input row (media_id, bytes,
+    n_frames, w, h, fmt) → one output row per sampled frame.  Real video
+    decode is stubbed (no codec library); with fake=True frames are
+    deterministic synthetic arrays so the explode/partition shape is
+    exercised end-to-end."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                n_frames = int(getattr(row, "n_frames", 1))
+                for fi in range(0, n_frames, every_n):
+                    if not fake:
+                        raise NotImplementedError("video decode needs a codec lib")
+                    seed = hash((row.media_id, fi)) & 0xFFFFFFFF
+                    rng = np.random.default_rng(seed)
+                    frame = rng.integers(0, 256, (int(row.h), int(row.w)), dtype=np.uint8)
+                    rows.append(
+                        (row.media_id, fi, png_encode(frame), int(row.w), int(row.h), "png")
+                    )
+            yield pd.DataFrame(
+                rows or None,
+                columns=["media_id", "frame_idx", "bytes", "w", "h", "fmt"],
+            )
+
+    return df.mapInPandas(kernel, schema=FRAMES_SCHEMA)
