@@ -1,0 +1,57 @@
+"""Cube merges (J4), quicklook decimation (S17), append semantics."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from veranda_spark.fixtures import ONE_TILE_GRID, cube_to_rows, simple_cube
+from veranda_spark.operators.cube import append_layers, merge_variables, stitch_union
+from veranda_spark.operators.raster import quicklook
+
+
+def test_stitch_union_and_merge_variables(spark):
+    cube = simple_cube(n_layers=4)
+    a = cube_to_rows(spark, cube, var="sig")
+    b = cube_to_rows(spark, cube * 2, var="inc")
+    a = a.withColumn("tile_id", F.lit("0"))
+    b = b.withColumn("tile_id", F.lit("0"))
+    u = stitch_union(a, b)
+    assert u.count() == 8
+    m = merge_variables(a, b)
+    assert m.count() == 4
+    assert {"bytes_sig", "bytes_inc"} <= set(m.columns)
+
+
+def test_append_layers_doubles_then_dedupes(spark):
+    # append parity: writing the same layers twice must not duplicate
+    # (mode='a' with overwrite-on-conflict); new layers extend the stack
+    cube = simple_cube(n_layers=3)
+    a = cube_to_rows(spark, cube).withColumn("tile_id", F.lit("0"))
+    b = cube_to_rows(spark, cube).withColumn("tile_id", F.lit("0")).withColumn(
+        "layer_id", F.col("layer_id") + 3
+    )
+    doubled = append_layers(a, b)
+    assert doubled.count() == 6  # test_netcdf4.py:39-51 stack-doubling golden
+    rewrite = append_layers(a, a)
+    assert rewrite.count() == 3
+
+
+def test_quicklook_decimation_and_stretch(spark):
+    cube = simple_cube(n_layers=2)
+    rows = cube_to_rows(spark, cube)
+    ql = quicklook(rows, factor=5).collect()
+    assert len(ql) == 2
+    for r in ql:
+        assert r["h"] == 10 and r["w"] == 12 and r["fmt"] == "png"
+        from veranda_spark.functions.codec import png_decode
+
+        arr = png_decode(bytes(r["bytes"]))
+        assert arr.min() >= 0 and arr.max() <= 255
+    # golden: block mean + linear stretch computed by numpy
+    vmin, vmax = cube.min(), cube.max()
+    blocks = cube[0][:50, :60].reshape(10, 5, 12, 5).mean(axis=(1, 3))
+    want = np.clip((blocks - vmin) / (vmax - vmin) * 255.0, 0, 255).astype("uint8")
+    got = png_decode(bytes(next(r for r in ql if True)["bytes"]))
+    layer1 = [r for r in ql if r["image_id"].endswith("_1")]
+    if layer1:
+        got = png_decode(bytes(layer1[0]["bytes"]))
+    np.testing.assert_array_equal(got, want)

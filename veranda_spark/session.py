@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("VERANDA_SPARK_DRIVER_MEM", "24g"))
+        # Arrow batches allocate multi-MB byte[]s; under G1 those are
+        # "humongous" allocations and the default collector GC-thrashes
+        # (measured 30x slowdown: VM Thread + GC threads saturating all
+        # cores).  ParallelGC handles big short-lived arrays in eden.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC " + os.environ.get("VERANDA_SPARK_DRIVER_JAVA_OPTS", ""),
+        )
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

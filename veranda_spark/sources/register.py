@@ -1,0 +1,105 @@
+"""File-register sources: build the engine's register DataFrame.
+
+veranda's entry points construct a file register (pandas DataFrame of
+filepath × tile × layer) from file lists or from data
+(reference base.py:82-127, 748-797, 971-1101; GeoTiffReader.from_filepaths
+mosaic/geotiff.py:129-181).  Spark-first equivalents:
+
+- ``register_from_binary_files``: `spark.read.format("binaryFile")` scan
+  of an image directory → one row per file with payload + metadata
+  (S1's plain-file analog).
+- ``register_from_table``: the Iceberg-shaped image table is already a
+  register; attach tile/layer keys.
+- ``assign_layers``: layer_id = running 1-based count per tile in file
+  order (base.py:786-795) — a window function.
+- ``filename_column``: fn_pattern templating with per-column formatters
+  (base.py:1086-1101) as format_string/date_format columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from veranda_spark.grid import RegularGrid
+
+PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47])
+
+
+def sniff_fmt(data_col: F.Column) -> F.Column:
+    """Format sniff from payload header bytes (S18 analog: BigTIFF header
+    check, reference native/geotiff.py:121-149)."""
+    head4 = F.substring(data_col, 1, 4)
+    return (
+        F.when(head4 == F.lit(PNG_MAGIC), "png")
+        .when(F.substring(data_col, 1, 2).isin(F.lit(b"II"), F.lit(b"MM")), "tiff")
+        .when(F.substring(data_col, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpg")
+        .otherwise("raw")
+    )
+
+
+def register_from_binary_files(
+    spark: SparkSession, path: str, pattern: str = "*"
+) -> DataFrame:
+    """Directory of image files → register rows (path, modificationTime,
+    length, content) with a sniffed fmt column.  The multi-file scan is
+    Spark-native (S5: no VRT needed — manifests/file listing replace it)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    return df.select(
+        F.col("path").alias("image_id"),
+        F.col("content").alias("bytes"),
+        F.col("length").alias("n_bytes"),
+        sniff_fmt(F.col("content")).alias("fmt"),
+    )
+
+
+def assign_layers(df: DataFrame, tile_col: str = "tile_id", order_col: str = "image_id") -> DataFrame:
+    """layer_id = 1-based running count per tile in deterministic order
+    (J6/J7 semantics, base.py:786-795, 1052-1054)."""
+    w = Window.partitionBy(tile_col).orderBy(F.col(order_col).asc())
+    return df.withColumn("layer_id", F.row_number().over(w))
+
+
+def register_from_table(df: DataFrame, grid: RegularGrid) -> DataFrame:
+    """Attach tile keys + layers to an image table carrying integer-pixel
+    footprints — the ctor path of RasterData.from_filepaths re-expressed."""
+    from veranda_spark.operators.select import with_tile_id
+
+    return assign_layers(with_tile_id(df, grid))
+
+
+def cross_register(
+    layers: DataFrame, tiles: DataFrame
+) -> DataFrame:
+    """Register = layers × tiles (J5/J6 cross joins, base.py:994-1056):
+    the write-side register derivation (every layer exists on every tile)."""
+    return layers.crossJoin(F.broadcast(tiles))
+
+
+def filename_column(
+    fn_pattern: str, columns: dict[str, F.Column]
+) -> F.Column:
+    """fn_pattern templating (base.py:1086-1101): '{tile_id}_{layer_id}.tif'
+    with per-column formatter expressions (e.g. date_format for timestamps).
+
+    Implemented with concat of literals + formatted columns — JVM-side,
+    no Python formatting per row."""
+    import re
+
+    parts: list[F.Column] = []
+    pos = 0
+    for m in re.finditer(r"\{(\w+)\}", fn_pattern):
+        if m.start() > pos:
+            parts.append(F.lit(fn_pattern[pos : m.start()]))
+        name = m.group(1)
+        if name not in columns:
+            raise KeyError(f"fn_pattern field {name!r} not provided")
+        parts.append(columns[name].cast("string"))
+        pos = m.end()
+    if pos < len(fn_pattern):
+        parts.append(F.lit(fn_pattern[pos:]))
+    return F.concat(*parts)
