@@ -472,6 +472,75 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(e, threshold=0.5, dim=dim, n_planes=8)
 
 
+def q_select_bbox(spark, sf_dir):
+    # P6: bbox select on footprints (world coords, y up; points are 1x1)
+    from veranda_spark.operators.select import select_bbox
+
+    pts = (_points(spark, sf_dir)
+           .withColumn("px_col0", F.col("px")).withColumn("px_row0", F.col("py"))
+           .withColumn("w", F.lit(1)).withColumn("h", F.lit(1)))
+    out = select_bbox(pts, GRID, (1000.0, -1500.0, 2000.0, -300.0))
+    return out.groupBy().agg(
+        F.count("*").alias("n_rows"), F.sum("point_id").alias("sum_ids")
+    )
+
+
+def q_cell_ring(spark, sf_dir):
+    # ring_cells (H3 grid_disk analog): points within a 2-ring of each query cell
+    from veranda_spark.cells import cell_id, ring_cells
+
+    pts = _points(spark, sf_dir).withColumn("cell", cell_id(F.col("px"), F.col("py"), CELL_RES))
+    qs = _queries_df(spark).withColumn(
+        "ring_cell", F.explode(ring_cells(cell_id(F.col("qx"), F.col("qy"), CELL_RES), 2, CELL_RES))
+    )
+    j = pts.join(F.broadcast(qs), pts["cell"] == qs["ring_cell"])
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_in_ring"), F.sum("point_id").alias("sum_ids")
+    )
+
+
+def q_parent_cell(spark, sf_dir):
+    # parent_cell: res-6 histogram re-aggregated to res-8 == direct res-8
+    from veranda_spark.cells import cell_id, parent_cell
+
+    pts = _points(spark, sf_dir).withColumn("cell6", cell_id(F.col("px"), F.col("py"), CELL_RES))
+    h6 = pts.groupBy("cell6").agg(F.count("*").alias("n"))
+    return (
+        h6.withColumn("cell8", parent_cell(F.col("cell6"), 8))
+        .groupBy("cell8")
+        .agg(F.sum("n").alias("n_points"))
+    )
+
+
+def q_running_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    out = (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("running", F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(W.unboundedPreceding, 0)), 2))
+        .filter(F.col("rn") <= 2)
+    )
+    return out.select("o_custkey", "o_orderkey", "rn", "running")
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+
+
+def q_quicklook(spark, sf_dir):
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import quicklook
+
+    return quicklook(generate_images(spark, 200), factor=4, vmin=0.0, vmax=255.0).select(
+        "image_id", "h", "w", "fmt"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # spatial / tiling engine
@@ -500,6 +569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         # embeddings
+        "select_bbox": q_select_bbox,
+        "cell_ring": q_cell_ring,
+        "parent_cell": q_parent_cell,
+        "running_window": q_running_window,
+        "rollup_orders": q_rollup_orders,
+        "quicklook": q_quicklook,
         "ann_topk": q_ann_topk,
         "label_centroid_sim": q_label_centroid_sim,
         # rows-only pixel/sketch ops (no SQL analog)
@@ -520,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
     tri_in = _poly_inside_sql(TRI)
     sq_in = _poly_inside_sql(SQ)
     cell_expr = cell_id_sql("px", "py", CELL_RES)
+    cell8_expr = cell_id_sql("px", "py", 8)
     return {
         "tile_assign": f"""
             WITH pts AS ({PTS_SQL})
@@ -615,6 +691,50 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(greatest(px_row0, tile_row*256) - px_row0) as bigint) AS sum_src_row0,
                    cast(sum(greatest(px_col0, tile_col*256) - tile_col*256) as bigint) AS sum_dst_col0
             FROM cover GROUP BY 1
+        """,
+        "select_bbox": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT count(*) AS n_rows, cast(sum(point_id) as bigint) AS sum_ids
+            FROM pts
+            WHERE px >= 1000 AND px < 2000 AND py >= 300 AND py < 1500
+        """,
+        "cell_ring": f"""
+            WITH pts AS ({PTS_SQL}), qs AS ({QRY_SQL}),
+            ring AS (
+              SELECT query_id,
+                     cast(floor(qx/64) as bigint)+dx.d AS rix,
+                     cast(floor(qy/64) as bigint)+dy.d AS riy
+              FROM qs,
+                   (SELECT unnest(generate_series(-2,2)) AS d) dx,
+                   (SELECT unnest(generate_series(-2,2)) AS d) dy
+            )
+            SELECT query_id, count(*) AS n_in_ring,
+                   cast(sum(point_id) as bigint) AS sum_ids
+            FROM ring JOIN pts
+              ON cast(floor(px/64) as bigint) = rix
+             AND cast(floor(py/64) as bigint) = riy
+            GROUP BY 1
+        """,
+        "parent_cell": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT {cell8_expr} AS cell8, count(*) AS n_points
+            FROM pts GROUP BY 1
+        """,
+        "running_window": """
+            SELECT o_custkey, o_orderkey, rn, running FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER w AS rn,
+                     round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS UNBOUNDED PRECEDING), 2) AS running
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+            ) WHERE rn <= 2
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus, cast(sum(l_quantity) as double) AS sum_qty,

@@ -97,42 +97,93 @@ def read_window(
         & (F.col("px_row0") < row0 + height)
         & (F.col("px_row0") + F.col("h") > row0)
     )
-    pruned = _overlap_cols(pruned, row0, col0, height, width)
-    poly = np.asarray(mask_polygon, dtype="float64") if mask_polygon is not None else None
-    dtype_out = out_dtype or ("float64" if auto_decode else None)
-
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        first = pdf.iloc[0]
-        dt = dtype_out or str(np.dtype(first["dtype"] if first["dtype"] else "uint8"))
-        canvas = np.full((height, width), nodata, dtype=dt)
-        for row in pdf.itertuples(index=False):
-            arr = _decode_row(row)
-            arr = _maybe_decode_values(arr, row, auto_decode)
-            sr, sc = int(row.src_row0), int(row.src_col0)
-            dr, dc = int(row.dst_row0), int(row.dst_col0)
-            wh, ww = int(row.win_h), int(row.win_w)
-            canvas[dr : dr + wh, dc : dc + ww] = arr[sr : sr + wh, sc : sc + ww]
-        if poly is not None:
-            m = polygon_pixel_mask(
-                poly, grid.ul_x, grid.ul_y, grid.psx, grid.psy, row0, col0, height, width
-            )
-            canvas[~m] = nodata
-        return pd.DataFrame(
-            {
-                "var": [first["var"] if "var" in pdf.columns else "data"],
-                "layer_id": [int(first["layer_id"]) if "layer_id" in pdf.columns else 1],
-                "bytes": [np.ascontiguousarray(canvas).tobytes()],
-                "h": [height],
-                "w": [width],
-                "dtype": [dt],
-            }
-        )
-
     group = [c for c in ("var", "layer_id") if c in pruned.columns]
     if not group:
         pruned = pruned.withColumn("var", F.lit("data")).withColumn("layer_id", F.lit(1))
         group = ["var", "layer_id"]
-    return pruned.groupBy(*group).applyInPandas(assemble, schema=ASSEMBLED_SCHEMA)
+    poly = np.asarray(mask_polygon, dtype="float64") if mask_polygon is not None else None
+    dtype_out = out_dtype or ("float64" if auto_decode else None)
+    has_var = "var" in group
+
+    # Phase 1 (pre-shuffle, mapInPandas): decode each image once, ship only
+    # the pixels that land inside the requested window — the same windowed-
+    # read discipline as burn_in (never shuffle pixels you won't place).
+    patch_schema = (
+        ("var string, " if has_var else "")
+        + "layer_id int, dst_row0 int, dst_col0 int, win_h int, win_w int, "
+        "patch binary, dtype string, order_key string"
+    )
+
+    def slice_window(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = _decode_row(row)
+                arr = _maybe_decode_values(arr, row, auto_decode)
+                r0, c0 = int(row.px_row0), int(row.px_col0)
+                h, w = int(row.h), int(row.w)
+                ov_r0, ov_r1 = max(r0, row0), min(r0 + h, row0 + height)
+                ov_c0, ov_c1 = max(c0, col0), min(c0 + w, col0 + width)
+                if ov_r1 <= ov_r0 or ov_c1 <= ov_c0:
+                    continue
+                patch = arr[ov_r0 - r0 : ov_r1 - r0, ov_c0 - c0 : ov_c1 - c0]
+                rec = (
+                    int(getattr(row, "layer_id", 1)),
+                    ov_r0 - row0, ov_c0 - col0, ov_r1 - ov_r0, ov_c1 - ov_c0,
+                    np.ascontiguousarray(patch).tobytes(), str(patch.dtype),
+                    str(getattr(row, "image_id", getattr(row, "layer_id", ""))),
+                )
+                rows.append(((str(row.var),) if has_var else ()) + rec)
+            cols = (["var"] if has_var else []) + [
+                "layer_id", "dst_row0", "dst_col0", "win_h", "win_w",
+                "patch", "dtype", "order_key",
+            ]
+            yield pd.DataFrame(rows or None, columns=cols)
+
+    patches = pruned.mapInPandas(slice_window, schema=patch_schema)
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    mask = (
+        polygon_pixel_mask(
+            poly, grid.ul_x, grid.ul_y, grid.psx, grid.psy, row0, col0, height, width
+        )
+        if poly is not None
+        else None
+    )
+
+    def assemble_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: dict[tuple, list[pd.DataFrame]] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for key, g in pdf.groupby(group, sort=False):
+                pending.setdefault(key if isinstance(key, tuple) else (key,), []).append(g)
+        for key, gs in pending.items():
+            g = (gs[0] if len(gs) == 1 else pd.concat(gs)).sort_values("order_key")
+            kd = dict(zip(group, key))
+            dt = dtype_out or str(np.dtype(g.iloc[0]["dtype"]))
+            canvas = np.full((height, width), nodata, dtype=dt)
+            for row in g.itertuples(index=False):
+                dr, dc = int(row.dst_row0), int(row.dst_col0)
+                wh, ww = int(row.win_h), int(row.win_w)
+                canvas[dr : dr + wh, dc : dc + ww] = np.frombuffer(
+                    row.patch, dtype=row.dtype
+                ).reshape(wh, ww)
+            if mask is not None:
+                canvas[~mask] = nodata
+            yield pd.DataFrame(
+                {
+                    "var": [kd.get("var", "data")],
+                    "layer_id": [int(kd.get("layer_id", 1))],
+                    "bytes": [np.ascontiguousarray(canvas).tobytes()],
+                    "h": [height],
+                    "w": [width],
+                    "dtype": [dt],
+                }
+            )
+
+    return patches.repartition(n_parts, *group).mapInPandas(
+        assemble_partition, schema=ASSEMBLED_SCHEMA
+    )
 
 
 def burn_in(
