@@ -320,9 +320,9 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_anti_join(spark, sf_dir):
-    # customers with no orders (set-difference semantics, base.py:383-384)
+    # customers with no high-value orders (set difference, base.py:383-384)
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -386,10 +386,15 @@ def q_doc_quality(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    # plant guaranteed duplicates: union the table with re-id'd copies of
+    # every 5th doc, so the dup-group output is non-trivial
     from veranda_spark.operators.dedup import exact_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    groups = exact_duplicates(d)
+    copies = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    groups = exact_duplicates(d.unionByName(copies))
     return groups.select("fp", "n_docs", F.element_at("doc_ids", 1).alias("first_doc"))
 
 
@@ -465,11 +470,17 @@ def q_simhash_sigs(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    # plant exact-duplicate vectors so the LSH path has positives to find
     from veranda_spark.operators.dedup import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
     dim = len(e.select("embedding").first()[0])
-    return embedding_neardup_pairs(e, threshold=0.5, dim=dim, n_planes=8)
+    return embedding_neardup_pairs(
+        e.unionByName(copies), threshold=0.99, dim=dim, n_planes=8
+    )
 
 
 def q_select_bbox(spark, sf_dir):
@@ -781,7 +792,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n_events,
@@ -820,10 +832,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_exact": r"""
-            WITH fps AS (
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+            ),
+            fps AS (
               SELECT doc_id,
                      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
-              FROM documents
+              FROM docs
             )
             SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
             FROM fps GROUP BY 1 HAVING count(*) > 1

@@ -158,7 +158,23 @@ def knn_join(
 
     remaining = qs
     results: DataFrame | None = None
-    r = 1
+    # adaptive initial radius: one stats pass estimates density so round 1's
+    # ring likely already holds >= k points (sparse data would otherwise
+    # burn rounds at tiny radii); correctness never depends on the estimate
+    # — the guard radius + brute-force fallback handle any shortfall
+    import math
+
+    stats = pts.agg(
+        F.count("*").alias("n"),
+        ((F.max("_px") - F.min("_px") + 1) / size).alias("sx"),
+        ((F.max("_py") - F.min("_py") + 1) / size).alias("sy"),
+    ).collect()[0]
+    if stats["n"]:
+        density = stats["n"] / max(stats["sx"] * stats["sy"], 1.0)
+        r = max(1, int(math.ceil((math.sqrt(3.0 * k / max(density, 1e-9)) - 1) / 2)))
+        r = min(r, 64)
+    else:
+        r = 1
     for _ in range(max_rounds):
         ring = remaining.withColumn(
             "_cell", F.explode(ring_cells(cell_id(F.col("_qx"), F.col("_qy"), res), r, res))

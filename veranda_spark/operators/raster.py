@@ -42,7 +42,20 @@ def _decode_row(row) -> np.ndarray:
     return decode_image(row.bytes, row.fmt, int(row.h), int(row.w), dtype=dtype)
 
 
-def _maybe_decode_values(arr: np.ndarray, row, auto_decode: bool) -> np.ndarray:
+def _maybe_decode_values(
+    arr: np.ndarray, row, auto_decode: bool, decoder=None
+) -> np.ndarray:
+    """Value decode with the reference's hook contract (§2.9): a custom
+    ``decoder(array, nodataval=, scale_factor=, add_offset=, dtype=)``
+    callable wins over auto_decode (native/geotiff.py:359-363)."""
+    if decoder is not None:
+        return decoder(
+            arr,
+            nodataval=getattr(row, "nodata", None),
+            scale_factor=getattr(row, "scale_factor", 1.0),
+            add_offset=getattr(row, "add_offset", 0.0),
+            dtype=str(arr.dtype),
+        )
     if not auto_decode:
         return arr
     scale = getattr(row, "scale_factor", None)
@@ -83,6 +96,7 @@ def read_window(
     auto_decode: bool = False,
     mask_polygon: Sequence[tuple[float, float]] | None = None,
     out_dtype: str | None = None,
+    decoder=None,
 ) -> DataFrame:
     """Stitched windowed read (EP1): assemble, per (var, layer), the pixel
     window [row0:row0+height, col0:col0+width] from all intersecting image
@@ -102,7 +116,7 @@ def read_window(
         pruned = pruned.withColumn("var", F.lit("data")).withColumn("layer_id", F.lit(1))
         group = ["var", "layer_id"]
     poly = np.asarray(mask_polygon, dtype="float64") if mask_polygon is not None else None
-    dtype_out = out_dtype or ("float64" if auto_decode else None)
+    dtype_out = out_dtype or ("float64" if (auto_decode or decoder is not None) else None)
     has_var = "var" in group
 
     # Phase 1 (pre-shuffle, mapInPandas): decode each image once, ship only
@@ -119,7 +133,7 @@ def read_window(
             rows = []
             for row in pdf.itertuples(index=False):
                 arr = _decode_row(row)
-                arr = _maybe_decode_values(arr, row, auto_decode)
+                arr = _maybe_decode_values(arr, row, auto_decode, decoder)
                 r0, c0 = int(row.px_row0), int(row.px_col0)
                 h, w = int(row.h), int(row.w)
                 ov_r0, ov_r1 = max(r0, row0), min(r0 + h, row0 + height)
@@ -193,6 +207,7 @@ def burn_in(
     order_col: str = "image_id",
     per_layer: bool = True,
     out_dtype: str | None = None,
+    encoder=None,
 ) -> DataFrame:
     """Tile burn-in (EP3, S13/S14 semantics): assign every image to the
     tiles it covers, assemble each tile canvas in deterministic placement
@@ -285,6 +300,10 @@ def burn_in(
                 canvas[dr : dr + wh, dc : dc + ww] = np.frombuffer(
                     row.patch, dtype=row.dtype
                 ).reshape(wh, ww)
+            if encoder is not None:
+                # writer-side hook contract (§2.9: native/geotiff.py:389-398)
+                canvas = encoder(canvas, nodataval=nodata, dtype=dt)
+                dt = str(canvas.dtype)
             yield pd.DataFrame(
                 {
                     "tile_id": [kd["tile_id"]],
