@@ -426,6 +426,18 @@ def q_label_centroid_sim(spark, sf_dir):
 # ---- rows-only (non-SQL-expressible pixel / sketch ops) -----------------------
 
 
+def q_skew_burn_in(spark, sf_dir):
+    # skew fixture (FIXTURES.md): 80% of footprints in 5% of the world;
+    # burn-in must still finish with balanced tasks (fine grid + AQE skew
+    # handling); output = per-tile image counts incl. the hot tiles
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import burn_in
+
+    imgs = generate_images(spark, 1000, hotspot=True)
+    tiles = burn_in(imgs, GRID, per_layer=False)
+    return tiles.select("tile_id", "n_images").orderBy(F.col("n_images").desc())
+
+
 def q_burn_in_tiles(spark, sf_dir):
     from veranda_spark.fixtures import generate_images
     from veranda_spark.operators.raster import burn_in
@@ -590,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_sim": q_label_centroid_sim,
         # rows-only pixel/sketch ops (no SQL analog)
         "burn_in_tiles": q_burn_in_tiles,
+        "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,
         "minhash_pairs": q_minhash_pairs,

@@ -227,7 +227,12 @@ def main() -> None:
 
     stop_spark()
     spark = get_spark(master=f"local[{cpus}]", app_name="bench")
-    spark.range(1000).count()  # warm-up outside measurement
+    # warm-up outside measurement: JVM, codegen, and python workers on
+    # every task slot (session startup is excluded per BASELINE.md)
+    spark.range(1000).count()
+    spark.range(1024, numPartitions=2 * cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the pure kernels: codec
+round-trips, PIP ray cast vs an independent winding-number reference,
+cell pack/unpack, cover arithmetic."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from veranda_spark.functions.codec import png_decode, png_encode
+from veranda_spark.functions.geometry import points_in_polygon
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w) if c == 1 else (h, w, c), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(arr)), arr)
+
+
+def _winding_inside(px, py, poly):
+    """Independent reference: winding number via atan2 angle sum."""
+    poly = np.asarray(poly, dtype=float)
+    ang = 0.0
+    for i in range(len(poly)):
+        ax, ay = poly[i] - (px, py)
+        bx, by = poly[(i + 1) % len(poly)] - (px, py)
+        ang += np.arctan2(ax * by - ay * bx, ax * bx + ay * by)
+    return abs(ang) > np.pi  # ~2*pi inside, ~0 outside
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_pts=st.integers(1, 50),
+)
+def test_raycast_matches_winding_number(seed, n_pts):
+    rng = np.random.default_rng(seed)
+    # random convex-ish polygon: sorted angles around a center
+    k = rng.integers(3, 8)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, k))
+    radius = rng.uniform(5, 20, k)
+    poly = np.stack([50 + radius * np.cos(angles), 50 + radius * np.sin(angles)], axis=1)
+    # offset by 0.5 so integer test points never sit exactly on edges
+    poly += 0.5
+    px = rng.integers(20, 80, n_pts).astype(float)
+    py = rng.integers(20, 80, n_pts).astype(float)
+    got = points_in_polygon(px, py, poly)
+    want = np.array([_winding_inside(x, y, poly) for x, y in zip(px, py)])
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    ix=st.integers(-(2**27), 2**27 - 1),
+    iy=st.integers(-(2**27), 2**27 - 1),
+    res=st.integers(0, 16),
+)
+def test_cell_pack_unpack_roundtrip_math(ix, iy, res):
+    # mirror of cells.pack/unpack as plain ints (the Column exprs use the
+    # same arithmetic; SQL parity is covered by the oracle queries)
+    from veranda_spark.cells import CELL_OFFSET
+
+    cell = res * (1 << 58) + (iy + CELL_OFFSET) * (1 << 29) + (ix + CELL_OFFSET)
+    r2 = cell // (1 << 58)
+    rem = cell - r2 * (1 << 58)
+    iy2 = rem // (1 << 29) - CELL_OFFSET
+    ix2 = rem % (1 << 29) - CELL_OFFSET
+    assert (r2, ix2, iy2) == (res, ix, iy)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    r0=st.integers(-500, 500),
+    c0=st.integers(-500, 500),
+    h=st.integers(1, 200),
+    w=st.integers(1, 200),
+    tile=st.sampled_from([16, 25, 64, 256]),
+)
+def test_cover_bounds_property(r0, c0, h, w, tile):
+    # the slice-phase cover loop must tile the footprint exactly: windows
+    # are disjoint, cover the footprint, and never exceed tile bounds
+    total = 0
+    for tr in range(r0 // tile, (r0 + h - 1) // tile + 1):
+        for tc in range(c0 // tile, (c0 + w - 1) // tile + 1):
+            ov_r0, ov_r1 = max(r0, tr * tile), min(r0 + h, tr * tile + tile)
+            ov_c0, ov_c1 = max(c0, tc * tile), min(c0 + w, tc * tile + tile)
+            assert ov_r1 > ov_r0 and ov_c1 > ov_c0
+            assert 0 <= ov_r0 - tr * tile < tile and 0 <= ov_c0 - tc * tile < tile
+            total += (ov_r1 - ov_r0) * (ov_c1 - ov_c0)
+    assert total == h * w
