@@ -29,3 +29,18 @@ def test_partition_pruning_and_append(spark, tmp_path):
     assert spark.table("images_t").count() == 800
     assert read_tiles_pruned(spark, "images_t", ["0_0"]).count() == 2 * n_before
     spark.sql("DROP TABLE images_t")
+
+
+def test_bucketed_agg_avoids_exchange(spark):
+    # 100TB property: a table bucketed by the group key aggregates with NO
+    # shuffle (the burn-in groupBy becomes partition-local on a bucketed
+    # register). Proof: no Exchange in the physical plan.
+    spark.sql("DROP TABLE IF EXISTS images_b")
+    imgs = with_tile_id(generate_images(spark, 300), GRID)
+    (imgs.write.mode("overwrite").bucketBy(8, "tile_id").sortBy("tile_id")
+         .format("parquet").saveAsTable("images_b"))
+    agg = spark.table("images_b").groupBy("tile_id").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:500]
+    assert agg.count() == 8  # 4x2 grid
+    spark.sql("DROP TABLE images_b")
