@@ -1,0 +1,54 @@
+"""Lossy codec path: PSNR>=40dB per-row invariant (input_hint) through
+the full pipeline, and real PSNR stats in the lineage table."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from veranda_spark.fixtures import generate_images, make_image_array
+from veranda_spark.functions.codec import decode_image, lossy_decode, lossy_encode, psnr
+from veranda_spark.grid import RegularGrid
+from veranda_spark.io.lineage import read_lineage, read_tiles, write_tiles_checkpointed
+from veranda_spark.operators.raster import burn_in
+
+GRID = RegularGrid(tile_cols=512, tile_rows=512, n_tile_cols=8, n_tile_rows=4)
+
+
+def test_dctq_roundtrip_psnr():
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (33, 47), dtype=np.uint8)  # non-multiple of 8
+        dec = lossy_decode(lossy_encode(arr))
+        assert dec.shape == arr.shape
+        assert psnr(arr.astype(float), dec.astype(float)) >= 40.0
+
+
+def test_lossy_images_through_pipeline(spark):
+    # F0 rows encoded as dctq: decoded pixels must satisfy PSNR>=40 vs the
+    # golden array, captions byte-equal (input_hint invariant)
+    imgs = generate_images(spark, 60, fmts=("dctq",)).cache()
+    rows = imgs.collect()
+    for r in rows[:20]:
+        i = int(r["image_id"].split("_")[1])
+        gold = make_image_array(i, r["h"], r["w"])
+        dec = decode_image(bytes(r["bytes"]), "dctq", r["h"], r["w"])
+        assert psnr(gold.astype(float), dec.astype(float)) >= 40.0
+        assert r["caption"] == f"caption {i} tile test {i * 2654435761 % 997}"
+    # pipeline: burn-in of lossy rows still assembles
+    tiles = burn_in(imgs, GRID, per_layer=False)
+    assert tiles.count() > 0
+
+
+def test_lineage_records_real_psnr(spark, tmp_path):
+    imgs = generate_images(spark, 100)
+    tiles = burn_in(imgs, GRID, per_layer=False)
+    res = write_tiles_checkpointed(tiles, str(tmp_path / "sink"), lossy_fmt="dctq")
+    assert res["written"] > 0
+    lin = read_lineage(spark, str(tmp_path / "sink"))
+    stats = lin.agg(
+        F.min("psnr").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
+    assert stats["n"] == res["written"]
+    assert stats["mn"] >= 40.0  # the input_hint gate, recorded per tile
+    # payloads really are lossy now
+    back = read_tiles(spark, str(tmp_path / "sink"))
+    assert back.select("fmt").first()["fmt"] == "dctq"

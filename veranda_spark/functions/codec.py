@@ -115,6 +115,56 @@ def png_decode(data: bytes) -> np.ndarray:
     return arr[:, :, 0] if c == 1 else arr
 
 
+# ---- lossy DCT-quantization codec ("dctq") ---------------------------------
+# A self-contained lossy format for exercising the PSNR>=40dB invariant
+# (input_hint) without external codec libraries: 8x8 block DCT-II,
+# uniform quantization, zlib entropy stage.  Deterministic; NOT a JPEG —
+# real jpg payloads stay gated behind NotImplementedError.
+
+_DCT8 = np.array(
+    [[np.cos((2 * x + 1) * u * np.pi / 16) * (np.sqrt(0.125) if u == 0 else 0.5)
+      for x in range(8)] for u in range(8)]
+)
+
+
+def _blocks(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = arr.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    padded = np.pad(arr, ((0, ph), (0, pw)), mode="edge").astype("float64")
+    H, W = padded.shape
+    return (
+        padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3),
+        h, w,
+    )
+
+
+def lossy_encode(arr: np.ndarray, q: float = 4.0) -> bytes:
+    """(h, w) uint8 → dctq payload.  q is the uniform quantization step;
+    q=4 keeps PSNR well above 40 dB on natural and noise images."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("dctq supports 2-D uint8")
+    blocks, h, w = _blocks(arr.astype("float64") - 128.0)
+    coef = np.einsum("ux,byxw,wv->byuv", _DCT8, blocks, _DCT8.T)
+    quant = np.round(coef / q).astype("int16")
+    head = struct.pack("<IIf", h, w, q)
+    return b"DCTQ" + head + zlib.compress(quant.tobytes(), 6)
+
+
+def lossy_decode(data: bytes) -> np.ndarray:
+    if data[:4] != b"DCTQ":
+        raise ValueError("not a dctq payload")
+    h, w, q = struct.unpack("<IIf", data[4:16])
+    H, W = h + (-h) % 8, w + (-w) % 8
+    quant = np.frombuffer(zlib.decompress(data[16:]), dtype="int16").reshape(
+        H // 8, W // 8, 8, 8
+    )
+    coef = quant.astype("float64") * q
+    blocks = np.einsum("xu,byuv,vw->byxw", _DCT8.T, coef, _DCT8)
+    full = blocks.transpose(0, 2, 1, 3).reshape(H, W) + 128.0
+    return np.clip(np.round(full), 0, 255).astype("uint8")[:h, :w]
+
+
 # ---- format dispatch ------------------------------------------------------
 
 
@@ -125,6 +175,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return np.ascontiguousarray(arr).tobytes()
     if fmt == "png":
         return png_encode(arr)
+    if fmt == "dctq":
+        return lossy_encode(arr)
     raise NotImplementedError(f"fmt {fmt!r} (jpeg decode needs a codec lib; stubbed)")
 
 
@@ -138,6 +190,8 @@ def decode_image(
         return arr.reshape(shape)
     if fmt == "png":
         return png_decode(data)
+    if fmt == "dctq":
+        return lossy_decode(data)
     raise NotImplementedError(f"fmt {fmt!r}")
 
 
