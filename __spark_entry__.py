@@ -564,6 +564,26 @@ def q_quicklook(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    # as-of join (custom operator Spark lacks; DuckDB ASOF JOIN oracle):
+    # every event gets the user's most recent purchase value at-or-before it
+    from veranda_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(ev, purchases, key="user_id", left_ts="ts", right_ts="ts",
+                    value_cols=["purchase_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("purchase_value", 3).alias("last_purchase_value"),
+        F.col("asof_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # spatial / tiling engine
@@ -584,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "sessionize": q_sessionize,
         "anti_join": q_anti_join,
+        "asof_join": q_asof_join,
         "event_type_stats": q_event_type_stats,
         # documents / text
         "doc_tokens": q_doc_tokens,
@@ -802,6 +823,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, max(session_nr) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY 1
+        """,
+        "asof_join": """
+            WITH pur AS (
+              SELECT user_id, ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   round(pur.purchase_value, 3) AS last_purchase_value,
+                   pur.ts AS asof_ts
+            FROM events e ASOF LEFT JOIN pur
+              ON e.user_id = pur.user_id AND e.ts >= pur.ts
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
