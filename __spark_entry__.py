@@ -584,6 +584,27 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    # interval/range join (bucket-cover plan, the 1-D cell-cover analog):
+    # deterministic hour-long windows derived from row numbers; count
+    # events per window
+    from veranda_spark.operators.range_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = spark.range(20).select(
+        F.col("id").alias("window_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(hours=(F.col("id") * 31) % 600)).alias("start_ts"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(hours=(F.col("id") * 31) % 600 + 2)).alias("end_ts"),
+    )
+    out = interval_join(ev, iv, ts_col="ts")
+    return out.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # spatial / tiling engine
@@ -605,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "anti_join": q_anti_join,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "event_type_stats": q_event_type_stats,
         # documents / text
         "doc_tokens": q_doc_tokens,
@@ -823,6 +845,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, max(session_nr) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY 1
+        """,
+        "interval_join": """
+            WITH iv AS (
+              SELECT i AS window_id,
+                     TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 HOUR * ((i*31)%600) AS start_ts,
+                     TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 HOUR * ((i*31)%600 + 2) AS end_ts
+              FROM range(20) t(i)
+            )
+            SELECT window_id, count(*) AS n_events,
+                   cast(sum(event_id) as bigint) AS sum_ids
+            FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+            GROUP BY 1
         """,
         "asof_join": """
             WITH pur AS (
