@@ -473,11 +473,14 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_sigs(spark, sf_dir):
-    from veranda_spark.functions.text import simhash64, word_ngrams
+    from veranda_spark.functions.text import shingle_hashes, simhash64, word_ngrams
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", simhash64(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("simhash")
+        "doc_id",
+        simhash64(shingle_hashes(F.array_distinct(word_ngrams(F.col("text"), 3)))).alias(
+            "simhash"
+        ),
     )
 
 
@@ -843,7 +846,8 @@ def oracle_sql() -> dict[str, str]:
                              ROWS UNBOUNDED PRECEDING) AS session_nr
               FROM g
             )
-            SELECT user_id, max(session_nr) AS n_sessions, count(*) AS n_events
+            SELECT user_id, cast(max(session_nr) AS bigint) AS n_sessions,
+                   count(*) AS n_events
             FROM s GROUP BY 1
         """,
         "interval_join": """

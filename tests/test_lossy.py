@@ -22,6 +22,35 @@ def test_dctq_roundtrip_psnr():
         assert psnr(arr.astype(float), dec.astype(float)) >= 40.0
 
 
+def test_dctq_roundtrip_uint16():
+    # round-2: dctq carries dtype in-header; 16-bit depth keeps the
+    # >=40dB invariant relative to the 65535 peak
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 65536, (40, 52), dtype=np.uint16)
+        dec = lossy_decode(lossy_encode(arr))
+        assert dec.shape == arr.shape and dec.dtype == np.uint16
+        assert psnr(arr.astype(float), dec.astype(float), peak=65535.0) >= 40.0
+
+
+def test_lossy_dtype_gate(spark, tmp_path):
+    # float canvases must fail loudly, not wrap through astype(uint8)
+    import pytest
+    from pyspark.sql import Row
+
+    tiles = spark.createDataFrame(
+        [
+            Row(
+                tile_id="0_0", tile_row=0, tile_col=0, n_images=1,
+                h=8, w=8, dtype="float64",
+                bytes=bytearray(np.full((8, 8), -9999.0).tobytes()),
+            )
+        ]
+    )
+    with pytest.raises(Exception, match="uint8/uint16"):
+        write_tiles_checkpointed(tiles, str(tmp_path / "sink"), lossy_fmt="dctq")
+
+
 def test_lossy_images_through_pipeline(spark):
     # F0 rows encoded as dctq: decoded pixels must satisfy PSNR>=40 vs the
     # golden array, captions byte-equal (input_hint invariant)

@@ -47,7 +47,14 @@ def test_congruent_tile_ids(spark):
     rows = [("f%d" % i, "EPSG:4326", "0,1,0,0,0,-1" if i % 2 else "5,1,0,0,0,-1", 50, 60)
             for i in range(10)]
     df = spark.createDataFrame(rows, "filepath string, sref string, geotrans string, h int, w int")
-    out = congruent_tile_ids(df, ["sref", "geotrans", "h", "w"]).collect()
+    result = congruent_tile_ids(df, ["sref", "geotrans", "h", "w"])
+    # scale guard: the register joins the tiny tile dim via broadcast; the
+    # only single-partition exchange allowed is the one numbering the
+    # distinct-geometry dim (#tiles rows), never the register itself
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    out = result.collect()
     tiles = {r["tile_nr"] for r in out}
     assert tiles == {0, 1}
     for t in tiles:

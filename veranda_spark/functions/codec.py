@@ -138,31 +138,41 @@ def _blocks(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
     )
 
 
-def lossy_encode(arr: np.ndarray, q: float = 4.0) -> bytes:
-    """(h, w) uint8 → dctq payload.  q is the uniform quantization step;
-    q=4 keeps PSNR well above 40 dB on natural and noise images."""
+def lossy_encode(arr: np.ndarray, q: float | None = None) -> bytes:
+    """(h, w) uint8/uint16 → dctq payload.  q is the uniform quantization
+    step; the default (4 per 8-bit dynamic-range unit) keeps PSNR well
+    above 40 dB on natural and noise images at either depth.  The dtype is
+    carried in the header so decode is self-describing (round-2 extension
+    for the reference's uint16 fixtures, native/netcdf.py dtypes)."""
     arr = np.asarray(arr)
-    if arr.ndim != 2 or arr.dtype != np.uint8:
-        raise ValueError("dctq supports 2-D uint8")
-    blocks, h, w = _blocks(arr.astype("float64") - 128.0)
+    if arr.ndim != 2 or arr.dtype not in (np.dtype("uint8"), np.dtype("uint16")):
+        raise ValueError("dctq supports 2-D uint8/uint16")
+    is16 = arr.dtype == np.uint16
+    if q is None:
+        q = 4.0 * (257.0 if is16 else 1.0)
+    center = 32768.0 if is16 else 128.0
+    blocks, h, w = _blocks(arr.astype("float64") - center)
     coef = np.einsum("ux,byxw,wv->byuv", _DCT8, blocks, _DCT8.T)
-    quant = np.round(coef / q).astype("int16")
-    head = struct.pack("<IIf", h, w, q)
+    quant = np.round(coef / q).astype("int32" if is16 else "int16")
+    head = struct.pack("<IIfB", h, w, q, 1 if is16 else 0)
     return b"DCTQ" + head + zlib.compress(quant.tobytes(), 6)
 
 
 def lossy_decode(data: bytes) -> np.ndarray:
     if data[:4] != b"DCTQ":
         raise ValueError("not a dctq payload")
-    h, w, q = struct.unpack("<IIf", data[4:16])
+    h, w, q, code = struct.unpack("<IIfB", data[4:17])
+    is16 = code == 1
     H, W = h + (-h) % 8, w + (-w) % 8
-    quant = np.frombuffer(zlib.decompress(data[16:]), dtype="int16").reshape(
-        H // 8, W // 8, 8, 8
-    )
+    quant = np.frombuffer(
+        zlib.decompress(data[17:]), dtype="int32" if is16 else "int16"
+    ).reshape(H // 8, W // 8, 8, 8)
     coef = quant.astype("float64") * q
     blocks = np.einsum("xu,byuv,vw->byxw", _DCT8.T, coef, _DCT8)
-    full = blocks.transpose(0, 2, 1, 3).reshape(H, W) + 128.0
-    return np.clip(np.round(full), 0, 255).astype("uint8")[:h, :w]
+    center, peak = (32768.0, 65535) if is16 else (128.0, 255)
+    full = blocks.transpose(0, 2, 1, 3).reshape(H, W) + center
+    out = np.clip(np.round(full), 0, peak)
+    return out.astype("uint16" if is16 else "uint8")[:h, :w]
 
 
 # ---- format dispatch ------------------------------------------------------

@@ -76,6 +76,36 @@ def polygon_pixel_mask(
     return points_in_polygon(gx.ravel(), gy.ravel(), poly_xy).reshape(h, w)
 
 
+def segment_intersects_boxes(
+    ax: float, ay: float, bx: float, by: float,
+    xmin: np.ndarray, ymin: np.ndarray, xmax: np.ndarray, ymax: np.ndarray,
+) -> np.ndarray:
+    """Liang-Barsky clip test of ONE segment (a→b) against N axis-aligned
+    boxes, vectorized over the boxes.  True where the segment touches the
+    box (including a segment wholly inside it).  Closes the sliver hole in
+    footprint∩polygon: a polygon edge slicing a footprint box without any
+    corner-in-polygon / vertex-in-box hit (reference slice_by_geom keeps
+    such tiles, base.py:546-555)."""
+    xmin = np.asarray(xmin, dtype="float64")
+    ymin = np.asarray(ymin, dtype="float64")
+    xmax = np.asarray(xmax, dtype="float64")
+    ymax = np.asarray(ymax, dtype="float64")
+    t0 = np.zeros(xmin.shape)
+    t1 = np.ones(xmin.shape)
+    ok = np.ones(xmin.shape, dtype=bool)
+    for p0, d, lo, hi in ((ax, bx - ax, xmin, xmax), (ay, by - ay, ymin, ymax)):
+        if d == 0.0:
+            ok &= (p0 >= lo) & (p0 <= hi)
+        else:
+            tn = (lo - p0) / d
+            tf = (hi - p0) / d
+            if d < 0.0:
+                tn, tf = tf, tn
+            t0 = np.maximum(t0, tn)
+            t1 = np.minimum(t1, tf)
+    return ok & (t0 <= t1)
+
+
 def polygon_area(poly: np.ndarray) -> float:
     p = np.asarray(poly, dtype="float64")
     x, y = p[:, 0], p[:, 1]

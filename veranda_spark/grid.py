@@ -231,17 +231,26 @@ def congruent_tile_ids(df: DataFrame, geom_cols: list[str]) -> DataFrame:
     rows whose geometry columns (sref/geotrans/shape) are equal share a
     tile id; layer_id = 1-based running count within a tile in file order.
 
-    Spark-first: dense_rank over the geometry key for tile ids,
-    row_number within each tile for layers (SURVEY.md §2.3 J7).
+    Spark-first at scale: dense tile ids come from a DISTINCT geometry-key
+    dimension (cardinality = #tiles, bounded small) numbered with a window
+    over that dim only, broadcast-joined back to the register — the
+    register itself never funnels through a single partition (round 1 ran
+    dense_rank over an unpartitioned window on the full table, a
+    single-task bottleneck at 100 TB).  layer_id = row_number within each
+    tile in file order (partitioned window — scales).
     """
     from pyspark.sql import Window as W
 
     key = [F.col(c) for c in geom_cols]
-    wt = W.orderBy(*key)
+    dim = (
+        df.select(*geom_cols)
+        .distinct()
+        .withColumn("tile_nr", F.row_number().over(W.orderBy(*key)) - 1)
+    )
     wl = W.partitionBy(*key).orderBy(F.col("_file_order"))
-    out = df.withColumn("_file_order", F.monotonically_increasing_id())
     return (
-        out.withColumn("tile_nr", F.dense_rank().over(wt) - 1)
+        df.withColumn("_file_order", F.monotonically_increasing_id())
+        .join(F.broadcast(dim), geom_cols)
         .withColumn("layer_id", F.row_number().over(wl))
         .drop("_file_order")
     )

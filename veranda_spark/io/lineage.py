@@ -46,6 +46,7 @@ def write_tiles_checkpointed(
     base: str,
     run_id: str | None = None,
     lossy_fmt: str | None = None,
+    min_psnr: float | None = 40.0,
 ) -> dict:
     """Write burn-in output partitioned by tile_id with lineage records.
 
@@ -53,14 +54,25 @@ def write_tiles_checkpointed(
     tile canvas).  Already-completed tiles (per the lineage table) are
     anti-joined away before any pixel work — the resume path.
 
+    Crash-safety: every data row carries this run's ``run_id`` and the
+    lineage append is the COMMIT record — ``read_tiles`` only surfaces
+    rows whose (tile_id, run_id) appears in the lineage, so a crash
+    between the data append and the lineage append leaves orphan rows
+    that are invisible and harmlessly superseded by the rerun (no
+    duplicate tiles on read — round-1 advisory).
+
     With ``lossy_fmt`` (e.g. "dctq") canvases are re-encoded lossily and
     the PER-TILE PSNR vs the exact canvas is recorded in the lineage
-    table (north-rule: lineage carries PSNR stats; the input_hint demands
-    PSNR >= 40 dB for lossy formats).  Returns counters {written, skipped}.
-    """
+    table; tiles below ``min_psnr`` (input_hint: 40 dB) fail the job
+    loudly instead of silently persisting corrupt pixels.  Lossless
+    writes record NULL psnr (not NaN).  Returns counters
+    {written, skipped} where skipped = tiles already committed in the
+    lineage (computed from the lineage table alone — the pixel pipeline
+    is executed exactly once)."""
     spark = tiles.sparkSession
     run_id = run_id or f"run_{int(time.time() * 1000)}"
     done = completed_tiles(spark, base)
+    n_done = 0 if done is None else done.count()
     todo = tiles if done is None else tiles.join(done, "tile_id", "left_anti")
     if lossy_fmt is not None:
         from typing import Iterator
@@ -77,10 +89,21 @@ def write_tiles_checkpointed(
                 payloads, psnrs = [], []
                 for row in pdf.itertuples(index=False):
                     canvas = np.frombuffer(row.bytes, dtype=row.dtype).reshape(row.h, row.w)
-                    enc = encode_image(canvas.astype("uint8"), lossy_fmt)
+                    if canvas.dtype not in (np.dtype("uint8"), np.dtype("uint16")):
+                        raise ValueError(
+                            f"lossy fmt {lossy_fmt!r} supports uint8/uint16 canvases, "
+                            f"got {canvas.dtype} for tile {row.tile_id}"
+                        )
+                    enc = encode_image(canvas, lossy_fmt)
                     dec = decode_image(enc, lossy_fmt, row.h, row.w)
+                    peak = 255.0 if canvas.dtype == np.dtype("uint8") else 65535.0
+                    p = min(psnr(canvas.astype("float64"), dec.astype("float64"), peak), 1e9)
+                    if min_psnr is not None and p < min_psnr:
+                        raise ValueError(
+                            f"tile {row.tile_id}: lossy PSNR {p:.2f} dB < {min_psnr} dB gate"
+                        )
                     payloads.append(enc)
-                    psnrs.append(min(psnr(canvas.astype("float64"), dec), 1e9))
+                    psnrs.append(p)
                 pdf = pdf.copy()
                 pdf["bytes"] = payloads
                 pdf["psnr"] = psnrs
@@ -88,9 +111,8 @@ def write_tiles_checkpointed(
                 yield pdf
 
         todo = todo.mapInPandas(reencode, schema=out_schema)
-    todo = todo.cache()
+    todo = todo.withColumn("run_id", F.lit(run_id)).cache()
     n_todo = todo.count()
-    n_total = tiles.count()
     if n_todo:
         (
             todo.write.mode("append")
@@ -104,14 +126,29 @@ def write_tiles_checkpointed(
             F.col("n_images").cast("long").alias("n_images"),
             F.lit(run_id).alias("run_id"),
             F.lit("done").alias("status"),
-            (F.col("psnr") if lossy_fmt is not None else F.lit(float("nan"))).alias("psnr"),
+            (
+                F.col("psnr") if lossy_fmt is not None else F.lit(None).cast("double")
+            ).alias("psnr"),
             F.lit(time.time()).alias("completed_at"),
         )
         lineage.write.mode("append").parquet(lineage_path(base))
     todo.unpersist()
-    return {"run_id": run_id, "written": n_todo, "skipped": n_total - n_todo}
+    return {"run_id": run_id, "written": n_todo, "skipped": n_done}
 
 
 def read_tiles(spark: SparkSession, base: str) -> DataFrame:
-    """Read back the tiled sink (partition pruning on tile_id applies)."""
-    return spark.read.parquet(os.path.join(base, "tiles"))
+    """Read back the tiled sink (partition pruning on tile_id applies).
+
+    Only lineage-committed rows are visible: the newest 'done' run per
+    tile wins (a broadcast-sized dim — one row per tile), so orphan rows
+    from a crash between the data and lineage appends never surface."""
+    data = spark.read.parquet(os.path.join(base, "tiles"))
+    lin = read_lineage(spark, base)
+    if lin is None or "run_id" not in data.columns:
+        return data
+    latest = (
+        lin.filter(F.col("status") == "done")
+        .groupBy("tile_id")
+        .agg(F.max_by("run_id", "completed_at").alias("run_id"))
+    )
+    return data.join(F.broadcast(latest), ["tile_id", "run_id"])

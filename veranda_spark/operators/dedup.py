@@ -26,6 +26,7 @@ from veranda_spark.functions.text import (
     fingerprint,
     hamming64,
     minhash_signature,
+    shingle_hashes,
     simhash64,
     word_ngrams,
 )
@@ -113,7 +114,7 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"))).cache()
+    ).withColumn("sig", minhash_signature(shingle_hashes(F.col("shingles")))).cache()
     band_keys = sh.select(
         "id",
         F.explode(
@@ -168,7 +169,7 @@ def simhash_pairs(
     exact bit_count re-check."""
     sh = df.select(
         F.col(id_col).alias("id"),
-        simhash64(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("sim"),
+        simhash64(shingle_hashes(F.array_distinct(word_ngrams(F.col(text_col), n)))).alias("sim"),
     ).cache()
     blocks = sh.select(
         "id",

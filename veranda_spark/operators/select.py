@@ -19,7 +19,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from veranda_spark.functions.geometry import points_in_polygon, polygon_bbox
+from veranda_spark.functions.geometry import (
+    points_in_polygon,
+    polygon_bbox,
+    segment_intersects_boxes,
+)
 from veranda_spark.grid import RegularGrid
 
 
@@ -107,9 +111,11 @@ def select_polygon(
     def footprint_intersects(
         px_col0: pd.Series, px_row0: pd.Series, w: pd.Series, h: pd.Series
     ) -> pd.Series:
-        # exact test: any footprint corner in polygon, or any polygon vertex
-        # in the footprint box (sufficient for convex-ish test fixtures;
-        # conservative superset of bbox for generic shapes)
+        # exact test, complete for arbitrary simple polygons: (a) any
+        # footprint corner/center inside polygon (box ⊂ polygon), (b) any
+        # polygon vertex inside box (polygon ⊂ box), (c) any polygon edge
+        # crossing the box (sliver cuts — Liang-Barsky, closes the
+        # false-negative hole flagged in round 1)
         x0 = ul_x + px_col0.to_numpy() * psx
         x1 = ul_x + (px_col0.to_numpy() + w.to_numpy()) * psx
         y0 = ul_y - px_row0.to_numpy() * psy
@@ -119,6 +125,16 @@ def select_polygon(
             hit |= points_in_polygon(cx, cy, poly)
         for vx, vy in poly:
             hit |= (x0 <= vx) & (vx <= x1) & (y1 <= vy) & (vy <= y0)
+        n = len(poly)
+        for i in range(n):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % n]
+            miss = ~hit
+            if not miss.any():
+                break
+            hit[miss] |= segment_intersects_boxes(
+                ax, ay, bx, by, x0[miss], y1[miss], x1[miss], y0[miss]
+            )
         return pd.Series(hit)
 
     return out.filter(
