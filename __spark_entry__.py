@@ -179,6 +179,30 @@ def q_pip_triangle(spark, sf_dir):
     )
 
 
+def q_pip_table(spark, sf_dir):
+    # table-sized polygon side (round-2): 200 deterministic triangles as a
+    # DataFrame through pip_join_table; oracle = generic SQL sign test
+    # (vertices .5-offset so no integer point sits on an edge)
+    from veranda_spark.operators.joins import pip_join_table
+
+    i = F.col("id")
+    cx = (i * 997 % WORLD_W).cast("double") + F.lit(0.5)
+    cy = (i * 613 % WORLD_H).cast("double") + F.lit(0.5)
+    r = (i % 5 * 6 + 8).cast("double")
+    tris = spark.range(200).select(
+        i.alias("polygon_id"),
+        F.array(
+            F.array(cx, cy - r),
+            F.array(cx + r, cy + r),
+            F.array(cx - r, cy + r),
+        ).alias("xy"),
+    )
+    hits = pip_join_table(_points(spark, sf_dir), tris, res=6)
+    return hits.groupBy("polygon_id").agg(
+        F.count("*").alias("n_points"), F.sum("point_id").alias("sum_ids")
+    )
+
+
 def q_cell_histogram(spark, sf_dir):
     from veranda_spark.operators.joins import cell_histogram
 
@@ -465,6 +489,22 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_tiff_decode(spark, sf_dir):
+    # S1/S2: TIFF payloads (uncompressed + LZW) through the real decode →
+    # burn-in pipeline; rows-only (payload decode has no SQL analog).
+    # Reference: GeoTiffFile.read, native/geotiff.py:241-280.
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import burn_in
+
+    imgs = generate_images(spark, 400, fmts=("tiff", "tiff_lzw"))
+    tiles = burn_in(imgs, GRID, per_layer=False)
+    return tiles.select(
+        "tile_id",
+        F.col("n_images").cast("long").alias("n_images"),
+        F.crc32(F.col("bytes")).alias("canvas_crc"),
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     from veranda_spark.operators.dedup import minhash_lsh_pairs
 
@@ -615,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_tiles": q_select_tiles,
         "px_window": q_px_window,
         "pip_polygon": q_pip_triangle,
+        "pip_table": q_pip_table,
         "cell_histogram": q_cell_histogram,
         "knn": q_knn,
         "point_in_tile": q_point_in_tile,
@@ -651,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,
+        "tiff_decode": q_tiff_decode,
         "minhash_pairs": q_minhash_pairs,
         "simhash_sigs": q_simhash_sigs,
         "embedding_neardup": q_embedding_neardup,
@@ -693,6 +735,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT polygon_id, count(*) AS n_points, cast(sum(point_id) as bigint) AS sum_ids,
                    round(avg(val), 3) AS avg_val
+            FROM hits GROUP BY 1
+        """,
+        "pip_table": f"""
+            WITH pts AS ({PTS_SQL}),
+            tris AS (
+              SELECT i AS polygon_id,
+                     cast((i*997) % 4096 as double) + 0.5 AS cx,
+                     cast((i*613) % 2048 as double) + 0.5 AS cy,
+                     cast((i % 5)*6 + 8 as double) AS r
+              FROM range(200) t(i)
+            ),
+            hits AS (
+              SELECT polygon_id, point_id FROM pts, tris
+              WHERE (
+                ((cx+r-cx)*(py-(cy-r)) - ((cy+r)-(cy-r))*(px-cx) > 0
+                 AND ((cx-r)-(cx+r))*(py-(cy+r)) - ((cy+r)-(cy+r))*(px-(cx+r)) > 0
+                 AND (cx-(cx-r))*(py-(cy+r)) - ((cy-r)-(cy+r))*(px-(cx-r)) > 0)
+                OR
+                ((cx+r-cx)*(py-(cy-r)) - ((cy+r)-(cy-r))*(px-cx) < 0
+                 AND ((cx-r)-(cx+r))*(py-(cy+r)) - ((cy+r)-(cy+r))*(px-(cx+r)) < 0
+                 AND (cx-(cx-r))*(py-(cy+r)) - ((cy-r)-(cy+r))*(px-(cx-r)) < 0)
+              )
+            )
+            SELECT polygon_id, count(*) AS n_points,
+                   cast(sum(point_id) as bigint) AS sum_ids
             FROM hits GROUP BY 1
         """,
         "cell_histogram": f"""

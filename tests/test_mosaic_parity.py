@@ -129,3 +129,23 @@ def test_select_plan_interpreter(spark, rows):
         [("select_layers", [[1, 2, 3]]), ("select_px_window", [0, 0, 10, 10])],
     )
     assert out.count() == 3
+
+
+def test_burn_in_numeric_order_last_writer_wins(spark):
+    # round-1 advisory: str(order) put image "10" before "2"; the order key
+    # now keeps the source column's native type, so numeric recency wins
+    from veranda_spark.grid import RegularGrid
+
+    g = RegularGrid(tile_cols=8, tile_rows=8, n_tile_cols=1, n_tile_rows=1)
+    rows = [
+        (2, np.full((8, 8), 2, dtype=np.uint8).tobytes(), 8, 8, "raw", 0, 0),
+        (10, np.full((8, 8), 10, dtype=np.uint8).tobytes(), 8, 8, "raw", 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, bytes binary, w int, h int, fmt string, px_col0 long, px_row0 long",
+    )
+    out = burn_in(df, g, per_layer=False).collect()
+    assert len(out) == 1
+    canvas = np.frombuffer(out[0]["bytes"], dtype=np.uint8).reshape(8, 8)
+    assert (canvas == 10).all()  # numeric max id placed last

@@ -1,0 +1,146 @@
+"""Baseline TIFF codec: LZW round-trip, strip/tiled layouts, both byte
+orders, predictor-2, and the sniff→decode pipeline path (reference core
+format, native/geotiff.py:241-280)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from veranda_spark.functions.codec import decode_image, encode_image
+from veranda_spark.functions.tiff import (
+    lzw_decode,
+    lzw_encode,
+    tiff_decode,
+    tiff_encode,
+)
+
+
+def test_lzw_roundtrip_random_and_runs():
+    rng = np.random.default_rng(3)
+    for data in (
+        rng.integers(0, 256, 10_000, dtype=np.uint8).tobytes(),
+        b"\x00" * 5000 + b"\xff" * 5000,  # long runs grow the code table
+        bytes(range(256)) * 64,
+        b"",
+        b"a",
+    ):
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16"])
+@pytest.mark.parametrize("compression", ["none", "lzw"])
+def test_tiff_strip_roundtrip(dtype, compression):
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, np.iinfo(dtype).max + 1, (37, 53), dtype=dtype)
+    dec = tiff_decode(tiff_encode(arr, compression=compression))
+    np.testing.assert_array_equal(dec, arr)
+
+
+def test_tiff_rgb_roundtrip():
+    rng = np.random.default_rng(12)
+    arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(tiff_decode(tiff_encode(arr)), arr)
+
+
+def _build_tiff(arr, bo, tile=None, lzw=False, predictor=1, rows_per_strip=None):
+    """Generic TIFF builder for decode-path coverage the writer does not
+    emit (big-endian, tiled, multi-strip, predictor-2)."""
+    h, w = arr.shape
+    bits = arr.dtype.itemsize * 8
+    segs = []
+    if tile:
+        tw, th = tile
+        for ty in range((h + th - 1) // th):
+            for tx in range((w + tw - 1) // tw):
+                block = np.zeros((th, tw), dtype=arr.dtype)
+                src = arr[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                block[: src.shape[0], : src.shape[1]] = src
+                segs.append(block)
+    else:
+        rps = rows_per_strip or h
+        segs = [arr[i : i + rps] for i in range(0, h, rps)]
+
+    payloads = []
+    for s in segs:
+        if predictor == 2:
+            s = s.astype(np.int64)
+            s = np.concatenate([s[:, :1], np.diff(s, axis=1)], axis=1).astype(arr.dtype)
+        raw = s.astype(bo + ("u1" if bits == 8 else "u2")).tobytes()
+        payloads.append(lzw_encode(raw) if lzw else raw)
+
+    entries = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+               (259, 3, 1, 5 if lzw else 1), (262, 3, 1, 1), (277, 3, 1, 1)]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
+    n_off = len(payloads)
+    if tile:
+        entries += [(322, 3, 1, tile[0]), (323, 3, 1, tile[1])]
+        off_tag, cnt_tag = 324, 325
+    else:
+        entries.append((278, 3, 1, rows_per_strip or h))
+        off_tag, cnt_tag = 273, 279
+    entries += [(off_tag, 4, n_off, 0), (cnt_tag, 4, n_off, 0)]
+    entries.sort()
+
+    ifd_size = 2 + 12 * len(entries) + 4
+    arrays_off = 8 + ifd_size
+    off_arr_pos = arrays_off
+    cnt_arr_pos = off_arr_pos + 4 * n_off
+    data_pos = cnt_arr_pos + 4 * n_off
+    offsets, counts, pos = [], [], data_pos
+    for p in payloads:
+        offsets.append(pos)
+        counts.append(len(p))
+        pos += len(p)
+
+    def entry_bytes(tag, typ, cnt, val):
+        if tag == off_tag and n_off > 1:
+            val = off_arr_pos
+        elif tag == cnt_tag and n_off > 1:
+            val = cnt_arr_pos
+        elif tag == off_tag:
+            val = offsets[0]
+        elif tag == cnt_tag:
+            val = counts[0]
+        head = struct.pack(bo + "HHI", tag, typ, cnt)
+        # inline values are LEFT-justified in the 4-byte field (matters
+        # for big-endian SHORTs)
+        if typ == 3 and cnt == 1:
+            return head + struct.pack(bo + "H", val) + b"\x00\x00"
+        return head + struct.pack(bo + "I", val)
+
+    magic = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    ifd = struct.pack(bo + "H", len(entries))
+    ifd += b"".join(entry_bytes(*e) for e in entries)
+    ifd += struct.pack(bo + "I", 0)
+    arrays = struct.pack(bo + f"{n_off}I", *offsets) + struct.pack(bo + f"{n_off}I", *counts)
+    if n_off == 1:
+        arrays = b"\x00" * 8 * 1  # keep data_pos arithmetic uniform
+    return magic + ifd + arrays + b"".join(payloads)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("dtype", ["uint8", "uint16"])
+def test_tiff_decode_multistrip_lzw_predictor(bo, dtype):
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, np.iinfo(dtype).max + 1, (45, 31), dtype=dtype)
+    data = _build_tiff(arr, bo, lzw=True, predictor=2, rows_per_strip=16)
+    np.testing.assert_array_equal(tiff_decode(data), arr)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_tiff_decode_tiled(bo):
+    rng = np.random.default_rng(22)
+    arr = rng.integers(0, 256, (50, 70), dtype=np.uint8)
+    data = _build_tiff(arr, bo, tile=(32, 16), lzw=True)
+    np.testing.assert_array_equal(tiff_decode(data), arr)
+
+
+def test_codec_dispatch_tiff():
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    for fmt in ("tiff", "tiff_lzw"):
+        np.testing.assert_array_equal(
+            decode_image(encode_image(arr, fmt), fmt, 16, 24), arr
+        )

@@ -187,6 +187,14 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return png_encode(arr)
     if fmt == "dctq":
         return lossy_encode(arr)
+    if fmt == "tiff":
+        from veranda_spark.functions.tiff import tiff_encode
+
+        return tiff_encode(arr)
+    if fmt == "tiff_lzw":
+        from veranda_spark.functions.tiff import tiff_encode
+
+        return tiff_encode(arr, compression="lzw")
     raise NotImplementedError(f"fmt {fmt!r} (jpeg decode needs a codec lib; stubbed)")
 
 
@@ -202,6 +210,10 @@ def decode_image(
         return png_decode(data)
     if fmt == "dctq":
         return lossy_decode(data)
+    if fmt in ("tiff", "tiff_lzw"):
+        from veranda_spark.functions.tiff import tiff_decode
+
+        return tiff_decode(data)
     raise NotImplementedError(f"fmt {fmt!r}")
 
 

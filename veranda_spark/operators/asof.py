@@ -39,6 +39,14 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        # a same-named left column would enter the carry-forward window and
+        # pollute the as-of result (round-1 advisory) — refuse loudly
+        raise ValueError(
+            f"value_cols {clash} collide with left columns; alias them on "
+            "the right side before joining"
+        )
     l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     r_tag = (
         right.select(key, F.col(right_ts).alias("_rts"), *value_cols)
@@ -61,8 +69,10 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
+        # cast to double (not unix_timestamp, which truncates to whole
+        # seconds) so sub-second tolerances compare exactly
         stale = (
-            F.unix_timestamp(F.col("_ts")) - F.unix_timestamp(F.col("_asof_ts"))
+            F.col("_ts").cast("double") - F.col("_asof_ts").cast("double")
         ) > tolerance_seconds
         for c in value_cols:
             out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))

@@ -100,6 +100,76 @@ def pip_join(
     raise ValueError(f"how={how!r}")
 
 
+def pip_join_table(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "px",
+    y_col: str = "py",
+    poly_id: str = "polygon_id",
+    xy_col: str = "xy",
+    res: int = 6,
+    broadcast_cover: bool = True,
+) -> DataFrame:
+    """Point-in-polygon join against a polygon TABLE (round-2 addition:
+    the dict-based ``pip_join`` caps the polygon side at task-closure
+    size; this variant scales to millions of zones).
+
+    ``polygons`` carries (poly_id, xy_col: array<array<double>>) with
+    vertices in the SAME planar frame as (x_col, y_col).  Plan:
+
+    1. per-polygon bbox + cell cover computed JVM-side (array_min/max +
+       sequence explode — no driver loop, no Python);
+    2. candidate equi-join on the cell key (broadcast when the cover side
+       is dim-sized, shuffle hash otherwise — set broadcast_cover=False
+       for huge polygon tables and let AQE pick);
+    3. exact ray-cast re-check in an Arrow pandas UDF, vectorized over
+       the points of each polygon within the batch.
+
+    Reference analog: slice_by_geom over arbitrary OGR geometry
+    (base.py:538-555) — here as a relational join instead of a per-file
+    loop."""
+    size = 1 << res
+    xs = F.transform(F.col(xy_col), lambda v: F.element_at(v, 1))
+    ys = F.transform(F.col(xy_col), lambda v: F.element_at(v, 2))
+    ix0 = F.floor(F.array_min(xs) / F.lit(size)).cast("long")
+    ix1 = F.floor(F.array_max(xs) / F.lit(size)).cast("long")
+    iy0 = F.floor(F.array_min(ys) / F.lit(size)).cast("long")
+    iy1 = F.floor(F.array_max(ys) / F.lit(size)).cast("long")
+    cover = polygons.select(
+        F.col(poly_id),
+        F.col(xy_col),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(iy0, iy1),
+                    lambda iy: F.transform(
+                        F.sequence(ix0, ix1), lambda ix: pack_cell(ix, iy, res)
+                    ),
+                )
+            )
+        ).alias("_cell"),
+    )
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+    pts = points.withColumn("_cell", cell_id(F.col(x_col), F.col(y_col), res))
+    cand = pts.join(cover, "_cell").drop("_cell")
+
+    @F.pandas_udf("boolean")
+    def inside_t(px: pd.Series, py: pd.Series, pid: pd.Series, xy: pd.Series) -> pd.Series:
+        out = np.zeros(len(px), dtype=bool)
+        xv, yv = px.to_numpy("float64"), py.to_numpy("float64")
+        for p in pid.unique():
+            m = (pid == p).to_numpy()
+            first = int(np.flatnonzero(m)[0])
+            poly = np.asarray([np.asarray(v, dtype="float64") for v in xy.iloc[first]])
+            out[m] = points_in_polygon(xv[m], yv[m], poly)
+        return pd.Series(out)
+
+    return cand.filter(
+        inside_t(F.col(x_col), F.col(y_col), F.col(poly_id), F.col(xy_col))
+    ).drop(xy_col)
+
+
 # ---- point -> tile lookup (J1/J3) ------------------------------------------
 
 
@@ -251,7 +321,12 @@ def salted_broadcast_join(
     exploded over every salt value.  With a broadcast small side Spark
     never shuffles the big side at all; the salt also protects downstream
     groupBys on (key, salt).
+
+    Only inner/left are supported: with right/full outer the exploded
+    small side would surface one unmatched row PER SALT VALUE.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_broadcast_join supports inner/left, got {how!r}")
     spark = big.sparkSession
     if salt_map:
         entries = [(int(c), int(n)) for c, n in salt_map.items()]

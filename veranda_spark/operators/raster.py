@@ -122,10 +122,15 @@ def read_window(
     # Phase 1 (pre-shuffle, mapInPandas): decode each image once, ship only
     # the pixels that land inside the requested window — the same windowed-
     # read discipline as burn_in (never shuffle pixels you won't place).
+    # placement order carries the source column's NATIVE type: a string
+    # sort would place image 10 before image 2 for numeric ids (round-1
+    # advisory)
+    _types = {f.name: f.dataType.simpleString() for f in pruned.schema}
+    order_type = _types.get("image_id", _types.get("layer_id", "string"))
     patch_schema = (
         ("var string, " if has_var else "")
         + "layer_id int, dst_row0 int, dst_col0 int, win_h int, win_w int, "
-        "patch binary, dtype string, order_key string"
+        f"patch binary, dtype string, order_key {order_type}"
     )
 
     def slice_window(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,7 +150,7 @@ def read_window(
                     int(getattr(row, "layer_id", 1)),
                     ov_r0 - row0, ov_c0 - col0, ov_r1 - ov_r0, ov_c1 - ov_c0,
                     np.ascontiguousarray(patch).tobytes(), str(patch.dtype),
-                    str(getattr(row, "image_id", getattr(row, "layer_id", ""))),
+                    getattr(row, "image_id", getattr(row, "layer_id", None)),
                 )
                 rows.append(((str(row.var),) if has_var else ()) + rec)
             cols = (["var"] if has_var else []) + [
@@ -232,11 +237,16 @@ def burn_in(
     nrows, ncols = grid.n_tile_rows, grid.n_tile_cols
     has_dtype = "dtype" in df.columns
 
+    # native-typed order key (numeric ids must sort numerically; round-1
+    # advisory: str sort put "10" before "2")
+    order_type = {f.name: f.dataType.simpleString() for f in df.schema}.get(
+        order_col, "string"
+    )
     patch_schema = (
         "tile_id string, tile_row long, tile_col long, "
         + "".join(f"{c} {'string' if c == 'var' else 'int'}, " for c in extra)
         + "dst_row0 int, dst_col0 int, win_h int, win_w int, "
-        "patch binary, dtype string, order_key string"
+        f"patch binary, dtype string, order_key {order_type}"
     )
 
     def slice_patches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -247,7 +257,7 @@ def burn_in(
                 dt = str(arr.dtype)
                 r0, c0 = int(row.px_row0), int(row.px_col0)
                 h, w = int(row.h), int(row.w)
-                order = str(getattr(row, order_col, ""))
+                order = getattr(row, order_col, None)
                 for trow in range(r0 // th, (r0 + h - 1) // th + 1):
                     if nrows > 0 and not (0 <= trow < nrows):
                         continue

@@ -34,7 +34,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 1024, not 4096: rows carry multi-KB image payloads, so 4096-row
+        # Arrow batches are ~64 MB byte[]s; with 32 concurrent tasks that
+        # put 10-20s of ParallelGC pauses on the critical path (measured:
+        # 600k-row burn-in at local[32] went 24-73s -> 7-18s with 1024).
+        # maxBytesPerBatch caps the Python->JVM return direction the same
+        # way (worker-side, pyspark worker.py).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("VERANDA_SPARK_DRIVER_MEM", "24g"))
         # Arrow batches allocate multi-MB byte[]s; under G1 those are

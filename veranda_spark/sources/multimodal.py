@@ -28,7 +28,7 @@ FEATURES_SCHEMA = (
 
 def _decode_any(row, fake: bool) -> np.ndarray:
     fmt = row.fmt
-    if fmt in ("raw", "png"):
+    if fmt in ("raw", "png", "dctq", "tiff", "tiff_lzw"):
         return decode_image(row.bytes, fmt, int(row.h), int(row.w))
     if fake:
         # deterministic fake decode keyed on payload hash (media libs absent)
