@@ -67,3 +67,52 @@ def test_select_polygon_keeps_sliver_crossed_footprints(spark, poly):
     )
     got = {r["name"] for r in select_polygon(reg, GRID, poly).collect()}
     assert got == {"keep"}
+
+
+def test_select_multipolygon_donut_and_disjoint(spark):
+    from veranda_spark.operators.select import select_multipolygon
+
+    reg = spark.createDataFrame(
+        [
+            (12, 12, 4, 4, "in_hole"),      # box inside the hole -> dropped
+            (1, 1, 4, 4, "in_band"),        # box in the filled band -> kept
+            (40, 40, 5, 5, "in_part2"),     # inside the disjoint triangle
+            (60, 60, 4, 4, "outside"),
+        ],
+        "px_col0 long, px_row0 long, w long, h long, name string",
+    )
+    outer = [(0.25, -0.25), (20.25, -0.25), (20.25, -20.25), (0.25, -20.25)]
+    hole = [(10.25, -10.25), (18.25, -10.25), (18.25, -18.25), (10.25, -18.25)]
+    tri2 = [(38.25, -38.25), (50.25, -38.25), (44.25, -50.25)]
+    got = {
+        r["name"]
+        for r in select_multipolygon(reg, GRID, [outer, hole, tri2]).collect()
+    }
+    assert got == {"in_band", "in_part2"}
+
+
+def test_rings_pixel_mask_even_odd():
+    from veranda_spark.functions.geometry import polygon_pixel_mask, rings_pixel_mask
+
+    outer = [(0.25, -0.25), (20.25, -0.25), (20.25, -20.25), (0.25, -20.25)]
+    hole = [(5.25, -5.25), (15.25, -5.25), (15.25, -15.25), (5.25, -15.25)]
+    m = rings_pixel_mask([outer, hole], 0, 0, 1, 1, 0, 0, 24, 24)
+    mo = polygon_pixel_mask(np.asarray(outer), 0, 0, 1, 1, 0, 0, 24, 24)
+    mh = polygon_pixel_mask(np.asarray(hole), 0, 0, 1, 1, 0, 0, 24, 24)
+    assert (m == (mo & ~mh)).all()
+    assert m.any() and not m[10, 10]  # hole center masked out
+
+
+def test_zip_payload_decode():
+    import io
+    import zipfile
+
+    from veranda_spark.functions.codec import decode_image, png_encode
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("img.png", png_encode(arr))
+    np.testing.assert_array_equal(
+        decode_image(buf.getvalue(), "zip", 8, 8), arr
+    )

@@ -214,6 +214,24 @@ def decode_image(
         from veranda_spark.functions.tiff import tiff_decode
 
         return tiff_decode(data)
+    if fmt == "zip":
+        # zip-container read (reference /vsizip/ path, native/geotiff.py:
+        # 137-149): unwrap the first member and re-sniff its format
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = zf.namelist()
+            if not names:
+                raise ValueError("empty zip payload")
+            inner = zf.read(names[0])
+        if inner[:8] == _PNG_SIG:
+            return png_decode(inner)
+        if inner[:2] in (b"II", b"MM"):
+            from veranda_spark.functions.tiff import tiff_decode
+
+            return tiff_decode(inner)
+        return decode_image(inner, "raw", h, w, channels, dtype)
     raise NotImplementedError(f"fmt {fmt!r}")
 
 

@@ -38,6 +38,49 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nd
     return inside
 
 
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd test over MULTIPLE rings: holes and multipolygons fall out
+    of the crossing parity for free (a point inside an outer ring AND a
+    hole ring toggles twice → outside).  This is the generality the
+    reference gets from arbitrary OGR geometry (any_geom2ogr_geom,
+    base.py:15,538) — round 1 supported single rings only."""
+    px = np.asarray(px, dtype="float64")
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        inside ^= points_in_polygon(px, py, np.asarray(ring, dtype="float64"))
+    return inside
+
+
+def rings_bbox(rings) -> tuple[float, float, float, float]:
+    boxes = [polygon_bbox(np.asarray(r, dtype="float64")) for r in rings]
+    return (
+        min(b[0] for b in boxes),
+        min(b[1] for b in boxes),
+        max(b[2] for b in boxes),
+        max(b[3] for b in boxes),
+    )
+
+
+def rings_pixel_mask(
+    rings,
+    ul_x: float,
+    ul_y: float,
+    psx: float,
+    psy: float,
+    row0: int,
+    col0: int,
+    h: int,
+    w: int,
+) -> np.ndarray:
+    """polygon_pixel_mask generalized to multi-ring geometry (even-odd)."""
+    cols = col0 + np.arange(w)
+    rows = row0 + np.arange(h)
+    xs = ul_x + (cols + 0.5) * psx
+    ys = ul_y - (rows + 0.5) * psy
+    gx, gy = np.meshgrid(xs, ys)
+    return points_in_rings(gx.ravel(), gy.ravel(), rings).reshape(h, w)
+
+
 def bbox_intersects(
     axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
 ) -> np.ndarray:

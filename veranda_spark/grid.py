@@ -60,6 +60,11 @@ class RegularGrid:
     n_tile_cols: int = 0
     n_tile_rows: int = 0
     namer: Callable[[Column, Column], Column] | None = None
+    #: declared spatial reference (WKT or "EPSG:xxxx"); the reference
+    #: carries sref on every raster object (base.py:98-100) — here it is
+    #: grid metadata asserted against the register's sref column on every
+    #: join/burn-in (mismatched CRS = loud error, never silent garbage)
+    sref: str | None = None
 
     # ---- world <-> pixel ------------------------------------------------
 
@@ -212,7 +217,27 @@ class RegularGrid:
             ymax.alias("ymax"),
             F.lit(self.tile_rows).alias("n_rows"),
             F.lit(self.tile_cols).alias("n_cols"),
+            *([F.lit(self.sref).alias("sref")] if self.sref is not None else []),
         )
+
+    # ---- CRS guard --------------------------------------------------------
+
+    def sref_guard(self, df: DataFrame) -> DataFrame:
+        """Loud CRS check (reference carries sref on every raster object,
+        base.py:98-100; WKT round-trip test test_gdal.py:21-49): when both
+        the grid and the register declare a spatial reference, any row
+        whose sref differs raises at scan time.  Embedded as a filter so
+        Catalyst cannot prune it away; NULL register sref is treated as
+        'inherit the grid CRS' and passes."""
+        if self.sref is None or "sref" not in df.columns:
+            return df
+        ok = F.col("sref").isNull() | (F.col("sref") == F.lit(self.sref))
+        msg = F.concat(
+            F.lit("CRS mismatch: register sref="),
+            F.col("sref"),
+            F.lit(f" != grid sref={self.sref!r}"),
+        )
+        return df.filter(F.assert_true(ok, msg).isNull())
 
     # geotransform of one tile (for parity with native/geotiff.py:33-41)
     def tile_geotrans(self, tile_row: int, tile_col: int) -> tuple:
@@ -224,6 +249,33 @@ class RegularGrid:
             0.0,
             -self.psy,
         )
+
+
+def reproject_footprints(
+    df: DataFrame, src: "RegularGrid", dst: "RegularGrid"
+) -> DataFrame:
+    """Affine re-map of integer footprints from one grid's pixel frame to
+    another's (same CRS; declared-sref mismatch raises — true datum
+    reprojection needs a projection library and stays out of scope, like
+    the reference delegates it to GDAL/osr).  World coordinates are
+    preserved: px indices recompute from the world origin, extents scale
+    by the pixel-size ratio (ceil, so the new footprint always covers the
+    old one)."""
+    if src.sref is not None and dst.sref is not None and src.sref != dst.sref:
+        raise ValueError(
+            f"cannot affine-remap between CRSs: {src.sref!r} != {dst.sref!r}"
+        )
+    x0 = F.lit(src.ul_x) + F.col("px_col0") * F.lit(src.psx)
+    y0 = F.lit(src.ul_y) - F.col("px_row0") * F.lit(src.psy)
+    return (
+        df.withColumn("_new_col0", F.floor((x0 - F.lit(dst.ul_x)) / F.lit(dst.psx)).cast("long"))
+        .withColumn("_new_row0", F.floor((F.lit(dst.ul_y) - y0) / F.lit(dst.psy)).cast("long"))
+        .withColumn("w", F.ceil(F.col("w") * F.lit(src.psx / dst.psx)).cast(dict(df.dtypes)["w"]))
+        .withColumn("h", F.ceil(F.col("h") * F.lit(src.psy / dst.psy)).cast(dict(df.dtypes)["h"]))
+        .withColumn("px_col0", F.col("_new_col0"))
+        .withColumn("px_row0", F.col("_new_row0"))
+        .drop("_new_col0", "_new_row0")
+    )
 
 
 def congruent_tile_ids(df: DataFrame, geom_cols: list[str]) -> DataFrame:

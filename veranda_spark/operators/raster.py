@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from veranda_spark.functions.codec import decode_image
-from veranda_spark.functions.geometry import polygon_pixel_mask, points_in_polygon
+from veranda_spark.functions.geometry import (
+    points_in_polygon,
+    polygon_pixel_mask,
+    rings_pixel_mask,
+)
 from veranda_spark.grid import RegularGrid
 
 ASSEMBLED_SCHEMA = (
@@ -105,7 +109,7 @@ def read_window(
     The filter is a pure column predicate → Catalyst pushes it to the scan;
     the per-group assembly shuffles only the overlapping rows.
     """
-    pruned = df.filter(
+    pruned = grid.sref_guard(df).filter(
         (F.col("px_col0") < col0 + width)
         & (F.col("px_col0") + F.col("w") > col0)
         & (F.col("px_row0") < row0 + height)
@@ -115,7 +119,14 @@ def read_window(
     if not group:
         pruned = pruned.withColumn("var", F.lit("data")).withColumn("layer_id", F.lit(1))
         group = ["var", "layer_id"]
-    poly = np.asarray(mask_polygon, dtype="float64") if mask_polygon is not None else None
+    # mask_polygon: one ring, or a list of rings (holes / multipolygons,
+    # interpreted even-odd — round-2 generality)
+    if mask_polygon is None:
+        poly = None
+    elif isinstance(mask_polygon[0][0], (list, tuple, np.ndarray)):
+        poly = [np.asarray(r, dtype="float64") for r in mask_polygon]
+    else:
+        poly = [np.asarray(mask_polygon, dtype="float64")]
     dtype_out = out_dtype or ("float64" if (auto_decode or decoder is not None) else None)
     has_var = "var" in group
 
@@ -162,7 +173,7 @@ def read_window(
     patches = pruned.mapInPandas(slice_window, schema=patch_schema)
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     mask = (
-        polygon_pixel_mask(
+        rings_pixel_mask(
             poly, grid.ul_x, grid.ul_y, grid.psx, grid.psy, row0, col0, height, width
         )
         if poly is not None
@@ -229,6 +240,7 @@ def burn_in(
     2. ``groupBy(tile).applyInPandas``: place raw patches into the canvas;
        no decode work after the shuffle.
     """
+    df = grid.sref_guard(df)
     group = ["tile_id", "tile_row", "tile_col"]
     if per_layer:
         group += [c for c in ("var", "layer_id") if c in df.columns]

@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from veranda_spark.functions.geometry import (
     points_in_polygon,
+    points_in_rings,
     polygon_bbox,
+    rings_bbox,
     segment_intersects_boxes,
 )
 from veranda_spark.grid import RegularGrid
@@ -30,6 +32,7 @@ from veranda_spark.grid import RegularGrid
 def with_tile_id(df: DataFrame, grid: RegularGrid) -> DataFrame:
     """Attach the canonical tile id of the footprint's upper-left pixel
     (point→tile, base.py:471-477)."""
+    df = grid.sref_guard(df)
     tr = grid.tile_row_of(F.col("px_row0"))
     tc = grid.tile_col_of(F.col("px_col0"))
     return (
@@ -142,6 +145,60 @@ def select_polygon(
     )
 
 
+def select_multipolygon(
+    df: DataFrame,
+    grid: RegularGrid,
+    rings: Sequence[Sequence[tuple[float, float]]],
+    exact: bool = True,
+) -> DataFrame:
+    """P7 generalized to multi-ring geometry: a list of rings interpreted
+    even-odd (outer rings + holes + disjoint parts — the reference accepts
+    arbitrary OGR geometry via any_geom2ogr_geom, base.py:15,538).
+
+    A footprint is kept iff it intersects the filled region: corner/center
+    inside (even-odd), any ring vertex inside the box, or any ring edge
+    crossing the box while the edge's midpoint region matters — the edge
+    test keeps boxes whose boundary region is cut (conservative for a box
+    straddling only a hole edge: such a box DOES intersect the filled
+    region just outside the hole, so keeping it is correct)."""
+    polys = [np.asarray(r, dtype="float64") for r in rings]
+    xmin, ymin, xmax, ymax = rings_bbox(polys)
+    out = select_bbox(df, grid, (xmin, ymin, xmax, ymax))
+    if not exact:
+        return out
+    ul_x, ul_y, psx, psy = grid.ul_x, grid.ul_y, grid.psx, grid.psy
+
+    @F.pandas_udf("boolean")
+    def footprint_hits(
+        px_col0: pd.Series, px_row0: pd.Series, w: pd.Series, h: pd.Series
+    ) -> pd.Series:
+        x0 = ul_x + px_col0.to_numpy() * psx
+        x1 = ul_x + (px_col0.to_numpy() + w.to_numpy()) * psx
+        y0 = ul_y - px_row0.to_numpy() * psy
+        y1 = ul_y - (px_row0.to_numpy() + h.to_numpy()) * psy
+        hit = np.zeros(len(px_col0), dtype=bool)
+        for cx, cy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1), ((x0 + x1) / 2, (y0 + y1) / 2)):
+            hit |= points_in_rings(cx, cy, polys)
+        for ring in polys:
+            for vx, vy in ring:
+                hit |= (x0 <= vx) & (vx <= x1) & (y1 <= vy) & (vy <= y0)
+            n = len(ring)
+            for i in range(n):
+                ax, ay = ring[i]
+                bx, by = ring[(i + 1) % n]
+                miss = ~hit
+                if not miss.any():
+                    break
+                hit[miss] |= segment_intersects_boxes(
+                    ax, ay, bx, by, x0[miss], y1[miss], x1[miss], y0[miss]
+                )
+        return pd.Series(hit)
+
+    return out.filter(
+        footprint_hits(F.col("px_col0"), F.col("px_row0"), F.col("w"), F.col("h"))
+    )
+
+
 def apply_nan(df: DataFrame, value_col: str, nodata: float) -> DataFrame:
     """P10 (base.py:276-295): nodata→NULL on a scalar column
     (array/pixel nodata handling lives in the codec UDFs)."""
@@ -157,6 +214,7 @@ _OPS = {
     "select_xy": lambda df, grid, args, kw: select_xy(df, grid, *args, **kw),
     "select_bbox": lambda df, grid, args, kw: select_bbox(df, grid, *args, **kw),
     "select_polygon": lambda df, grid, args, kw: select_polygon(df, grid, *args, **kw),
+    "select_multipolygon": lambda df, grid, args, kw: select_multipolygon(df, grid, *args, **kw),
 }
 
 

@@ -32,6 +32,7 @@ def sniff_fmt(data_col: F.Column) -> F.Column:
     head4 = F.substring(data_col, 1, 4)
     return (
         F.when(head4 == F.lit(PNG_MAGIC), "png")
+        .when(head4 == F.lit(b"PK\x03\x04"), "zip")
         .when(F.substring(data_col, 1, 2).isin(F.lit(b"II"), F.lit(b"MM")), "tiff")
         .when(F.substring(data_col, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpg")
         .otherwise("raw")
