@@ -451,14 +451,25 @@ def q_label_centroid_sim(spark, sf_dir):
 
 
 def q_skew_burn_in(spark, sf_dir):
-    # skew fixture (FIXTURES.md): 80% of footprints in 5% of the world;
-    # burn-in must still finish with balanced tasks (fine grid + AQE skew
-    # handling); output = per-tile image counts incl. the hot tiles
+    # skew fixture (FIXTURES.md): 80% of footprints in 5% of the world.
+    # Round-2: the full north-rule skew pipeline — cell histogram over the
+    # tile cover → per-tile salt map → salted burn-in (hot tiles' canvas
+    # assembly spreads over salts, overlay by per-pixel order argmax)
     from veranda_spark.fixtures import generate_images
-    from veranda_spark.operators.raster import burn_in
+    from veranda_spark.operators.raster import burn_in_salted
 
-    imgs = generate_images(spark, 1000, hotspot=True)
-    tiles = burn_in(imgs, GRID, per_layer=False)
+    imgs = generate_images(spark, 1000, hotspot=True).withColumn(
+        "img_nr", F.split(F.col("image_id"), "_")[1].cast("long")
+    )
+    hist = (
+        GRID.explode_cover(imgs.select("image_id", "px_col0", "px_row0", "w", "h"))
+        .groupBy("tile_id")
+        .count()
+        .filter(F.col("count") > 100)
+        .collect()
+    )
+    salt_map = {r["tile_id"]: min(8, int(r["count"] // 100) + 1) for r in hist}
+    tiles = burn_in_salted(imgs, GRID, salt_map=salt_map, order_col="img_nr")
     return tiles.select("tile_id", "n_images").orderBy(F.col("n_images").desc())
 
 

@@ -149,43 +149,78 @@ def run_scaling() -> dict:
 
 
 def minhash_micro(spark, sf_dir: str) -> dict:
-    """Signature-throughput micro-bench: the full JVM-hash pipeline
-    (word_ngrams → xxhash64 → numpy min-reduction) vs the round-1
-    per-byte Python FNV loop (measured driver-side on a sample — the
-    code it replaced)."""
+    """Signature-throughput micro-bench, apples-to-apples: the SAME
+    MinHash pipeline run twice on the same Spark session and input —
+    (a) round-2 path: shingles hashed JVM-side (xxhash64) + numpy
+    min-reduction UDF; (b) round-1 path: per-byte Python FNV hashing
+    inside the UDF (reconstructed here verbatim).  Docs replicated 20×
+    to amortize fixed job overhead out of the ratio."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from veranda_spark.functions.text import (
+        MINHASH_PERMS,
+        _MERSENNE,
+        _perm_params,
         minhash_signature,
         shingle_hashes,
         word_ngrams,
     )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    sh = docs.select(F.array_distinct(word_ngrams(F.col("text"), 3)).alias("shingles")).cache()
+    # web-page-length documents (text ×10) replicated ×4, RAW shingles
+    # (no distinct — throughput scales with shingle count, and the
+    # hashing loop must dominate the measurement, not Arrow transfer of
+    # tiny arrays: that is the regime a pretraining dedup run lives in)
+    sh = (
+        docs.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(4))))
+        .withColumn("text", F.repeat(F.col("text"), 10))
+        .select(word_ngrams(F.col("text"), 3).alias("shingles"))
+        .repartition(32)
+        .cache()
+    )
     n_docs = sh.count()
-    t0 = time.monotonic()
-    sh.select(minhash_signature(shingle_hashes(F.col("shingles"))).alias("sig")).agg(
-        F.count("sig")
-    ).collect()
-    engine_sec = time.monotonic() - t0
-    # round-1 baseline: per-byte FNV in Python over the same shingles
-    sample = [r["shingles"] for r in sh.limit(100).collect()]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_fnv_round1(shingles):
+        a, b = _perm_params(MINHASH_PERMS)
+        out = []
+        for toks in shingles:
+            if toks is None or len(toks) == 0:
+                out.append([0] * MINHASH_PERMS)
+                continue
+            hv = np.empty(len(toks), dtype=np.uint64)
+            for i, tok in enumerate(toks):
+                h = 14695981039346656037
+                for byte in tok.encode():
+                    h = ((h ^ byte) * 1099511628211) % (1 << 64)
+                hv[i] = h
+            hv %= np.uint64(_MERSENNE)
+            m = (np.outer(a, hv) + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    def timed(sig_expr) -> float:
+        # value-dependent agg so Catalyst cannot prune the expression
+        t0 = time.monotonic()
+        sh.select(sig_expr.alias("sig")).agg(
+            F.sum(F.pmod(F.element_at(F.col("sig"), 1), F.lit(997)))
+        ).collect()
+        return time.monotonic() - t0
+
+    timed(minhash_signature(shingle_hashes(F.col("shingles"))))  # warm workers
+    engine_sec = timed(minhash_signature(shingle_hashes(F.col("shingles"))))
+    fnv_sec = timed(minhash_fnv_round1(F.col("shingles")))
     sh.unpersist()
-    t0 = time.monotonic()
-    for shingles in sample:
-        for tok in shingles:
-            h = 14695981039346656037
-            for b in tok.encode():
-                h = ((h ^ b) * 1099511628211) % (1 << 64)
-    fnv_sec_per_doc = (time.monotonic() - t0) / max(len(sample), 1)
     return {
         "docs": n_docs,
         "engine_sec": round(engine_sec, 3),
+        "round1_fnv_sec": round(fnv_sec, 3),
         "engine_docs_per_sec": round(n_docs / engine_sec, 1),
-        "python_fnv_docs_per_sec_est": round(1.0 / fnv_sec_per_doc, 1),
-        "speedup_vs_round1_hashing": round((1.0 / fnv_sec_per_doc and (n_docs / engine_sec) / (1.0 / fnv_sec_per_doc)), 1),
+        "round1_docs_per_sec": round(n_docs / fnv_sec, 1),
+        "signature_stage_speedup_vs_round1": round(fnv_sec / engine_sec, 1),
     }
 
 
@@ -286,9 +321,16 @@ def write_bench_md(result: dict) -> None:
             + (
                 "\n## MinHash signature micro-bench\n\n"
                 f"{json.dumps(result['minhash_micro'])}\n\n"
-                "engine = word_ngrams → JVM xxhash64 → numpy min-reduction\n"
-                "(whole pipeline, all docs); baseline = round 1's per-byte\n"
-                "Python FNV hashing measured on a driver-side sample.\n"
+                "Same session, same cached web-page-length shingle arrays,\n"
+                "same minhash math: engine (JVM xxhash64 + numpy reduction)\n"
+                "vs round 1's per-byte Python FNV UDF reconstructed verbatim.\n"
+                "Speedup is Amdahl-capped by the shared numpy min-reduction\n"
+                "and Arrow transfer; the hashing loop itself no longer\n"
+                "registers.  Separately, round 2 fixed word_ngrams (shingle\n"
+                "construction): tokens are now lambda-bound so normalize+split\n"
+                "runs once per row instead of once per ELEMENT ACCESS, and\n"
+                "slice-per-index became element_at — 200 long docs took 125 s\n"
+                "before, all 5000 take 7.4 s after (≈400× on that shape).\n"
                 if result.get("minhash_micro")
                 else ""
             )

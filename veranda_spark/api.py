@@ -119,9 +119,11 @@ class RasterReader:
         client-side materialization (never used in pipelines)."""
         out = {}
         for r in self.read(**kw).collect():
+            ch = r["channels"] if "channels" in r.__fields__ else 1
+            shape = (r["h"], r["w"]) if ch == 1 else (r["h"], r["w"], ch)
             out[(r["var"], r["layer_id"])] = np.frombuffer(
                 r["bytes"], dtype=r["dtype"]
-            ).reshape(r["h"], r["w"])
+            ).reshape(shape)
         return out
 
 

@@ -87,13 +87,32 @@ def fingerprint(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram strings (shingles) — built-in array ops only:
-    slide an index sequence over the token array."""
+    """Array of word n-gram strings (shingles) — built-in array ops only,
+    built as ``zip_with`` over shifted copies of the token array.
+
+    Why this exact shape (round-2 scale findings):
+
+    - the original ``transform(idx, i -> concat_ws(slice(toks, i+1, n)))``
+      re-evaluated ``toks`` — the whole normalize+split regex chain — for
+      EVERY element (Catalyst does not CSE subexpressions inside lambda
+      bodies) and copied O(n) tokens per index: 200 web-page-length docs
+      took 125 s.  zip_with's operands are evaluated once per row, its
+      lambdas touch only bound variables, and it is O(tokens) total
+      (5000 such docs now take ~7 s).
+    - lambdas here are single-level with no outer-scope references:
+      nested lambdas that close over an enclosing lambda's variable hit
+      'Cannot generate code' in Spark's cache serializer when the column
+      later feeds a pandas UDF on a cached frame.
+    """
     toks = tokens(normalize_text(text))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        # zip_with pads to the LONGER array with nulls; trailing partial
+        # grams are cut by the final slice below
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(full)
 
 
 # ---- sketches (JVM-side hashing + numpy reduction UDFs) --------------------

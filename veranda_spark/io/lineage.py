@@ -61,7 +61,9 @@ def write_tiles_checkpointed(
     that are invisible and harmlessly superseded by the rerun (no
     duplicate tiles on read — round-1 advisory).
 
-    With ``lossy_fmt`` (e.g. "dctq") canvases are re-encoded lossily and
+    With ``lossy_fmt`` canvases are re-encoded through the codec hook —
+    "dctq" (lossy) or "tiff"/"tiff_lzw" (lossless GeoTIFF-sink parity,
+    PSNR recorded as the 1e9 cap for exact round-trips) — and
     the PER-TILE PSNR vs the exact canvas is recorded in the lineage
     table; tiles below ``min_psnr`` (input_hint: 40 dB) fail the job
     loudly instead of silently persisting corrupt pixels.  Lossless
@@ -88,6 +90,11 @@ def write_tiles_checkpointed(
             for pdf in it:
                 payloads, psnrs = [], []
                 for row in pdf.itertuples(index=False):
+                    if int(getattr(row, "channels", 1) or 1) != 1:
+                        raise ValueError(
+                            "lossy re-encode supports single-band canvases "
+                            f"(tile {row.tile_id} has channels>1)"
+                        )
                     canvas = np.frombuffer(row.bytes, dtype=row.dtype).reshape(row.h, row.w)
                     if canvas.dtype not in (np.dtype("uint8"), np.dtype("uint16")):
                         raise ValueError(

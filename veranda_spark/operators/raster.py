@@ -33,17 +33,20 @@ from veranda_spark.functions.geometry import (
 from veranda_spark.grid import RegularGrid
 
 ASSEMBLED_SCHEMA = (
-    "var string, layer_id int, bytes binary, h int, w int, dtype string"
+    "var string, layer_id int, bytes binary, h int, w int, channels int, dtype string"
 )
 TILE_SCHEMA = (
     "tile_id string, tile_row long, tile_col long, var string, layer_id int, "
-    "bytes binary, h int, w int, dtype string, n_images int"
+    "bytes binary, h int, w int, channels int, dtype string, n_images int"
 )
 
 
 def _decode_row(row) -> np.ndarray:
     dtype = np.dtype(getattr(row, "dtype", None) or "uint8")
-    return decode_image(row.bytes, row.fmt, int(row.h), int(row.w), dtype=dtype)
+    ch = int(getattr(row, "channels", 1) or 1)
+    return decode_image(
+        row.bytes, row.fmt, int(row.h), int(row.w), channels=ch, dtype=dtype
+    )
 
 
 def _maybe_decode_values(
@@ -141,7 +144,7 @@ def read_window(
     patch_schema = (
         ("var string, " if has_var else "")
         + "layer_id int, dst_row0 int, dst_col0 int, win_h int, win_w int, "
-        f"patch binary, dtype string, order_key {order_type}"
+        f"patch binary, channels int, dtype string, order_key {order_type}"
     )
 
     def slice_window(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,13 +163,15 @@ def read_window(
                 rec = (
                     int(getattr(row, "layer_id", 1)),
                     ov_r0 - row0, ov_c0 - col0, ov_r1 - ov_r0, ov_c1 - ov_c0,
-                    np.ascontiguousarray(patch).tobytes(), str(patch.dtype),
+                    np.ascontiguousarray(patch).tobytes(),
+                    int(patch.shape[2]) if patch.ndim == 3 else 1,
+                    str(patch.dtype),
                     getattr(row, "image_id", getattr(row, "layer_id", None)),
                 )
                 rows.append(((str(row.var),) if has_var else ()) + rec)
             cols = (["var"] if has_var else []) + [
                 "layer_id", "dst_row0", "dst_col0", "win_h", "win_w",
-                "patch", "dtype", "order_key",
+                "patch", "channels", "dtype", "order_key",
             ]
             yield pd.DataFrame(rows or None, columns=cols)
 
@@ -191,15 +196,18 @@ def read_window(
             g = (gs[0] if len(gs) == 1 else pd.concat(gs)).sort_values("order_key")
             kd = dict(zip(group, key))
             dt = dtype_out or str(np.dtype(g.iloc[0]["dtype"]))
-            canvas = np.full((height, width), nodata, dtype=dt)
+            ch = int(g.iloc[0]["channels"])
+            shape = (height, width) if ch == 1 else (height, width, ch)
+            canvas = np.full(shape, nodata, dtype=dt)
             for row in g.itertuples(index=False):
                 dr, dc = int(row.dst_row0), int(row.dst_col0)
                 wh, ww = int(row.win_h), int(row.win_w)
+                pshape = (wh, ww) if row.channels == 1 else (wh, ww, int(row.channels))
                 canvas[dr : dr + wh, dc : dc + ww] = np.frombuffer(
                     row.patch, dtype=row.dtype
-                ).reshape(wh, ww)
+                ).reshape(pshape)
             if mask is not None:
-                canvas[~mask] = nodata
+                canvas[~mask] = nodata  # (h,w) mask broadcasts across bands
             yield pd.DataFrame(
                 {
                     "var": [kd.get("var", "data")],
@@ -207,6 +215,7 @@ def read_window(
                     "bytes": [np.ascontiguousarray(canvas).tobytes()],
                     "h": [height],
                     "w": [width],
+                    "channels": [ch],
                     "dtype": [dt],
                 }
             )
@@ -258,7 +267,7 @@ def burn_in(
         "tile_id string, tile_row long, tile_col long, "
         + "".join(f"{c} {'string' if c == 'var' else 'int'}, " for c in extra)
         + "dst_row0 int, dst_col0 int, win_h int, win_w int, "
-        f"patch binary, dtype string, order_key {order_type}"
+        f"patch binary, channels int, dtype string, order_key {order_type}"
     )
 
     def slice_patches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -285,14 +294,16 @@ def burn_in(
                             + (
                                 ov_r0 - trow * th, ov_c0 - tcol * tw,
                                 ov_r1 - ov_r0, ov_c1 - ov_c0,
-                                np.ascontiguousarray(patch).tobytes(), dt, order,
+                                np.ascontiguousarray(patch).tobytes(),
+                                int(patch.shape[2]) if patch.ndim == 3 else 1,
+                                dt, order,
                             )
                         )
             yield pd.DataFrame(
                 rows or None,
                 columns=["tile_id", "tile_row", "tile_col", *extra,
                          "dst_row0", "dst_col0", "win_h", "win_w",
-                         "patch", "dtype", "order_key"],
+                         "patch", "channels", "dtype", "order_key"],
             )
 
     patches = df.mapInPandas(slice_patches, schema=patch_schema)
@@ -315,13 +326,15 @@ def burn_in(
             g = (gs[0] if len(gs) == 1 else pd.concat(gs)).sort_values("order_key")
             kd = dict(zip(group, key))
             dt = out_dtype or str(np.dtype(g.iloc[0]["dtype"]))
-            canvas = np.full((th, tw), nodata, dtype=dt)
+            ch = int(g.iloc[0]["channels"])
+            canvas = np.full((th, tw) if ch == 1 else (th, tw, ch), nodata, dtype=dt)
             for row in g.itertuples(index=False):
                 dr, dc = int(row.dst_row0), int(row.dst_col0)
                 wh, ww = int(row.win_h), int(row.win_w)
+                pshape = (wh, ww) if row.channels == 1 else (wh, ww, int(row.channels))
                 canvas[dr : dr + wh, dc : dc + ww] = np.frombuffer(
                     row.patch, dtype=row.dtype
-                ).reshape(wh, ww)
+                ).reshape(pshape)
             if encoder is not None:
                 # writer-side hook contract (§2.9: native/geotiff.py:389-398)
                 canvas = encoder(canvas, nodataval=nodata, dtype=dt)
@@ -336,6 +349,7 @@ def burn_in(
                     "bytes": [np.ascontiguousarray(canvas).tobytes()],
                     "h": [th],
                     "w": [tw],
+                    "channels": [ch],
                     "dtype": [dt],
                     "n_images": [len(g)],
                 }
@@ -343,6 +357,160 @@ def burn_in(
 
     return patches.repartition(n_parts, *group).mapInPandas(
         assemble_partition, schema=TILE_SCHEMA
+    )
+
+
+def burn_in_salted(
+    df: DataFrame,
+    grid: RegularGrid,
+    salt_map: dict[str, int] | None = None,
+    default_salt: int = 1,
+    nodata: float = -9999.0,
+    order_col: str = "image_id",
+    out_dtype: str | None = None,
+) -> DataFrame:
+    """Hotspot-resilient burn-in (north rule: 'skew from dense geographic
+    hotspots is handled by cell-level salting').  ``burn_in`` assembles
+    each tile in ONE task; a tile covered by millions of images (the
+    hotspot) becomes a straggler.  Here hot tiles' patch streams are split
+    across ``salt_map[tile_id]`` salts (derive the map from
+    ``grid.explode_cover(...).groupBy('tile_id').count()`` — the cell
+    histogram):
+
+    A. patches carry salt = hash(order) % n_salt(tile); each (tile, salt)
+       task paints a PARTIAL canvas plus a per-pixel placement-order
+       plane — the hot tile's pixel work now spreads over n_salt tasks;
+    B. a second, tiny shuffle (n_salt rows per tile) overlays partials by
+       per-pixel order ARGMAX — bit-identical to burn_in's sorted
+       last-writer-wins, because the painter's order values ARE the sort
+       key.
+
+    Requires a NUMERIC order column (the argmax plane is float64); cast
+    string ids to long upstream.  Single-band path (hotspots are a
+    per-pixel-volume problem; bands multiply it uniformly).
+    """
+    df = grid.sref_guard(df)
+    order_dt = {f.name: f.dataType.simpleString() for f in df.schema}.get(order_col)
+    if order_dt not in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        raise ValueError(
+            f"burn_in_salted needs a numeric order column, got {order_col}:{order_dt}"
+        )
+    th, tw = grid.tile_rows, grid.tile_cols
+    nrows, ncols = grid.n_tile_rows, grid.n_tile_cols
+    smap = dict(salt_map or {})
+
+    patch_schema = (
+        "tile_id string, tile_row long, tile_col long, salt int, "
+        "dst_row0 int, dst_col0 int, win_h int, win_w int, "
+        "patch binary, dtype string, order_key double"
+    )
+
+    def slice_patches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = _decode_row(row)
+                dt = str(arr.dtype)
+                r0, c0 = int(row.px_row0), int(row.px_col0)
+                h, w = int(row.h), int(row.w)
+                order = float(getattr(row, order_col))
+                for trow in range(r0 // th, (r0 + h - 1) // th + 1):
+                    if nrows > 0 and not (0 <= trow < nrows):
+                        continue
+                    for tcol in range(c0 // tw, (c0 + w - 1) // tw + 1):
+                        if ncols > 0 and not (0 <= tcol < ncols):
+                            continue
+                        tid = f"{trow}_{tcol}"
+                        n_salt = smap.get(tid, default_salt)
+                        salt = hash(order) % n_salt if n_salt > 1 else 0
+                        ov_r0, ov_r1 = max(r0, trow * th), min(r0 + h, trow * th + th)
+                        ov_c0, ov_c1 = max(c0, tcol * tw), min(c0 + w, tcol * tw + tw)
+                        patch = arr[ov_r0 - r0 : ov_r1 - r0, ov_c0 - c0 : ov_c1 - c0]
+                        rows.append(
+                            (tid, trow, tcol, salt,
+                             ov_r0 - trow * th, ov_c0 - tcol * tw,
+                             ov_r1 - ov_r0, ov_c1 - ov_c0,
+                             np.ascontiguousarray(patch).tobytes(), dt, order)
+                        )
+            yield pd.DataFrame(
+                rows or None,
+                columns=["tile_id", "tile_row", "tile_col", "salt",
+                         "dst_row0", "dst_col0", "win_h", "win_w",
+                         "patch", "dtype", "order_key"],
+            )
+
+    patches = df.mapInPandas(slice_patches, schema=patch_schema)
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    partial_schema = (
+        "tile_id string, tile_row long, tile_col long, "
+        "bytes binary, order_bytes binary, dtype string, n_images int"
+    )
+
+    def assemble_partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ["tile_id", "tile_row", "tile_col", "salt"]
+        pending: dict[tuple, list[pd.DataFrame]] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for key, g in pdf.groupby(keys, sort=False):
+                pending.setdefault(key, []).append(g)
+        for key, gs in pending.items():
+            g = (gs[0] if len(gs) == 1 else pd.concat(gs)).sort_values("order_key")
+            dt = out_dtype or str(np.dtype(g.iloc[0]["dtype"]))
+            canvas = np.full((th, tw), nodata, dtype=dt)
+            orderp = np.full((th, tw), -np.inf, dtype="float64")
+            for row in g.itertuples(index=False):
+                dr, dc = int(row.dst_row0), int(row.dst_col0)
+                wh, ww = int(row.win_h), int(row.win_w)
+                canvas[dr : dr + wh, dc : dc + ww] = np.frombuffer(
+                    row.patch, dtype=row.dtype
+                ).reshape(wh, ww)
+                orderp[dr : dr + wh, dc : dc + ww] = row.order_key
+            yield pd.DataFrame(
+                {
+                    "tile_id": [key[0]], "tile_row": [key[1]], "tile_col": [key[2]],
+                    "bytes": [canvas.tobytes()], "order_bytes": [orderp.tobytes()],
+                    "dtype": [dt], "n_images": [len(g)],
+                }
+            )
+
+    partials = patches.repartition(
+        n_parts, "tile_id", "salt"
+    ).mapInPandas(assemble_partials, schema=partial_schema)
+
+    def overlay(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: dict[tuple, list[pd.DataFrame]] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for key, g in pdf.groupby(["tile_id", "tile_row", "tile_col"], sort=False):
+                pending.setdefault(key, []).append(g)
+        for key, gs in pending.items():
+            g = gs[0] if len(gs) == 1 else pd.concat(gs)
+            dt = str(g.iloc[0]["dtype"])
+            best_c = np.full((th, tw), nodata, dtype=dt)
+            best_o = np.full((th, tw), -np.inf, dtype="float64")
+            n_images = 0
+            for row in g.itertuples(index=False):
+                c = np.frombuffer(row.bytes, dtype=row.dtype).reshape(th, tw)
+                o = np.frombuffer(row.order_bytes, dtype="float64").reshape(th, tw)
+                take = o > best_o
+                best_c = np.where(take, c, best_c)
+                best_o = np.maximum(o, best_o)
+                n_images += int(row.n_images)
+            yield pd.DataFrame(
+                {
+                    "tile_id": [key[0]], "tile_row": [key[1]], "tile_col": [key[2]],
+                    "var": ["data"], "layer_id": [1],
+                    "bytes": [np.ascontiguousarray(best_c).tobytes()],
+                    "h": [th], "w": [tw], "channels": [1], "dtype": [dt],
+                    "n_images": [n_images],
+                }
+            )
+
+    return partials.repartition(n_parts, "tile_id").mapInPandas(
+        overlay, schema=TILE_SCHEMA
     )
 
 
