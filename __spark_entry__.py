@@ -421,6 +421,18 @@ def q_doc_tokens(spark, sf_dir):
     )
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    # BPE-ish pre-tokenizer counts (round-2: token-count estimation for
+    # pretraining budgets; pattern agreed byte-for-byte between Java
+    # regex and DuckDB RE2 on the ASCII subset)
+    from veranda_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_bpe")
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from veranda_spark.functions.text import fingerprint
 
@@ -731,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         # documents / text
         "doc_tokens": q_doc_tokens,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_stopwords": q_doc_stopwords,
         "doc_quality": q_doc_quality,
@@ -1022,6 +1035,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
                    length(text) AS n_chars2
+            FROM documents
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+)',
+                       0)) AS n_bpe
             FROM documents
         """,
         "doc_fingerprint": r"""

@@ -34,3 +34,40 @@ def test_windowed_ingest_counts(spark, tmp_path):
     assert sum(r["n_rows"] for r in out) == 40
     for r in out:
         assert r["n_rows"] == 5  # 10 events per 30s window, split across 2 tiles
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    # custom stateful operator (applyInPandasWithState): gap splits inside
+    # a batch close sessions inline; open sessions stay in state
+    import datetime as dt
+
+    from veranda_spark.streaming.append import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for user in (1, 2):
+        # session A: 3 events 30s apart; then a 2000s gap; session B: 2 events
+        for k in range(3):
+            rows.append((user, base + dt.timedelta(seconds=30 * k)))
+        for k in range(2):
+            rows.append((user, base + dt.timedelta(seconds=2000 + 30 * k)))
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=600.0)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions").collect()
+    # the 2000s gap closes session A for both users within the batch
+    by_user = {r["user_id"]: r for r in got}
+    assert set(by_user) == {1, 2}
+    for r in got:
+        assert r["n_events"] == 3
+        assert r["session_end"] - r["session_start"] == 60.0

@@ -34,6 +34,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: GPT-2-style pre-tokenizer pattern (simplified to the ASCII subset both
+#: Java regex and DuckDB's RE2 agree on): contractions, letter runs,
+#: digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"('s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+)"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (the merge step of real BPE needs a vocab;
+    the pre-tokenizer split is what token-count estimation uses)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

@@ -228,20 +228,22 @@ def knn_join(
 
     remaining = qs
     results: DataFrame | None = None
-    # adaptive initial radius: one stats pass estimates density so round 1's
-    # ring likely already holds >= k points (sparse data would otherwise
-    # burn rounds at tiny radii); correctness never depends on the estimate
-    # — the guard radius + brute-force fallback handle any shortfall
+    # adaptive initial radius from the CELL HISTOGRAM (round-2: the bbox
+    # average under-estimates density on hotspot-skewed data — a huge
+    # near-empty bbox drives a needlessly large first ring).  The median
+    # occupied-cell count is robust to both skew and empty space; the
+    # guard radius + brute-force fallback keep correctness independent of
+    # the estimate.
     import math
 
-    stats = pts.agg(
-        F.count("*").alias("n"),
-        ((F.max("_px") - F.min("_px") + 1) / size).alias("sx"),
-        ((F.max("_py") - F.min("_py") + 1) / size).alias("sy"),
+    stats = pts.groupBy("_pcell").count().agg(
+        F.count("*").alias("n_cells"),
+        F.percentile_approx("count", 0.5).alias("p50"),
     ).collect()[0]
-    if stats["n"]:
-        density = stats["n"] / max(stats["sx"] * stats["sy"], 1.0)
-        r = max(1, int(math.ceil((math.sqrt(3.0 * k / max(density, 1e-9)) - 1) / 2)))
+    if stats["n_cells"]:
+        per_cell = max(float(stats["p50"]), 1e-9)
+        # ring of radius r covers (2r+1)^2 cells; aim for ~3k candidates
+        r = max(1, int(math.ceil((math.sqrt(3.0 * k / per_cell) - 1) / 2)))
         r = min(r, 64)
     else:
         r = 1

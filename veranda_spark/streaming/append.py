@@ -57,3 +57,74 @@ def windowed_ingest_counts(
         .groupBy(F.window(F.col(ts_col), window), F.col("tile_id"))
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+SESSION_STATE_SCHEMA = "n_events long, last_ts double, session_start double"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start double, session_end double, n_events long"
+)
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_seconds: float = 600.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Custom stateful streaming operator (applyInPandasWithState): gap-
+    based sessionization with per-user state.  A session CLOSES — and one
+    output row is emitted — when the watermark passes last_ts + gap (via
+    state timeout) or the state sees an event beyond the gap.
+
+    This is the §2.8 stateful surface the reference has no analog for
+    (batch-only library); included because the north rule's streaming
+    ingest needs late-data-aware state, and Spark's built-in session
+    window covers only aggregations, not arbitrary per-key state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            n, last, start = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user], "session_start": [start],
+                 "session_end": [last], "n_events": [n]}
+            )
+            return
+        events = pd.concat(list(pdfs))
+        ts = events[ts_col].astype("int64").to_numpy() / 1e9  # epoch seconds
+        ts.sort()
+        out = []
+        if state.exists:
+            n, last, start = state.get
+        else:
+            n, last, start = 0, None, None
+        for t in ts:
+            if last is not None and t - last > gap_seconds:
+                out.append((user, start, last, n))
+                n, start = 0, t
+            if start is None:
+                start = t
+            n += 1
+            last = t
+        state.update((int(n), float(last), float(start)))
+        state.setTimeoutTimestamp(int(last * 1000) + int(gap_seconds * 1000))
+        yield pd.DataFrame(
+            out or None,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return (
+        stream.withWatermark(ts_col, "10 seconds")
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
