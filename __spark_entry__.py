@@ -591,6 +591,19 @@ def q_simhash_sigs(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    # IVF approximate top-k (rows-only: approximate by design; recall>=0.8
+    # vs brute force is pytest-asserted; deterministic via seeded k-means
+    # on an ordered sample)
+    from veranda_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=5, nlist=16, nprobe=8)
+
+
 def q_embedding_neardup(spark, sf_dir):
     # plant exact-duplicate vectors so the LSH path has positives to find
     from veranda_spark.operators.dedup import embedding_neardup_pairs
@@ -756,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "quicklook": q_quicklook,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "label_centroid_sim": q_label_centroid_sim,
         # rows-only pixel/sketch ops (no SQL analog)
         "burn_in_tiles": q_burn_in_tiles,

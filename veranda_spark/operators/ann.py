@@ -82,8 +82,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("emb")
     )
+    # orderBy before limit: a bare limit picks whatever partitions answer
+    # first, making centroids (and the whole index) run-dependent.  The
+    # ordered take keeps training deterministic; sampling bias toward low
+    # ids is documented and harmless for unit-norm synthetic embeddings —
+    # swap in a salted sample for adversarial id-correlated corpora.
     sample = np.stack(
-        [r["emb"] for r in c.limit(sample_rows).collect()]
+        [r["emb"] for r in c.orderBy("vec_id").limit(sample_rows).collect()]
     )
     centroids = _kmeans(sample, nlist, seed=seed)
 
