@@ -478,6 +478,20 @@ def q_dedup_exact(spark, sf_dir):
     return groups.select("fp", "n_docs", F.element_at("doc_ids", 1).alias("first_doc"))
 
 
+def q_phash_neardup(spark, sf_dir):
+    # perceptual-hash image near-dup (input_hint's phash:int64 column),
+    # pigeonhole block join + exact bit_count re-check — oracle-checkable
+    # because the pseudo-phash is the raw doc_id (dense ids => real
+    # hamming-<=2 pairs, unlike random 64-bit hashes)
+    from veranda_spark.operators.dedup import phash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("phash")
+    )
+    out = phash_neardup_pairs(d, max_hamming=2, id_col="doc_id")
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # ---- embeddings / ANN ---------------------------------------------------------
 
 
@@ -761,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stopwords": q_doc_stopwords,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
+        "phash_neardup": q_phash_neardup,
         # embeddings
         "select_bbox": q_select_bbox,
         "cell_ring": q_cell_ring,
@@ -1079,6 +1094,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 30
                         THEN 1 ELSE 0 END AS len_ok
             FROM documents
+        """,
+        "phash_neardup": r"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   cast(bit_count(xor(a.doc_id, b.doc_id)) AS integer) AS hamming
+            FROM documents a
+            JOIN documents b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 2
         """,
         "dedup_exact": r"""
             WITH docs AS (

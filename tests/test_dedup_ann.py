@@ -11,6 +11,7 @@ from veranda_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    phash_neardup_pairs,
     simhash_pairs,
 )
 
@@ -136,3 +137,41 @@ def test_ivf_topk_recall(spark, embeddings):
     ex = {(r["query_id"], r["vec_id"]) for r in exact}
     ap = {(r["query_id"], r["vec_id"]) for r in approx}
     assert len(ex & ap) / len(ex) >= 0.8
+
+
+def test_phash_neardup_vs_brute(spark):
+    # crafted 64-bit phashes: random bases plus 1/2/3/5-bit flips, so the
+    # pigeonhole block join has real positives AND >max_hamming negatives
+    rng = np.random.default_rng(11)
+    rows = []
+    bases = [int(x) for x in rng.integers(-(2**63), 2**63, size=20, dtype=np.int64)]
+    i = 0
+    for b in bases:
+        rows.append((f"img_{i:04d}", b)); i += 1
+        for nflips in (1, 2, 3, 5):
+            bits = rng.choice(64, size=nflips, replace=False)
+            v = b & (2**64 - 1)
+            for bit in bits:
+                v ^= 1 << int(bit)
+            v = v - 2**64 if v >= 2**63 else v
+            rows.append((f"img_{i:04d}", int(v))); i += 1
+    df = spark.createDataFrame(rows, schema="image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    want = set()
+    for (ia, pa), (ib, pb) in (
+        ((a, b) for idx, a in enumerate(rows) for b in rows[idx + 1 :])
+    ):
+        h = bin((pa ^ pb) & (2**64 - 1)).count("1")
+        if h <= 3:
+            key = (ia, ib) if ia < ib else (ib, ia)
+            want.add((*key, h))
+    assert got == want and len(want) >= 20
+
+
+def test_phash_neardup_radius_guard(spark):
+    df = spark.createDataFrame([("a", 1)], schema="image_id string, phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_neardup_pairs(df, max_hamming=4, n_blocks=4)

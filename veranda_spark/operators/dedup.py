@@ -155,22 +155,21 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """SimHash near-dup pairs within a Hamming radius.
+def _hamming_block_pairs(sh: DataFrame, max_hamming: int, n_blocks: int) -> DataFrame:
+    """Shared pigeonhole candidate + exact re-check over a (id, sim) frame.
 
-    Candidates via the 4-block trick: any pair with hamming ≤ 3 shares at
-    least one identical 16-bit block (pigeonhole) → equi-join per block,
-    exact bit_count re-check."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        simhash64(shingle_hashes(F.array_distinct(word_ngrams(F.col(text_col), n)))).alias("sim"),
-    ).cache()
+    Any pair with hamming ≤ n_blocks-1 shares at least one identical
+    64/n_blocks-bit block → equi-join per block, exact bit_count re-check.
+    All JVM Column ops — no Python in the pair path."""
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming <= n_blocks-1 "
+            f"(got {max_hamming} > {n_blocks - 1}); raise n_blocks"
+        )
+    if 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
     blocks = sh.select(
         "id",
         "sim",
@@ -179,11 +178,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("block"),
-                        F.shiftright(F.col("sim"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sim"), i * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("bk"),
@@ -205,6 +204,46 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Candidates via the 4-block pigeonhole trick (see
+    _hamming_block_pairs); simhash itself is computed JVM-side from
+    xxhash64 shingle hashes."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(shingle_hashes(F.array_distinct(word_ngrams(F.col(text_col), n)))).alias("sim"),
+    ).cache()
+    return _hamming_block_pairs(sh, max_hamming, n_blocks=4)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Perceptual-hash image near-dup: pairs of images whose 64-bit phash
+    (BASELINE.json input_hint column) differ in ≤ max_hamming bits.
+
+    Same pigeonhole-block plan as simhash_pairs but over an EXISTING int64
+    column, so the whole pipeline is JVM Column ops: explode n_blocks keys
+    per row → equi-join on (block, key) → bit_count re-check.  At 10^12
+    images the block key is a shuffle-bounded equi-join (no all-pairs); a
+    hot key (e.g. phash=0 for blank images) is the same skew class as any
+    hot join key — pre-filter degenerate phashes or salt the block join.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.col(phash_col).cast("long").alias("sim"))
+    return _hamming_block_pairs(sh, max_hamming, n_blocks=n_blocks)
 
 
 def embedding_neardup_pairs(
