@@ -387,8 +387,9 @@ def burn_in_salted(
        key.
 
     Requires a NUMERIC order column (the argmax plane is float64); cast
-    string ids to long upstream.  Single-band path (hotspots are a
-    per-pixel-volume problem; bands multiply it uniformly).
+    string ids to long upstream.  Multi-band capable: (h,w,c) payloads
+    flow through with a single shared (th,tw) order plane — a later image
+    replaces ALL bands of a pixel, matching burn_in's whole-row placement.
     """
     df = grid.sref_guard(df)
     order_dt = {f.name: f.dataType.simpleString() for f in df.schema}.get(order_col)
@@ -403,7 +404,7 @@ def burn_in_salted(
     patch_schema = (
         "tile_id string, tile_row long, tile_col long, salt int, "
         "dst_row0 int, dst_col0 int, win_h int, win_w int, "
-        "patch binary, dtype string, order_key double"
+        "patch binary, channels int, dtype string, order_key double"
     )
 
     def slice_patches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -431,13 +432,15 @@ def burn_in_salted(
                             (tid, trow, tcol, salt,
                              ov_r0 - trow * th, ov_c0 - tcol * tw,
                              ov_r1 - ov_r0, ov_c1 - ov_c0,
-                             np.ascontiguousarray(patch).tobytes(), dt, order)
+                             np.ascontiguousarray(patch).tobytes(),
+                             int(patch.shape[2]) if patch.ndim == 3 else 1,
+                             dt, order)
                         )
             yield pd.DataFrame(
                 rows or None,
                 columns=["tile_id", "tile_row", "tile_col", "salt",
                          "dst_row0", "dst_col0", "win_h", "win_w",
-                         "patch", "dtype", "order_key"],
+                         "patch", "channels", "dtype", "order_key"],
             )
 
     patches = df.mapInPandas(slice_patches, schema=patch_schema)
@@ -445,7 +448,7 @@ def burn_in_salted(
 
     partial_schema = (
         "tile_id string, tile_row long, tile_col long, "
-        "bytes binary, order_bytes binary, dtype string, n_images int"
+        "bytes binary, order_bytes binary, channels int, dtype string, n_images int"
     )
 
     def assemble_partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -459,20 +462,22 @@ def burn_in_salted(
         for key, gs in pending.items():
             g = (gs[0] if len(gs) == 1 else pd.concat(gs)).sort_values("order_key")
             dt = out_dtype or str(np.dtype(g.iloc[0]["dtype"]))
-            canvas = np.full((th, tw), nodata, dtype=dt)
+            ch = int(g.iloc[0]["channels"])
+            canvas = np.full((th, tw) if ch == 1 else (th, tw, ch), nodata, dtype=dt)
             orderp = np.full((th, tw), -np.inf, dtype="float64")
             for row in g.itertuples(index=False):
                 dr, dc = int(row.dst_row0), int(row.dst_col0)
                 wh, ww = int(row.win_h), int(row.win_w)
+                pshape = (wh, ww) if row.channels == 1 else (wh, ww, int(row.channels))
                 canvas[dr : dr + wh, dc : dc + ww] = np.frombuffer(
                     row.patch, dtype=row.dtype
-                ).reshape(wh, ww)
+                ).reshape(pshape)
                 orderp[dr : dr + wh, dc : dc + ww] = row.order_key
             yield pd.DataFrame(
                 {
                     "tile_id": [key[0]], "tile_row": [key[1]], "tile_col": [key[2]],
                     "bytes": [canvas.tobytes()], "order_bytes": [orderp.tobytes()],
-                    "dtype": [dt], "n_images": [len(g)],
+                    "channels": [ch], "dtype": [dt], "n_images": [len(g)],
                 }
             )
 
@@ -490,14 +495,16 @@ def burn_in_salted(
         for key, gs in pending.items():
             g = gs[0] if len(gs) == 1 else pd.concat(gs)
             dt = str(g.iloc[0]["dtype"])
-            best_c = np.full((th, tw), nodata, dtype=dt)
+            ch = int(g.iloc[0]["channels"])
+            cshape = (th, tw) if ch == 1 else (th, tw, ch)
+            best_c = np.full(cshape, nodata, dtype=dt)
             best_o = np.full((th, tw), -np.inf, dtype="float64")
             n_images = 0
             for row in g.itertuples(index=False):
-                c = np.frombuffer(row.bytes, dtype=row.dtype).reshape(th, tw)
+                c = np.frombuffer(row.bytes, dtype=row.dtype).reshape(cshape)
                 o = np.frombuffer(row.order_bytes, dtype="float64").reshape(th, tw)
                 take = o > best_o
-                best_c = np.where(take, c, best_c)
+                best_c = np.where(take if ch == 1 else take[..., None], c, best_c)
                 best_o = np.maximum(o, best_o)
                 n_images += int(row.n_images)
             yield pd.DataFrame(
@@ -505,7 +512,7 @@ def burn_in_salted(
                     "tile_id": [key[0]], "tile_row": [key[1]], "tile_col": [key[2]],
                     "var": ["data"], "layer_id": [1],
                     "bytes": [np.ascontiguousarray(best_c).tobytes()],
-                    "h": [th], "w": [tw], "channels": [1], "dtype": [dt],
+                    "h": [th], "w": [tw], "channels": [ch], "dtype": [dt],
                     "n_images": [n_images],
                 }
             )
