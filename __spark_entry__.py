@@ -618,6 +618,19 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, k=5, nlist=16, nprobe=8)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    # IVF + product quantization: ADC code scan JVM-side, exact cosine
+    # re-rank of refine*k candidates (rows-only: approximate by design;
+    # recall>=0.8 vs brute force is pytest-asserted)
+    from veranda_spark.operators.ann import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(e, q, k=5, nlist=16, nprobe=10, m=8, ncodes=32, refine=8)
+
+
 def q_embedding_neardup(spark, sf_dir):
     # plant exact-duplicate vectors so the LSH path has positives to find
     from veranda_spark.operators.dedup import embedding_neardup_pairs
@@ -785,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quicklook": q_quicklook,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivfpq": q_ann_ivfpq,
         "label_centroid_sim": q_label_centroid_sim,
         # rows-only pixel/sketch ops (no SQL analog)
         "burn_in_tiles": q_burn_in_tiles,

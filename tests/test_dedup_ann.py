@@ -175,3 +175,25 @@ def test_phash_neardup_radius_guard(spark):
     df = spark.createDataFrame([("a", 1)], schema="image_id string, phash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_neardup_pairs(df, max_hamming=4, n_blocks=4)
+
+
+def test_ivf_pq_topk_recall(spark, embeddings):
+    from veranda_spark.operators.ann import ivf_pq_topk
+
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, qs, k=5).collect()
+    approx = ivf_pq_topk(
+        embeddings, qs, k=5, nlist=8, nprobe=4, m=8, ncodes=16, refine=4,
+        sample_rows=200,
+    ).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(ex & ap) / len(ex) >= 0.8
+    # re-ranked cosines are exact for true positives
+    ex_cos = {(r["query_id"], r["vec_id"]): r["cos"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_cos:
+            assert abs(r["cos"] - ex_cos[key]) < 1e-9

@@ -7,6 +7,13 @@
 - ivf_topk: IVF-style scale path — corpus is clustered into nlist
   centroid cells (k-means on a sample, driver-side numpy); at query time
   only nprobe nearest cells are scanned.
+- ivf_pq_topk: IVF + product quantization — corpus vectors compress to m
+  sub-space code bytes; the candidate scan is an ADC (asymmetric distance
+  computation) over codes via per-query lookup tables, entirely JVM-side
+  (element_at + aggregate), then an exact cosine re-rank of the top
+  refine×k candidates.  At 100 TB the code table is ~32× smaller than the
+  raw embeddings, so the probe scan reads code bytes, not vectors, and
+  only the surviving candidates' embeddings are fetched (equi-join).
 """
 
 from __future__ import annotations
@@ -116,6 +123,126 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _train_pq(sample: np.ndarray, m: int, ncodes: int, seed: int = 42) -> np.ndarray:
+    """Per-subspace codebooks, shape (m, ncodes, dim//m) — k-means per
+    subspace on the training sample (raw vectors, not residuals; documented
+    simplification fine for unit-norm embeddings)."""
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack(
+        [
+            _kmeans(np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+                    ncodes, seed=seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ncodes: int = 32,
+    refine: int = 4,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id: str = "query_id",
+    query_emb: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k with exact re-rank.
+
+    Plan (each stage is the one you'd run at 10^12 vectors):
+      1. encode: corpus → (vec_id, cell, codes[m]) via one Arrow pass —
+         the code table is the only thing the probe scan ever reads;
+      2. probe: each query explodes to its nprobe cells and BROADCASTS a
+         flattened (m × ncodes) distance lookup table;
+      3. ADC scan: codes ⋈ queries on cell; approx distance =
+         Σ_j lut[j·ncodes + code_j] — pure JVM Column ops
+         (element_at + aggregate), no Python per candidate;
+      4. top refine·k per query by ADC, then fetch ONLY those candidates'
+         embeddings (equi-join on vec_id) for the exact cosine re-rank.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("emb")
+    )
+    sample = np.stack(
+        [r["emb"] for r in c.orderBy("vec_id").limit(sample_rows).collect()]
+    )
+    centroids = _kmeans(sample, nlist, seed=seed)
+    ncodes = min(ncodes, max(2, len(sample) // 4))
+    books = _train_pq(sample, m, ncodes, seed=seed)  # (m, ncodes, sub)
+    dim = sample.shape[1]
+    sub = dim // m
+
+    @F.pandas_udf("cell int, codes array<int>")
+    def encode(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy())
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        cell = d.argmin(1).astype("int32")
+        codes = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            s = mat[:, j * sub : (j + 1) * sub]
+            dj = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = dj.argmin(1)
+        return pd.DataFrame({"cell": cell, "codes": list(codes)})
+
+    def probe_lut(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy())
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        cells = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
+        luts = np.empty((len(mat), m * ncodes), dtype="float64")
+        for j in range(m):
+            s = mat[:, j * sub : (j + 1) * sub]
+            luts[:, j * ncodes : (j + 1) * ncodes] = (
+                (s[:, None, :] - books[j][None, :, :]) ** 2
+            ).sum(-1)
+        return pd.DataFrame({"cells": list(cells), "lut": list(luts)})
+
+    probe = F.pandas_udf(probe_lut, "cells array<int>, lut array<double>")
+
+    enc = c.select("vec_id", encode(F.col("emb")).alias("e")).select(
+        "vec_id", "e.cell", "e.codes"
+    )
+    q0 = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_emb).cast("array<double>").alias("qemb"),
+    )
+    qp = q0.select("query_id", "qemb", probe(F.col("qemb")).alias("p")).select(
+        "query_id", "qemb", F.explode("p.cells").alias("cell"), F.col("p.lut").alias("lut")
+    )
+    # ADC: JVM-side lookup-table sum over the m code entries
+    adc_terms = F.transform(
+        F.col("codes"),
+        lambda code, j: F.element_at(F.col("lut"), (j * ncodes + code + 1).cast("int")),
+    )
+    scored = (
+        enc.join(F.broadcast(qp), "cell")
+        .withColumn("adc", F.aggregate(adc_terms, F.lit(0.0), lambda a, x: a + x))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= refine * k)
+        .select("query_id", "vec_id", "qemb")
+    )
+    exact = cand.join(c, "vec_id").withColumn(
+        "cos", F.round(cosine(F.col("emb"), F.col("qemb")), 6)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
