@@ -451,6 +451,14 @@ def q_doc_stopwords(spark, sf_dir):
     )
 
 
+def q_doc_langid(spark, sf_dir):
+    # heuristic language ID (stopword-hit argmax, tie order en>de>fr>es)
+    from veranda_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
 def q_doc_quality(spark, sf_dir):
     # oracle-friendly quality features: token count band + non-alnum ratio
     d = _t(spark, sf_dir, "documents")
@@ -786,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_stopwords": q_doc_stopwords,
+        "doc_langid": q_doc_langid,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
@@ -1099,6 +1108,27 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
                WHERE t IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')) AS de_hits
             FROM documents
+        """,
+        "doc_langid": r"""
+            WITH hits AS (
+              SELECT doc_id,
+                (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+                 WHERE t IN ('the','a','of','and','to','in','is','that','it','for')) AS en_h,
+                (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+                 WHERE t IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')) AS de_h,
+                (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+                 WHERE t IN ('le','la','les','et','est','pas','pour','une','dans','que')) AS fr_h,
+                (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+                 WHERE t IN ('el','la','los','que','de','no','es','por','una','para')) AS es_h
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en_h, de_h, fr_h, es_h) <= 0 THEN 'und'
+                        WHEN en_h = greatest(en_h, de_h, fr_h, es_h) THEN 'en'
+                        WHEN de_h = greatest(en_h, de_h, fr_h, es_h) THEN 'de'
+                        WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM hits
         """,
         "doc_quality": r"""
             SELECT doc_id,
