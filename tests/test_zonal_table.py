@@ -44,3 +44,16 @@ def test_zonal_dict_accepts_rings(spark):
     # even-odd: donut pixel count = outer minus hole
     assert donut["z"][0] == full["z"][0] - inner["z"][0]
     assert donut["z"][0] > 0
+
+
+def test_table_accepts_rings(spark):
+    imgs = generate_images(spark, 150).cache()
+    outer = [(100.0, -100.0), (1100.0, -100.0), (1100.0, -1100.0), (100.0, -1100.0)]
+    hole = [(400.0, -400.0), (800.0, -400.0), (800.0, -800.0), (400.0, -800.0)]
+    want = _rows(zonal_stats(imgs, GRID, {"z": [outer, hole]}, auto_decode=False))
+    polys = spark.createDataFrame(
+        [("z", [[[float(x), float(y)] for x, y in ring] for ring in (outer, hole)])],
+        "polygon_id string, xy array<array<array<double>>>",
+    )
+    got = _rows(zonal_stats_table(imgs, GRID, polys, auto_decode=False))
+    assert got == want and got["z"][0] > 0

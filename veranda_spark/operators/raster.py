@@ -630,17 +630,28 @@ def zonal_stats_table(
        join in once, by image id, with no per-polygon duplication;
     3. mapInPandas decodes each image once and emits per-polygon PARTIAL
        aggregates; a tiny groupBy(polygon_id) combines.
+
+    ``xy_col`` is either one ring (array<array<double>> of [x,y] points)
+    or a ring LIST (holes / multipolygons, even-odd semantics) — detected
+    from the column's nesting depth.
     """
+    from pyspark.sql import types as _T
+
     size = 1 << res
     id_col = "image_id" if "image_id" in df.columns else df.columns[0]
+    elem = polygons.schema[xy_col].dataType.elementType
+    multi_ring = isinstance(elem, _T.ArrayType) and isinstance(
+        elem.elementType, _T.ArrayType
+    )
+    flat_xy = F.flatten(F.col(xy_col)) if multi_ring else F.col(xy_col)
     img_cover = df.select(
         F.col(id_col).alias("_img"),
         F.explode(
             cover_cells(F.col("px_col0"), F.col("px_row0"), F.col("w"), F.col("h"), res)
         ).alias("_cell"),
     )
-    xs = F.transform(F.col(xy_col), lambda v: F.element_at(v, 1))
-    ys = F.transform(F.col(xy_col), lambda v: F.element_at(v, 2))
+    xs = F.transform(flat_xy, lambda v: F.element_at(v, 1))
+    ys = F.transform(flat_xy, lambda v: F.element_at(v, 2))
     # world → pixel frame, then cell cover of the polygon bbox
     pc0 = (F.array_min(xs) - F.lit(grid.ul_x)) / F.lit(grid.psx)
     pc1 = (F.array_max(xs) - F.lit(grid.ul_x)) / F.lit(grid.psx)
@@ -684,7 +695,13 @@ def zonal_stats_table(
                 arr = _maybe_decode_values(arr, row, auto_decode)
                 for entry in row.zonal_polys:
                     pid, xy = entry["_pid"], entry["_xy"]
-                    rings = [np.asarray([list(v) for v in xy], dtype="float64")]
+                    if multi_ring:
+                        rings = [
+                            np.asarray([list(v) for v in ring], dtype="float64")
+                            for ring in xy
+                        ]
+                    else:
+                        rings = [np.asarray([list(v) for v in xy], dtype="float64")]
                     p = _zonal_partial(arr, rings, grid_args, row)
                     if p is not None:
                         out.append((str(pid),) + p)
