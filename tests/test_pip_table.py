@@ -68,3 +68,19 @@ def test_pip_table_plan_broadcasts_cover(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_pip_table_accepts_rings(spark):
+    # donut: outer square with a hole; even-odd excludes hole points
+    outer = [[100.0, 100.0], [900.0, 100.0], [900.0, 900.0], [100.0, 900.0]]
+    hole = [[400.0, 400.0], [600.0, 400.0], [600.0, 600.0], [400.0, 400.0 + 200.0]]
+    pdf = spark.createDataFrame(
+        [("donut", [outer, hole])],
+        "polygon_id string, xy array<array<array<double>>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 200.5, 200.5), (2, 500.5, 500.5), (3, 950.5, 950.5), (4, 650.5, 500.5)],
+        "point_id long, px double, py double",
+    )
+    got = {r["point_id"] for r in pip_join_table(pts, pdf).collect()}
+    assert got == {1, 4}  # 2 is in the hole, 3 is outside

@@ -23,7 +23,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from veranda_spark.cells import cell_id, pack_cell, ring_cells
-from veranda_spark.functions.geometry import points_in_polygon, polygon_bbox
+from veranda_spark.functions.geometry import (
+    points_in_polygon,
+    points_in_rings,
+    polygon_bbox,
+)
 
 
 # ---- point-in-polygon -------------------------------------------------------
@@ -127,10 +131,20 @@ def pip_join_table(
 
     Reference analog: slice_by_geom over arbitrary OGR geometry
     (base.py:538-555) — here as a relational join instead of a per-file
-    loop."""
+    loop.
+
+    ``xy_col`` is one ring (array<array<double>>) or a ring LIST (holes /
+    multipolygons, even-odd) — detected from the column's nesting depth."""
+    from pyspark.sql import types as _T
+
     size = 1 << res
-    xs = F.transform(F.col(xy_col), lambda v: F.element_at(v, 1))
-    ys = F.transform(F.col(xy_col), lambda v: F.element_at(v, 2))
+    elem = polygons.schema[xy_col].dataType.elementType
+    multi_ring = isinstance(elem, _T.ArrayType) and isinstance(
+        elem.elementType, _T.ArrayType
+    )
+    flat_xy = F.flatten(F.col(xy_col)) if multi_ring else F.col(xy_col)
+    xs = F.transform(flat_xy, lambda v: F.element_at(v, 1))
+    ys = F.transform(flat_xy, lambda v: F.element_at(v, 2))
     ix0 = F.floor(F.array_min(xs) / F.lit(size)).cast("long")
     ix1 = F.floor(F.array_max(xs) / F.lit(size)).cast("long")
     iy0 = F.floor(F.array_min(ys) / F.lit(size)).cast("long")
@@ -161,8 +175,16 @@ def pip_join_table(
         for p in pid.unique():
             m = (pid == p).to_numpy()
             first = int(np.flatnonzero(m)[0])
-            poly = np.asarray([np.asarray(v, dtype="float64") for v in xy.iloc[first]])
-            out[m] = points_in_polygon(xv[m], yv[m], poly)
+            spec = xy.iloc[first]
+            if multi_ring:
+                rings = [
+                    np.asarray([np.asarray(v, dtype="float64") for v in ring])
+                    for ring in spec
+                ]
+                out[m] = points_in_rings(xv[m], yv[m], rings)
+            else:
+                poly = np.asarray([np.asarray(v, dtype="float64") for v in spec])
+                out[m] = points_in_polygon(xv[m], yv[m], poly)
         return pd.Series(out)
 
     return cand.filter(
