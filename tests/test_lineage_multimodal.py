@@ -91,3 +91,30 @@ def test_multimodal_stub_gating(spark):
             fmt, bytes, w, h = "h264", b"", 1, 1
 
         _decode_any(R(), fake=False)
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from veranda_spark.io.lineage import snapshots
+
+    base = str(tmp_path / "sink")
+    t1 = burn_in(generate_images(spark, 120), GRID, per_layer=False).cache()
+    n1 = t1.count()
+    write_tiles_checkpointed(t1, base, run_id="rA")
+
+    # second run adds the tiles the larger corpus newly covers
+    t2 = burn_in(generate_images(spark, 300), GRID, per_layer=False).cache()
+    n2 = t2.count()
+    rB = write_tiles_checkpointed(t2, base, run_id="rB")
+    assert rB["written"] == n2 - n1 and rB["skipped"] == n1
+
+    snaps = {r["run_id"]: r["n_tiles"] for r in snapshots(spark, base).collect()}
+    assert snaps == {"rA": n1, "rB": n2 - n1}
+
+    assert read_tiles(spark, base).count() == n2
+    assert read_tiles(spark, base, as_of="rA").count() == n1
+    # timestamp pin between the two commits behaves like as_of=rA
+    cut = snapshots(spark, base).collect()
+    ts_between = (cut[0]["committed_at"] + cut[1]["committed_at"]) / 2
+    assert read_tiles(spark, base, as_of=ts_between).count() == n1
+    with pytest.raises(ValueError, match="unknown run_id"):
+        read_tiles(spark, base, as_of="nope").count()

@@ -143,19 +143,56 @@ def write_tiles_checkpointed(
     return {"run_id": run_id, "written": n_todo, "skipped": n_done}
 
 
-def read_tiles(spark: SparkSession, base: str) -> DataFrame:
+def snapshots(spark: SparkSession, base: str) -> DataFrame:
+    """Iceberg-style snapshot log derived from the lineage table: one row
+    per committed run (run_id, n_tiles, committed_at).  The lineage IS
+    the snapshot metadata — no extra bookkeeping write."""
+    lin = read_lineage(spark, base)
+    if lin is None:
+        raise FileNotFoundError(f"no lineage at {lineage_path(base)}")
+    return (
+        lin.filter(F.col("status") == "done")
+        .groupBy("run_id")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.max("completed_at").alias("committed_at"),
+        )
+        .orderBy("committed_at")
+    )
+
+
+def read_tiles(
+    spark: SparkSession, base: str, as_of: str | float | None = None
+) -> DataFrame:
     """Read back the tiled sink (partition pruning on tile_id applies).
 
     Only lineage-committed rows are visible: the newest 'done' run per
     tile wins (a broadcast-sized dim — one row per tile), so orphan rows
-    from a crash between the data and lineage appends never surface."""
+    from a crash between the data and lineage appends never surface.
+
+    ``as_of`` time-travels the read (Iceberg snapshot semantics on top of
+    the run_id commit protocol): a run_id string pins the table as of
+    that run's commit; a float unix timestamp pins it as of that instant.
+    Runs committed later are invisible — including tiles they added."""
     data = spark.read.parquet(os.path.join(base, "tiles"))
     lin = read_lineage(spark, base)
     if lin is None or "run_id" not in data.columns:
+        if as_of is not None:
+            raise ValueError("as_of requires a lineage-committed sink")
         return data
-    latest = (
-        lin.filter(F.col("status") == "done")
-        .groupBy("tile_id")
-        .agg(F.max_by("run_id", "completed_at").alias("run_id"))
+    done = lin.filter(F.col("status") == "done")
+    if as_of is not None:
+        if isinstance(as_of, str):
+            row = done.filter(F.col("run_id") == as_of).agg(
+                F.max("completed_at").alias("t")
+            ).first()
+            if row is None or row["t"] is None:
+                raise ValueError(f"unknown run_id {as_of!r}")
+            cutoff = float(row["t"])
+        else:
+            cutoff = float(as_of)
+        done = done.filter(F.col("completed_at") <= cutoff)
+    latest = done.groupBy("tile_id").agg(
+        F.max_by("run_id", "completed_at").alias("run_id")
     )
     return data.join(F.broadcast(latest), ["tile_id", "run_id"])
