@@ -486,6 +486,25 @@ def q_dedup_exact(spark, sf_dir):
     return groups.select("fp", "n_docs", F.element_at("doc_ids", 1).alias("first_doc"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    # deterministic n-per-stratum sample by md5 order (training-data
+    # curation; md5 is bit-identical in Spark and DuckDB)
+    from veranda_spark.operators.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang"], 3).select("doc_id", "lang")
+
+
+def q_hash_split(spark, sf_dir):
+    # stable train/val/test assignment (map-only, no shuffle)
+    from veranda_spark.operators.sample import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
 def q_phash_neardup(spark, sf_dir):
     # perceptual-hash image near-dup (input_hint's phash:int64 column),
     # pigeonhole block join + exact bit_count re-check — oracle-checkable
@@ -798,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
         # embeddings
         "select_bbox": q_select_bbox,
         "cell_ring": q_cell_ring,
@@ -1137,6 +1158,27 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 6) AS nonalnum_ratio,
                    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 30
                         THEN 1 ELSE 0 END AS len_ok
+            FROM documents
+        """,
+        "stratified_sample": r"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(cast(doc_id AS varchar)), doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 3
+        """,
+        "hash_split": r"""
+            SELECT doc_id,
+                   CASE
+                     WHEN cast(concat('0x', substring(md5(cast(doc_id AS varchar)), 1, 8)) AS ubigint)
+                          / 4294967296.0 < 0.8 THEN 'train'
+                     WHEN cast(concat('0x', substring(md5(cast(doc_id AS varchar)), 1, 8)) AS ubigint)
+                          / 4294967296.0 < 0.9 THEN 'val'
+                     ELSE 'test'
+                   END AS split
             FROM documents
         """,
         "phash_neardup": r"""
