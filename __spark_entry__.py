@@ -579,6 +579,20 @@ def q_burn_in_tiles(spark, sf_dir):
     return tiles.select("tile_id", "tile_row", "tile_col", "n_images", "h", "w")
 
 
+def q_tile_algebra(spark, sf_dir):
+    # per-pixel band math between two aligned burn-ins (NDVI idiom);
+    # rows-only (pixel payloads have no SQL oracle) — numpy parity is
+    # pytest-asserted in test_tile_algebra
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.cube import tile_algebra
+    from veranda_spark.operators.raster import burn_in
+
+    a = burn_in(generate_images(spark, 600, seed=42), GRID, per_layer=False)
+    b = burn_in(generate_images(spark, 600, seed=43), GRID, per_layer=False)
+    out = tile_algebra(a, b, lambda x, y: (x - y) / (x + y + 1.0))
+    return out.select("tile_id", "tile_row", "tile_col", "n_images", "h", "w")
+
+
 def q_zonal_pixels(spark, sf_dir):
     from veranda_spark.fixtures import generate_images
     from veranda_spark.operators.raster import zonal_stats
@@ -832,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_sim": q_label_centroid_sim,
         # rows-only pixel/sketch ops (no SQL analog)
         "burn_in_tiles": q_burn_in_tiles,
+        "tile_algebra": q_tile_algebra,
         "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,

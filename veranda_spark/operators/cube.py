@@ -54,3 +54,93 @@ def append_layers(existing: DataFrame, new: DataFrame, on: list[str] = ["tile_id
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_gen")
     )
+
+
+def tile_algebra(
+    a: DataFrame,
+    b: DataFrame,
+    fn,
+    out_var: str = "algebra",
+    nodata: float = -9999.0,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Per-pixel band math between two ALIGNED tile sets (the xarray
+    ``(a - b) / (a + b)`` idiom over burn_in / read-back canvases,
+    e.g. NDVI): equi-join canvases on the tile key, one Arrow pass.
+
+    ``fn(arr_a, arr_b) -> arr`` receives float64 arrays with nodata
+    already mapped to NaN and must return a same-shaped float64 array;
+    NaNs in the result are stored as ``nodata``.  Output rows follow
+    TILE_SCHEMA with dtype float64, n_images = a.n + b.n.
+
+    Scale: the join key is (tile_id[, layer_id]) — both sides are
+    already partitioned by tile after burn_in, so this co-locates
+    without a driver loop; payload bytes move at most once per side.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from veranda_spark.operators.raster import TILE_SCHEMA
+
+    keys = on or [
+        k for k in ("tile_id", "layer_id") if k in a.columns and k in b.columns
+    ]
+    if "tile_id" not in keys:
+        raise ValueError("tile_algebra needs tile_id in the join key")
+    meta = [c for c in ("tile_row", "tile_col") if c in a.columns]
+    left = a.select(
+        *keys, *meta,
+        F.col("bytes").alias("xba"), F.col("h").alias("xh"), F.col("w").alias("xw"),
+        F.col("channels").alias("xca"), F.col("dtype").alias("xda"),
+        F.col("n_images").alias("xna"),
+    )
+    right = b.select(
+        *keys,
+        F.col("bytes").alias("xbb"), F.col("channels").alias("xcb"),
+        F.col("dtype").alias("xdb"), F.col("n_images").alias("xnb"),
+    )
+    joined = left.join(right, keys)
+
+    def _dec(buf, dt, h, w, ch):
+        arr = np.frombuffer(buf, dtype=dt).reshape(
+            (h, w) if ch == 1 else (h, w, ch)
+        ).astype("float64")
+        arr[arr == nodata] = np.nan
+        return arr
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                h, w = int(row.xh), int(row.xw)
+                va = _dec(row.xba, row.xda, h, w, int(row.xca))
+                vb = _dec(row.xbb, row.xdb, h, w, int(row.xcb))
+                out = np.asarray(fn(va, vb), dtype="float64")
+                if out.shape != va.shape:
+                    raise ValueError(
+                        f"fn returned shape {out.shape}, expected {va.shape}"
+                    )
+                out = np.where(np.isnan(out), nodata, out)
+                rows.append(
+                    (
+                        row.tile_id,
+                        int(getattr(row, "tile_row", 0)),
+                        int(getattr(row, "tile_col", 0)),
+                        out_var,
+                        int(getattr(row, "layer_id", 1)),
+                        np.ascontiguousarray(out).tobytes(),
+                        h, w, int(row.xca), "float64",
+                        int(row.xna) + int(row.xnb),
+                    )
+                )
+            yield pd.DataFrame(
+                rows or None,
+                columns=[
+                    "tile_id", "tile_row", "tile_col", "var", "layer_id",
+                    "bytes", "h", "w", "channels", "dtype", "n_images",
+                ],
+            )
+
+    return joined.mapInPandas(compute, schema=TILE_SCHEMA)
