@@ -2,6 +2,7 @@
 the full pipeline, and real PSNR stats in the lineage table."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from veranda_spark.fixtures import generate_images, make_image_array
@@ -81,3 +82,36 @@ def test_lineage_records_real_psnr(spark, tmp_path):
     # payloads really are lossy now
     back = read_tiles(spark, str(tmp_path / "sink"))
     assert back.select("fmt").first()["fmt"] == "dctq"
+
+
+def test_lossless_tiff_export_accepts_float_canvases(spark, tmp_path):
+    # tile_algebra emits float64 canvases; lossless TIFF export must
+    # round-trip them bit-exactly (the uint gate only guards lossy dctq)
+    from veranda_spark.functions.codec import decode_image
+    from veranda_spark.io.lineage import read_tiles, write_tiles_checkpointed
+    from veranda_spark.operators.cube import tile_algebra
+
+    a = burn_in(generate_images(spark, 80, seed=42), GRID, per_layer=False)
+    b = burn_in(generate_images(spark, 80, seed=43), GRID, per_layer=False)
+    alg = tile_algebra(a, b, lambda x, y: (x - y) / (x + y + 1.0)).cache()
+    base = str(tmp_path / "sink")
+    out = write_tiles_checkpointed(alg, base, run_id="r1", lossy_fmt="tiff_lzw")
+    assert out["written"] > 0
+    back = read_tiles(spark, base)
+    row = back.first()
+    dec = decode_image(row["bytes"], "tiff_lzw", row["h"], row["w"])
+    assert dec.dtype == np.dtype("float64")
+    golden = {r["tile_id"]: r["bytes"] for r in alg.collect()}
+    np.testing.assert_array_equal(
+        dec, np.frombuffer(golden[row["tile_id"]], dtype="float64").reshape(row["h"], row["w"])
+    )
+
+
+def test_dctq_still_rejects_float_canvases(spark, tmp_path):
+    from veranda_spark.io.lineage import write_tiles_checkpointed
+    from veranda_spark.operators.cube import tile_algebra
+
+    a = burn_in(generate_images(spark, 40, seed=1), GRID, per_layer=False)
+    alg = tile_algebra(a, a, lambda x, y: x - y)
+    with pytest.raises(Exception, match="uint8/uint16"):
+        write_tiles_checkpointed(alg, str(tmp_path / "s2"), run_id="r1", lossy_fmt="dctq")

@@ -169,3 +169,80 @@ def test_tiled_sink_exports_real_tiff_payloads(spark, tmp_path):
     for r in back[:5]:
         dec = tiff_decode(bytes(r["bytes"]))
         np.testing.assert_array_equal(dec, golden[r["tile_id"]])
+
+
+@pytest.mark.parametrize("compression", ["deflate", "packbits"])
+@pytest.mark.parametrize("dtype", ["uint8", "uint16"])
+def test_tiff_deflate_packbits_roundtrip(dtype, compression):
+    rng = np.random.default_rng(17)
+    # runs + noise: exercises both packbits branches
+    arr = rng.integers(0, 256 if dtype == "uint8" else 60000, (33, 47), dtype=dtype)
+    arr[5:12] = 7
+    out = tiff_decode(tiff_encode(arr, compression=compression))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_packbits_codec_edges():
+    from veranda_spark.functions.tiff import packbits_decode, packbits_encode
+
+    for payload in (
+        b"",
+        b"a",
+        b"ab",
+        b"aaa",
+        b"aaab" * 50,
+        bytes(range(256)) * 3,
+        b"x" * 1000,
+        bytes([1, 1, 2, 2, 3, 3]) * 40,
+    ):
+        assert packbits_decode(packbits_encode(payload)) == payload
+    # spec no-op byte 0x80 is skipped
+    assert packbits_decode(b"\x80\x00a") == b"a"
+
+
+def test_codec_dispatch_tiff_deflate():
+    from veranda_spark.functions.codec import decode_image, encode_image
+
+    arr = np.arange(200, dtype=np.uint8).reshape(10, 20)
+    for fmt in ("tiff_deflate", "tiff_packbits"):
+        np.testing.assert_array_equal(decode_image(encode_image(arr, fmt), fmt, 10, 20), arr)
+
+
+@pytest.mark.parametrize("dtype", ["int16", "int32", "float32", "float64"])
+@pytest.mark.parametrize("compression", ["none", "lzw", "deflate"])
+def test_tiff_sample_format_roundtrip(dtype, compression):
+    rng = np.random.default_rng(23)
+    if dtype.startswith("float"):
+        arr = rng.standard_normal((21, 35)).astype(dtype) * 100
+        arr[3, 4] = np.nan  # nodata convention survives bytes round-trip
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, (21, 35), dtype=dtype)
+    out = tiff_decode(tiff_encode(arr, compression=compression))
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_tiff_rejects_float_predictor():
+    # hand-built float32 file carrying predictor=2: must refuse loudly
+    # (predictor 3 / float differencing is not implemented), not decode
+    # corrupt pixels
+    import struct
+
+    h = w = 4
+    payload = np.ones((h, w), dtype="<f4").tobytes()
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 32), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(payload)), (317, 3, 1, 2), (339, 3, 1, 3),
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    blob = struct.pack("<2sHI", b"II", 42, 8) + ifd + payload
+    with pytest.raises(NotImplementedError, match="predictor 2 on float"):
+        tiff_decode(blob)

@@ -191,10 +191,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from veranda_spark.functions.tiff import tiff_encode
 
         return tiff_encode(arr)
-    if fmt == "tiff_lzw":
+    if fmt in ("tiff_lzw", "tiff_deflate", "tiff_packbits"):
         from veranda_spark.functions.tiff import tiff_encode
 
-        return tiff_encode(arr, compression="lzw")
+        return tiff_encode(arr, compression=fmt[5:])
     raise NotImplementedError(f"fmt {fmt!r} (jpeg decode needs a codec lib; stubbed)")
 
 
@@ -210,7 +210,7 @@ def decode_image(
         return png_decode(data)
     if fmt == "dctq":
         return lossy_decode(data)
-    if fmt in ("tiff", "tiff_lzw"):
+    if fmt in ("tiff", "tiff_lzw", "tiff_deflate", "tiff_packbits"):
         from veranda_spark.functions.tiff import tiff_decode
 
         return tiff_decode(data)

@@ -7,8 +7,11 @@ them.  This reader covers the reference's core storage layouts:
 
 - classic TIFF, little- or big-endian
 - strip AND tile organization
-- compression: none (1) and LZW (5), with horizontal predictor (2)
-- 8/16-bit unsigned, 1 sample/pixel (grey) or N interleaved samples
+- compression: none (1), LZW (5), Deflate (8 and legacy 32946, stdlib
+  zlib) and PackBits (32773), with horizontal predictor (2)
+- sample types: uint8/uint16 (SampleFormat 1), int16/int32 (2) and
+  float32/float64 (3) — the reference's common sigma0/backscatter dtypes;
+  1 sample/pixel (grey) or N interleaved samples
 
 The writer emits single-strip uncompressed or LZW little-endian TIFF —
 enough to round-trip tests and to exercise the LZW decode path with
@@ -150,6 +153,54 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes, expected: int | None = None) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n in [0,127] copies n+1
+    literal bytes; n in [-127,-1] repeats the next byte 1-n times; -128
+    is a no-op."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        c = data[pos]
+        pos += 1
+        if c == 128:
+            continue
+        if c < 128:
+            out += data[pos : pos + c + 1]
+            pos += c + 1
+        else:
+            out += bytes([data[pos]]) * (257 - c)
+            pos += 1
+        if expected is not None and len(out) >= expected:
+            break
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: emit runs >=3 as repeats, else literal spans."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal span: until a >=3 run starts or 128 bytes collected
+        j = i + 1
+        while j < n and j - i < 128:
+            run = 1
+            while j + run < n and run < 3 and data[j + run] == data[j]:
+                run += 1
+            if run >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
 def _undo_predictor(arr: np.ndarray) -> np.ndarray:
     # horizontal differencing: cumulative sum along rows, per sample plane
     return np.cumsum(arr.astype(np.int64), axis=1).astype(arr.dtype)
@@ -170,17 +221,31 @@ def tiff_decode(data: bytes) -> np.ndarray:
     comp = int(t.get(_COMP, [1])[0])
     spp = int(t.get(_SPP, [1])[0])
     pred = int(t.get(_PREDICTOR, [1])[0])
-    if bits not in (8, 16):
-        raise NotImplementedError(f"TIFF bits={bits}")
-    if comp not in (1, 5):
-        raise NotImplementedError(f"TIFF compression={comp} (only none/LZW)")
-    dt = np.dtype(bo + ("u1" if bits == 8 else "u2"))
+    sfmt = int(t.get(_SFMT, [1])[0])
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise NotImplementedError(
+            f"TIFF compression={comp} (none/LZW/Deflate/PackBits)"
+        )
+    kind = {1: "u", 2: "i", 3: "f"}.get(sfmt)
+    if kind is None or (kind, bits) not in {
+        ("u", 8), ("u", 16), ("i", 16), ("i", 32), ("f", 32), ("f", 64),
+    }:
+        raise NotImplementedError(f"TIFF SampleFormat={sfmt} bits={bits}")
+    if pred == 2 and kind == "f":
+        raise NotImplementedError("predictor 2 on float samples")
+    dt = np.dtype(f"{bo}{kind}{bits // 8}")
     bpp = (bits // 8) * spp
 
     def segment(off: int, cnt: int, seg_h: int, seg_w: int) -> np.ndarray:
         raw = data[off : off + cnt]
         if comp == 5:
             raw = lzw_decode(raw, expected=seg_h * seg_w * bpp)
+        elif comp in (8, 32946):
+            import zlib
+
+            raw = zlib.decompress(raw)
+        elif comp == 32773:
+            raw = packbits_decode(raw, expected=seg_h * seg_w * bpp)
         arr = np.frombuffer(raw[: seg_h * seg_w * bpp], dtype=dt)
         arr = arr.reshape(seg_h, seg_w, spp) if spp > 1 else arr.reshape(seg_h, seg_w)
         if pred == 2:
@@ -215,8 +280,13 @@ def tiff_encode(arr: np.ndarray, compression: str = "none") -> bytes:
     """(h, w) or (h, w, spp) uint8/uint16 → single-strip little-endian
     TIFF.  compression: 'none' or 'lzw'."""
     arr = np.asarray(arr)
-    if arr.dtype not in (np.dtype("uint8"), np.dtype("uint16")):
-        raise ValueError("tiff_encode supports uint8/uint16")
+    kinds = {"u": 1, "i": 2, "f": 3}
+    ok = {("u", 1), ("u", 2), ("i", 2), ("i", 4), ("f", 4), ("f", 8)}
+    if (arr.dtype.kind, arr.dtype.itemsize) not in ok:
+        raise ValueError(
+            f"tiff_encode supports uint8/16, int16/32, float32/64 (got {arr.dtype})"
+        )
+    sfmt = kinds[arr.dtype.kind]
     if arr.ndim == 2:
         h, w = arr.shape
         spp = 1
@@ -228,6 +298,14 @@ def tiff_encode(arr: np.ndarray, compression: str = "none") -> bytes:
     if compression == "lzw":
         payload = lzw_encode(payload)
         comp = 5
+    elif compression == "deflate":
+        import zlib
+
+        payload = zlib.compress(payload, 6)
+        comp = 8
+    elif compression == "packbits":
+        payload = packbits_encode(payload)
+        comp = 32773
     elif compression != "none":
         raise ValueError(f"compression {compression!r}")
 
@@ -241,6 +319,7 @@ def tiff_encode(arr: np.ndarray, compression: str = "none") -> bytes:
         (_SPP, 3, 1, spp),
         (_ROWS_PER_STRIP, 3, 1, h),
         (_STRIP_CNT, 4, 1, len(payload)),
+        (_SFMT, 3, 1, sfmt),
     ]
     header = struct.pack("<2sHI", b"II", 42, 8)
     ifd = struct.pack("<H", len(entries))

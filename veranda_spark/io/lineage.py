@@ -86,6 +86,8 @@ def write_tiles_checkpointed(
 
         out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in todo.schema) + ", psnr double, fmt string"
 
+        lossless_fmts = {"tiff", "tiff_lzw", "tiff_deflate", "tiff_packbits"}
+
         def reencode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 payloads, psnrs = [], []
@@ -96,7 +98,12 @@ def write_tiles_checkpointed(
                             f"(tile {row.tile_id} has channels>1)"
                         )
                     canvas = np.frombuffer(row.bytes, dtype=row.dtype).reshape(row.h, row.w)
-                    if canvas.dtype not in (np.dtype("uint8"), np.dtype("uint16")):
+                    if canvas.dtype not in (np.dtype("uint8"), np.dtype("uint16")) and (
+                        lossy_fmt not in lossless_fmts
+                    ):
+                        # lossless TIFF round-trips any supported dtype
+                        # bit-exactly; the uint gate only protects truly
+                        # lossy codecs (dctq)
                         raise ValueError(
                             f"lossy fmt {lossy_fmt!r} supports uint8/uint16 canvases, "
                             f"got {canvas.dtype} for tile {row.tile_id}"
