@@ -246,3 +246,74 @@ def test_tiff_rejects_float_predictor():
     blob = struct.pack("<2sHI", b"II", 42, 8) + ifd + payload
     with pytest.raises(NotImplementedError, match="predictor 2 on float"):
         tiff_decode(blob)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "float32"])
+def test_cog_roundtrip_and_overviews(dtype):
+    from veranda_spark.functions.tiff import (
+        tiff_encode_cog,
+        tiff_overview_count,
+    )
+
+    rng = np.random.default_rng(31)
+    if dtype == "uint8":
+        arr = rng.integers(0, 256, (300, 420), dtype=dtype)
+    else:
+        arr = rng.standard_normal((300, 420)).astype(dtype)
+    blob = tiff_encode_cog(arr, tile=128, overviews=(2, 4))
+    assert tiff_overview_count(blob) == 2
+    np.testing.assert_array_equal(tiff_decode(blob), arr)
+    # overview levels = block-mean downsample, dtype preserved
+    for lvl, f in ((1, 2), (2, 4)):
+        ov = tiff_decode(blob, ifd=lvl)
+        a = arr.astype("float64")
+        ph, pw = (-300) % f, (-420) % f
+        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+        want = a.reshape(a.shape[0] // f, f, a.shape[1] // f, f).mean((1, 3))
+        if dtype == "uint8":
+            want = np.round(want)
+        np.testing.assert_allclose(ov, want.astype(dtype), rtol=1e-6)
+
+
+def test_cog_rgb_and_compressions():
+    from veranda_spark.functions.tiff import tiff_encode_cog
+
+    rng = np.random.default_rng(37)
+    arr = rng.integers(0, 256, (100, 90, 3), dtype=np.uint8)
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        blob = tiff_encode_cog(arr, tile=64, overviews=(2,), compression=comp)
+        np.testing.assert_array_equal(tiff_decode(blob), arr)
+        assert tiff_decode(blob, ifd=1).shape == (50, 45, 3)
+
+
+def test_cog_via_codec_dispatch():
+    from veranda_spark.functions.codec import decode_image, encode_image
+
+    arr = np.arange(64 * 80, dtype=np.uint16).reshape(64, 80) % 5000
+    blob = encode_image(arr, "cog")
+    np.testing.assert_array_equal(decode_image(blob, "cog", 64, 80), arr)
+
+
+def test_tiled_sink_cog_export(spark, tmp_path):
+    # S4 parity: COG-shaped export (tiled TIFF + overview IFDs) through
+    # the same checkpointed sink hook
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.functions.tiff import tiff_overview_count
+    from veranda_spark.grid import RegularGrid
+    from veranda_spark.io.lineage import read_tiles, write_tiles_checkpointed
+    from veranda_spark.operators.raster import burn_in
+
+    g = RegularGrid(tile_cols=512, tile_rows=512, n_tile_cols=8, n_tile_rows=4)
+    tiles = burn_in(generate_images(spark, 60), g, per_layer=False).cache()
+    golden = {
+        t["tile_id"]: np.frombuffer(t["bytes"], dtype=t["dtype"]).reshape(512, 512)
+        for t in tiles.collect()
+    }
+    res = write_tiles_checkpointed(tiles, str(tmp_path / "sink"), lossy_fmt="cog")
+    assert res["written"] == len(golden)
+    back = read_tiles(spark, str(tmp_path / "sink")).collect()
+    for r in back[:3]:
+        blob = bytes(r["bytes"])
+        assert tiff_overview_count(blob) == 3  # default overviews (2,4,8)
+        np.testing.assert_array_equal(tiff_decode(blob), golden[r["tile_id"]])
+        assert tiff_decode(blob, ifd=1).shape == (256, 256)

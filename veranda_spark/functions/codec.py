@@ -195,6 +195,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from veranda_spark.functions.tiff import tiff_encode
 
         return tiff_encode(arr, compression=fmt[5:])
+    if fmt == "cog":
+        from veranda_spark.functions.tiff import tiff_encode_cog
+
+        return tiff_encode_cog(arr)
     raise NotImplementedError(f"fmt {fmt!r} (jpeg decode needs a codec lib; stubbed)")
 
 
@@ -210,7 +214,7 @@ def decode_image(
         return png_decode(data)
     if fmt == "dctq":
         return lossy_decode(data)
-    if fmt in ("tiff", "tiff_lzw", "tiff_deflate", "tiff_packbits"):
+    if fmt in ("tiff", "tiff_lzw", "tiff_deflate", "tiff_packbits", "cog"):
         from veranda_spark.functions.tiff import tiff_decode
 
         return tiff_decode(data)

@@ -13,9 +13,10 @@ them.  This reader covers the reference's core storage layouts:
   float32/float64 (3) — the reference's common sigma0/backscatter dtypes;
   1 sample/pixel (grey) or N interleaved samples
 
-The writer emits single-strip uncompressed or LZW little-endian TIFF —
-enough to round-trip tests and to exercise the LZW decode path with
-self-produced payloads.  Decode is whole-array numpy except the LZW
+The writer emits single-strip TIFF (none/LZW/Deflate/PackBits), and
+``tiff_encode_cog`` emits the Cloud-Optimized-GeoTIFF shape: tiled
+layout + block-mean overview subfiles chained as extra IFDs, IFDs
+written before any tile data.  Decode is whole-array numpy except the LZW
 token loop, which is per-code by nature (and runs inside Arrow-batched
 pandas UDFs like every other codec here).
 """
@@ -36,8 +37,8 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 
-def _read_ifd(data: bytes, bo: str) -> dict[int, list]:
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+def _read_ifd_at(data: bytes, bo: str, ifd_off: int) -> tuple[dict[int, list], int]:
+    """One IFD at ifd_off → (tags, next_ifd_offset)."""
     (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
     tags: dict[int, list] = {}
     for i in range(n):
@@ -52,7 +53,24 @@ def _read_ifd(data: bytes, bo: str) -> dict[int, list]:
             (off,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
             raw = data[off : off + size]
         tags[tag] = list(struct.unpack(bo + str(cnt) + _TYPE_FMT[typ], raw))
-    return tags
+    (nxt,) = struct.unpack(bo + "I", data[ifd_off + 2 + 12 * n : ifd_off + 6 + 12 * n])
+    return tags, nxt
+
+
+def _read_ifds(data: bytes, bo: str) -> list[dict[int, list]]:
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    out = []
+    while ifd_off:
+        tags, ifd_off = _read_ifd_at(data, bo, ifd_off)
+        out.append(tags)
+        if len(out) > 64:  # corrupt chain guard
+            break
+    return out
+
+
+def _read_ifd(data: bytes, bo: str) -> dict[int, list]:
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    return _read_ifd_at(data, bo, ifd_off)[0]
 
 
 # ---- TIFF-variant LZW -------------------------------------------------------
@@ -206,15 +224,27 @@ def _undo_predictor(arr: np.ndarray) -> np.ndarray:
     return np.cumsum(arr.astype(np.int64), axis=1).astype(arr.dtype)
 
 
-def tiff_decode(data: bytes) -> np.ndarray:
-    """TIFF payload → (h, w) or (h, w, spp) uint8/uint16 array."""
+def _tiff_bo(data: bytes) -> str:
     if data[:2] == b"II" and data[2:4] == b"*\x00":
-        bo = "<"
-    elif data[:2] == b"MM" and data[2:4] == b"\x00*":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF")
-    t = _read_ifd(data, bo)
+        return "<"
+    if data[:2] == b"MM" and data[2:4] == b"\x00*":
+        return ">"
+    raise ValueError("not a TIFF")
+
+
+def tiff_overview_count(data: bytes) -> int:
+    """Number of reduced-resolution subfiles (COG overviews) after IFD 0."""
+    return len(_read_ifds(data, _tiff_bo(data))) - 1
+
+
+def tiff_decode(data: bytes, ifd: int = 0) -> np.ndarray:
+    """TIFF payload → (h, w) or (h, w, spp) array.  ``ifd`` selects the
+    subfile: 0 = full resolution, 1.. = COG overview levels."""
+    bo = _tiff_bo(data)
+    ifds = _read_ifds(data, bo)
+    if not 0 <= ifd < len(ifds):
+        raise ValueError(f"ifd {ifd} out of range (file has {len(ifds)})")
+    t = ifds[ifd]
     w = int(t[_W][0])
     h = int(t[_H][0])
     bits = int(t.get(_BITS, [8])[0])
@@ -330,3 +360,146 @@ def tiff_encode(arr: np.ndarray, compression: str = "none") -> bytes:
         ifd += struct.pack("<HHII", tag, typ, cnt, val)
     ifd += struct.pack("<I", 0)  # no next IFD
     return header + ifd + payload
+
+
+# ---- COG-style export -------------------------------------------------------
+# Cloud-Optimized-GeoTIFF SHAPE: tiled main image + reduced-resolution
+# overview subfiles chained as extra IFDs in one file (reference S4 /
+# gdalport "-co TILED=YES -co COPY_SRC_OVERVIEWS" semantics).  The byte
+# layout here is a valid multi-IFD tiled TIFF readable by GDAL; the COG
+# spec's header-ordering optimization (IFDs first) is honored by writing
+# all IFDs before any tile data.
+
+_NEW_SUBFILE = 254
+
+
+def _block_mean(arr: np.ndarray, f: int) -> np.ndarray:
+    """f×f block-mean downsample ('average' overview resampling), edges
+    padded by replication; dtype preserved (rounded for ints)."""
+    h, w = arr.shape[:2]
+    ph, pw = (-h) % f, (-w) % f
+    pad = ((0, ph), (0, pw)) + ((0, 0),) * (arr.ndim - 2)
+    a = np.pad(arr, pad, mode="edge").astype("float64")
+    H, W = a.shape[0] // f, a.shape[1] // f
+    if arr.ndim == 2:
+        m = a.reshape(H, f, W, f).mean((1, 3))
+    else:
+        m = a.reshape(H, f, W, f, arr.shape[2]).mean((1, 3))
+    if arr.dtype.kind in "ui":
+        m = np.round(m)
+    return m.astype(arr.dtype)
+
+
+def _tile_payloads(arr: np.ndarray, tile: int, comp_fn) -> tuple[list[bytes], int, int]:
+    h, w = arr.shape[:2]
+    down, across = (h + tile - 1) // tile, (w + tile - 1) // tile
+    pad = ((0, down * tile - h), (0, across * tile - w)) + ((0, 0),) * (arr.ndim - 2)
+    a = np.pad(arr, pad, mode="edge")
+    out = []
+    for ty in range(down):
+        for tx in range(across):
+            block = a[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            out.append(comp_fn(np.ascontiguousarray(block).tobytes()))
+    return out, down, across
+
+
+def tiff_encode_cog(
+    arr: np.ndarray,
+    tile: int = 256,
+    overviews: tuple[int, ...] = (2, 4, 8),
+    compression: str = "deflate",
+) -> bytes:
+    """(h, w[, spp]) array → tiled multi-IFD TIFF with block-mean
+    overview subfiles (COG shape).  Supported dtypes/compressions match
+    tiff_encode."""
+    arr = np.asarray(arr)
+    kinds = {"u": 1, "i": 2, "f": 3}
+    if (arr.dtype.kind, arr.dtype.itemsize) not in {
+        ("u", 1), ("u", 2), ("i", 2), ("i", 4), ("f", 4), ("f", 8)
+    }:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    if compression == "none":
+        comp_code, comp_fn = 1, lambda b: b
+    elif compression == "lzw":
+        comp_code, comp_fn = 5, lzw_encode
+    elif compression == "deflate":
+        import zlib
+
+        comp_code, comp_fn = 8, lambda b: zlib.compress(b, 6)
+    elif compression == "packbits":
+        comp_code, comp_fn = 32773, packbits_encode
+    else:
+        raise ValueError(f"compression {compression!r}")
+
+    le = arr.astype(arr.dtype.newbyteorder("<"))
+    levels = [le]
+    for f in overviews:
+        levels.append(_block_mean(le, f))
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    bits = arr.dtype.itemsize * 8
+    sfmt = kinds[arr.dtype.kind]
+
+    # per-level tile payloads
+    tiled = [_tile_payloads(lv, tile, comp_fn) for lv in levels]
+
+    def ifd_entries(lv_i, offsets):
+        lv = levels[lv_i]
+        payloads, down, across = tiled[lv_i]
+        h, w = lv.shape[:2]
+        return [
+            (_NEW_SUBFILE, 4, [0 if lv_i == 0 else 1]),
+            (_W, 3, [w]), (_H, 3, [h]), (_BITS, 3, [bits]),
+            (_COMP, 3, [comp_code]), (_PHOTO, 3, [1]), (_SPP, 3, [spp]),
+            (_TILE_W, 3, [tile]), (_TILE_H, 3, [tile]),
+            (_TILE_OFF, 4, offsets),
+            (_TILE_CNT, 4, [len(p) for p in payloads]),
+            (_SFMT, 3, [sfmt]),
+        ]
+
+    def ifd_size(n_entries, ext_bytes):
+        return 2 + 12 * n_entries + 4 + ext_bytes
+
+    # layout: header | IFD0..IFDn (each with its external arrays) | data
+    pos = 8
+    ifd_offsets, ifd_ext = [], []
+    for lv_i, (payloads, _, _) in enumerate(tiled):
+        n_tiles = len(payloads)
+        ext = 0
+        for _, typ, vals in ifd_entries(lv_i, [0] * n_tiles):
+            size = _TYPE_SIZE[typ] * len(vals)
+            if size > 4:
+                ext += size
+        ifd_offsets.append(pos)
+        ifd_ext.append(ext)
+        pos += ifd_size(12, ext)
+    data_pos = pos
+    tile_offsets = []
+    for payloads, _, _ in tiled:
+        offs = []
+        for p in payloads:
+            offs.append(pos)
+            pos += len(p)
+        tile_offsets.append(offs)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_offsets[0]))
+    for lv_i, (payloads, _, _) in enumerate(tiled):
+        entries = ifd_entries(lv_i, tile_offsets[lv_i])
+        nxt = ifd_offsets[lv_i + 1] if lv_i + 1 < len(tiled) else 0
+        table = struct.pack("<H", len(entries))
+        ext = bytearray()
+        ext_base = ifd_offsets[lv_i] + 2 + 12 * len(entries) + 4
+        for tag, typ, vals in entries:
+            size = _TYPE_SIZE[typ] * len(vals)
+            raw = struct.pack("<" + str(len(vals)) + _TYPE_FMT[typ], *vals)
+            if size <= 4:
+                table += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+            else:
+                table += struct.pack("<HHII", tag, typ, len(vals), ext_base + len(ext))
+                ext += raw
+        table += struct.pack("<I", nxt)
+        out += table + ext
+    assert len(out) == data_pos, (len(out), data_pos)
+    for payloads, _, _ in tiled:
+        for p in payloads:
+            out += p
+    return bytes(out)

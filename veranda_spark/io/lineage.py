@@ -86,7 +86,7 @@ def write_tiles_checkpointed(
 
         out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in todo.schema) + ", psnr double, fmt string"
 
-        lossless_fmts = {"tiff", "tiff_lzw", "tiff_deflate", "tiff_packbits"}
+        lossless_fmts = {"tiff", "tiff_lzw", "tiff_deflate", "tiff_packbits", "cog"}
 
         def reencode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
