@@ -317,3 +317,48 @@ def test_tiled_sink_cog_export(spark, tmp_path):
         assert tiff_overview_count(blob) == 3  # default overviews (2,4,8)
         np.testing.assert_array_equal(tiff_decode(blob), golden[r["tile_id"]])
         assert tiff_decode(blob, ifd=1).shape == (256, 256)
+
+
+def test_geotrans_roundtrip():
+    from veranda_spark.functions.tiff import (
+        tiff_encode_cog,
+        tiff_geotrans,
+    )
+
+    arr = np.arange(120, dtype=np.uint8).reshape(10, 12)
+    geo = (5000.0, -2000.0, 10.0, 10.0)  # ul_x, ul_y, psx, psy
+    for blob in (
+        tiff_encode(arr, geo=geo),
+        tiff_encode(arr, compression="deflate", geo=geo),
+        tiff_encode_cog(arr, tile=8, overviews=(2,), geo=geo),
+    ):
+        gt = tiff_geotrans(blob)
+        assert gt == (5000.0, 10.0, 0.0, -2000.0, 0.0, -10.0)
+        np.testing.assert_array_equal(tiff_decode(blob), arr)
+    assert tiff_geotrans(tiff_encode(arr)) is None
+
+
+def test_footprints_from_geotiff_roundtrip(spark, tmp_path):
+    # the full loop: burn_in -> geo-tagged COG export -> recover the
+    # footprints from the payloads alone -> identical placement
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.grid import RegularGrid
+    from veranda_spark.io.lineage import read_tiles, write_tiles_checkpointed
+    from veranda_spark.operators.raster import burn_in
+    from veranda_spark.sources.register import footprints_from_geotiff
+
+    g = RegularGrid(
+        ul_x=1000.0, ul_y=-500.0, psx=2.0, psy=2.0,
+        tile_cols=512, tile_rows=512, n_tile_cols=8, n_tile_rows=4,
+    )
+    imgs = generate_images(spark, 60)
+    tiles = burn_in(imgs, g, per_layer=False).cache()
+    write_tiles_checkpointed(tiles, str(tmp_path / "s"), run_id="r1",
+                             lossy_fmt="cog", grid=g)
+    back = read_tiles(spark, str(tmp_path / "s"))
+    rec = footprints_from_geotiff(back, g).collect()
+    assert len(rec) == tiles.count()
+    for r in rec:
+        # a tile's canvas footprint starts at its tile origin
+        assert r["px_col0"] == int(r["tile_id"].split("_")[1]) * 512
+        assert r["px_row0"] == int(r["tile_id"].split("_")[0]) * 512

@@ -306,9 +306,42 @@ def tiff_decode(data: bytes, ifd: int = 0) -> np.ndarray:
     return np.ascontiguousarray(out.astype(dt.newbyteorder("=")))
 
 
-def tiff_encode(arr: np.ndarray, compression: str = "none") -> bytes:
-    """(h, w) or (h, w, spp) uint8/uint16 → single-strip little-endian
-    TIFF.  compression: 'none' or 'lzw'."""
+def _ifd_total_size(entries: list[tuple]) -> int:
+    ext = sum(
+        _TYPE_SIZE[typ] * len(vals)
+        for _, typ, vals in entries
+        if _TYPE_SIZE[typ] * len(vals) > 4
+    )
+    return 2 + 12 * len(entries) + 4 + ext
+
+
+def _build_ifd(entries: list[tuple], ifd_off: int, nxt: int) -> bytes:
+    """entries: (tag, type, values-list); values too big for the inline
+    4-byte field are appended after the entry table."""
+    entries = sorted(entries)
+    table = struct.pack("<H", len(entries))
+    ext = bytearray()
+    ext_base = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, typ, vals in entries:
+        size = _TYPE_SIZE[typ] * len(vals)
+        raw = struct.pack("<" + str(len(vals)) + _TYPE_FMT[typ], *vals)
+        if size <= 4:
+            table += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+        else:
+            table += struct.pack("<HHII", tag, typ, len(vals), ext_base + len(ext))
+            ext += raw
+    table += struct.pack("<I", nxt)
+    return bytes(table) + bytes(ext)
+
+
+def tiff_encode(
+    arr: np.ndarray,
+    compression: str = "none",
+    geo: tuple[float, float, float, float] | None = None,
+) -> bytes:
+    """(h, w) or (h, w, spp) → single-strip little-endian TIFF.
+    compression: 'none', 'lzw', 'deflate' or 'packbits'.  ``geo`` =
+    (ul_x, ul_y, psx, psy) writes GeoTIFF placement tags."""
     arr = np.asarray(arr)
     kinds = {"u": 1, "i": 2, "f": 3}
     ok = {("u", 1), ("u", 2), ("i", 2), ("i", 4), ("f", 4), ("f", 8)}
@@ -340,26 +373,25 @@ def tiff_encode(arr: np.ndarray, compression: str = "none") -> bytes:
         raise ValueError(f"compression {compression!r}")
 
     entries = [
-        (_W, 3, 1, w),
-        (_H, 3, 1, h),
-        (_BITS, 3, 1, bits),
-        (_COMP, 3, 1, comp),
-        (_PHOTO, 3, 1, 1),  # BlackIsZero
-        (_STRIP_OFF, 4, 1, 0),  # patched below
-        (_SPP, 3, 1, spp),
-        (_ROWS_PER_STRIP, 3, 1, h),
-        (_STRIP_CNT, 4, 1, len(payload)),
-        (_SFMT, 3, 1, sfmt),
+        (_W, 3, [w]),
+        (_H, 3, [h]),
+        (_BITS, 3, [bits]),
+        (_COMP, 3, [comp]),
+        (_PHOTO, 3, [1]),  # BlackIsZero
+        (_STRIP_OFF, 4, [0]),  # patched below
+        (_SPP, 3, [spp]),
+        (_ROWS_PER_STRIP, 3, [h]),
+        (_STRIP_CNT, 4, [len(payload)]),
+        (_SFMT, 3, [sfmt]),
+    ]
+    if geo is not None:
+        entries += _geo_entries(geo)
+    data_off = 8 + _ifd_total_size(entries)
+    entries = [
+        (t, ty, [data_off] if t == _STRIP_OFF else v) for t, ty, v in entries
     ]
     header = struct.pack("<2sHI", b"II", 42, 8)
-    ifd = struct.pack("<H", len(entries))
-    data_off = 8 + 2 + 12 * len(entries) + 4
-    for tag, typ, cnt, val in entries:
-        if tag == _STRIP_OFF:
-            val = data_off
-        ifd += struct.pack("<HHII", tag, typ, cnt, val)
-    ifd += struct.pack("<I", 0)  # no next IFD
-    return header + ifd + payload
+    return header + _build_ifd(entries, 8, 0) + payload
 
 
 # ---- COG-style export -------------------------------------------------------
@@ -408,6 +440,7 @@ def tiff_encode_cog(
     tile: int = 256,
     overviews: tuple[int, ...] = (2, 4, 8),
     compression: str = "deflate",
+    geo: tuple[float, float, float, float] | None = None,
 ) -> bytes:
     """(h, w[, spp]) array → tiled multi-IFD TIFF with block-mean
     overview subfiles (COG shape).  Supported dtypes/compressions match
@@ -446,7 +479,7 @@ def tiff_encode_cog(
         lv = levels[lv_i]
         payloads, down, across = tiled[lv_i]
         h, w = lv.shape[:2]
-        return [
+        entries = [
             (_NEW_SUBFILE, 4, [0 if lv_i == 0 else 1]),
             (_W, 3, [w]), (_H, 3, [h]), (_BITS, 3, [bits]),
             (_COMP, 3, [comp_code]), (_PHOTO, 3, [1]), (_SPP, 3, [spp]),
@@ -455,23 +488,16 @@ def tiff_encode_cog(
             (_TILE_CNT, 4, [len(p) for p in payloads]),
             (_SFMT, 3, [sfmt]),
         ]
-
-    def ifd_size(n_entries, ext_bytes):
-        return 2 + 12 * n_entries + 4 + ext_bytes
+        if geo is not None and lv_i == 0:
+            entries += _geo_entries(geo)
+        return entries
 
     # layout: header | IFD0..IFDn (each with its external arrays) | data
     pos = 8
-    ifd_offsets, ifd_ext = [], []
+    ifd_offsets = []
     for lv_i, (payloads, _, _) in enumerate(tiled):
-        n_tiles = len(payloads)
-        ext = 0
-        for _, typ, vals in ifd_entries(lv_i, [0] * n_tiles):
-            size = _TYPE_SIZE[typ] * len(vals)
-            if size > 4:
-                ext += size
         ifd_offsets.append(pos)
-        ifd_ext.append(ext)
-        pos += ifd_size(12, ext)
+        pos += _ifd_total_size(ifd_entries(lv_i, [0] * len(payloads)))
     data_pos = pos
     tile_offsets = []
     for payloads, _, _ in tiled:
@@ -483,23 +509,43 @@ def tiff_encode_cog(
 
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_offsets[0]))
     for lv_i, (payloads, _, _) in enumerate(tiled):
-        entries = ifd_entries(lv_i, tile_offsets[lv_i])
         nxt = ifd_offsets[lv_i + 1] if lv_i + 1 < len(tiled) else 0
-        table = struct.pack("<H", len(entries))
-        ext = bytearray()
-        ext_base = ifd_offsets[lv_i] + 2 + 12 * len(entries) + 4
-        for tag, typ, vals in entries:
-            size = _TYPE_SIZE[typ] * len(vals)
-            raw = struct.pack("<" + str(len(vals)) + _TYPE_FMT[typ], *vals)
-            if size <= 4:
-                table += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
-            else:
-                table += struct.pack("<HHII", tag, typ, len(vals), ext_base + len(ext))
-                ext += raw
-        table += struct.pack("<I", nxt)
-        out += table + ext
+        out += _build_ifd(ifd_entries(lv_i, tile_offsets[lv_i]), ifd_offsets[lv_i], nxt)
     assert len(out) == data_pos, (len(out), data_pos)
     for payloads, _, _ in tiled:
         for p in payloads:
             out += p
     return bytes(out)
+
+
+# ---- GeoTIFF georeferencing tags --------------------------------------------
+# ModelPixelScaleTag (33550, DOUBLE[3]) + ModelTiepointTag (33922,
+# DOUBLE[6]) — the minimal geotransform pair GDAL writes/reads
+# (reference: geotrans handling, native/geotiff.py GeoTiffFile).  The
+# full GeoKeyDirectory (CRS codes) stays in the engine's `sref` column;
+# these tags carry the affine placement.
+
+_MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
+
+
+def tiff_geotrans(data: bytes) -> tuple | None:
+    """(ul_x, psx, 0, ul_y, 0, -psy) GDAL-style geotransform from the
+    geo tags of IFD 0, or None if untagged."""
+    t = _read_ifds(data, _tiff_bo(data))[0]
+    if _MODEL_PIXEL_SCALE not in t or _MODEL_TIEPOINT not in t:
+        return None
+    sx, sy = float(t[_MODEL_PIXEL_SCALE][0]), float(t[_MODEL_PIXEL_SCALE][1])
+    # tiepoint: raster (i, j, k) -> model (x, y, z)
+    i, j, _k, x, y, _z = (float(v) for v in t[_MODEL_TIEPOINT][:6])
+    ul_x = x - i * sx
+    ul_y = y + j * sy
+    return (ul_x, sx, 0.0, ul_y, 0.0, -sy)
+
+
+def _geo_entries(geo: tuple[float, float, float, float]) -> list[tuple]:
+    """geo = (ul_x, ul_y, psx, psy) → tag entries (type 12 = DOUBLE)."""
+    ul_x, ul_y, psx, psy = (float(v) for v in geo)
+    return [
+        (_MODEL_PIXEL_SCALE, 12, [psx, psy, 0.0]),
+        (_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, ul_x, ul_y, 0.0]),
+    ]

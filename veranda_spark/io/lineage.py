@@ -47,6 +47,7 @@ def write_tiles_checkpointed(
     run_id: str | None = None,
     lossy_fmt: str | None = None,
     min_psnr: float | None = 40.0,
+    grid=None,
 ) -> dict:
     """Write burn-in output partitioned by tile_id with lineage records.
 
@@ -62,8 +63,10 @@ def write_tiles_checkpointed(
     duplicate tiles on read — round-1 advisory).
 
     With ``lossy_fmt`` canvases are re-encoded through the codec hook —
-    "dctq" (lossy) or "tiff"/"tiff_lzw" (lossless GeoTIFF-sink parity,
-    PSNR recorded as the 1e9 cap for exact round-trips) — and
+    "dctq" (lossy) or "tiff"/"tiff_lzw"/"tiff_deflate"/"tiff_packbits"/
+    "cog" (lossless GeoTIFF-sink parity, PSNR recorded as the 1e9 cap
+    for exact round-trips; pass ``grid`` to embed each tile's GeoTIFF
+    placement tags so payloads are self-describing GeoTIFFs) — and
     the PER-TILE PSNR vs the exact canvas is recorded in the lineage
     table; tiles below ``min_psnr`` (input_hint: 40 dB) fail the job
     loudly instead of silently persisting corrupt pixels.  Lossless
@@ -108,7 +111,26 @@ def write_tiles_checkpointed(
                             f"lossy fmt {lossy_fmt!r} supports uint8/uint16 canvases, "
                             f"got {canvas.dtype} for tile {row.tile_id}"
                         )
-                    enc = encode_image(canvas, lossy_fmt)
+                    if grid is not None and lossy_fmt in lossless_fmts:
+                        from veranda_spark.functions.tiff import (
+                            tiff_encode,
+                            tiff_encode_cog,
+                        )
+
+                        geo = (
+                            grid.ul_x + int(row.tile_col) * grid.tile_cols * grid.psx,
+                            grid.ul_y - int(row.tile_row) * grid.tile_rows * grid.psy,
+                            grid.psx,
+                            grid.psy,
+                        )
+                        if lossy_fmt == "cog":
+                            enc = tiff_encode_cog(canvas, geo=geo)
+                        elif lossy_fmt == "tiff":
+                            enc = tiff_encode(canvas, geo=geo)
+                        else:
+                            enc = tiff_encode(canvas, compression=lossy_fmt[5:], geo=geo)
+                    else:
+                        enc = encode_image(canvas, lossy_fmt)
                     dec = decode_image(enc, lossy_fmt, row.h, row.w)
                     peak = 255.0 if canvas.dtype == np.dtype("uint8") else 65535.0
                     p = min(psnr(canvas.astype("float64"), dec.astype("float64"), peak), 1e9)

@@ -104,3 +104,53 @@ def filename_column(
     if pos < len(fn_pattern):
         parts.append(F.lit(fn_pattern[pos:]))
     return F.concat(*parts)
+
+
+def footprints_from_geotiff(
+    df: DataFrame, grid: RegularGrid, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Recover integer-pixel footprints (px_col0, px_row0) from GeoTIFF
+    placement tags in the payload itself — the reference's geotransform
+    path (GDAL reads geotrans per file; here an Arrow pass parses the
+    ModelPixelScale/ModelTiepoint tags and maps world → grid pixels).
+
+    Only the header/IFD bytes are touched per row (no pixel decode).
+    Rows without geo tags get NULL footprints — filter or fail upstream.
+    A loud error is raised when a payload's pixel size disagrees with the
+    grid (mixed-resolution registers need reproject_footprints first).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from veranda_spark.functions.tiff import tiff_geotrans
+
+    base = df.drop("px_col0", "px_row0")
+    schema = ", ".join(f.name + " " + f.dataType.simpleString() for f in base.schema)
+    schema += ", px_col0 long, px_row0 long"
+
+    ul_x, ul_y, psx, psy = grid.ul_x, grid.ul_y, grid.psx, grid.psy
+
+    def recover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols, rows = [], []
+            for payload in pdf[bytes_col]:
+                gt = tiff_geotrans(bytes(payload))
+                if gt is None:
+                    cols.append(None)
+                    rows.append(None)
+                    continue
+                gx, gpsx, _, gy, _, gpsy_neg = gt
+                if abs(gpsx - psx) > 1e-9 or abs(-gpsy_neg - psy) > 1e-9:
+                    raise ValueError(
+                        f"payload pixel size ({gpsx}, {-gpsy_neg}) != grid "
+                        f"({psx}, {psy}); reproject first"
+                    )
+                cols.append(int(round((gx - ul_x) / psx)))
+                rows.append(int(round((ul_y - gy) / psy)))
+            out = pdf.copy()
+            out["px_col0"] = pd.array(cols, dtype="Int64")
+            out["px_row0"] = pd.array(rows, dtype="Int64")
+            yield out
+
+    return base.mapInPandas(recover, schema=schema)
