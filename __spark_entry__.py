@@ -627,6 +627,56 @@ def q_tiff_decode(spark, sf_dir):
     )
 
 
+def q_cog_roundtrip(spark, sf_dir):
+    # S4: COG-shape export loop in-flight — burn-in canvases re-encode as
+    # tiled multi-IFD TIFF with geo tags, then decode + geotransform
+    # recovery; rows-only (pixel payloads have no SQL analog)
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.functions.tiff import (
+        tiff_decode,
+        tiff_encode_cog,
+        tiff_geotrans,
+        tiff_overview_count,
+    )
+    from veranda_spark.operators.raster import burn_in
+
+    tiles = burn_in(generate_images(spark, 400), GRID, per_layer=False)
+    g = GRID
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                canvas = np.frombuffer(row.bytes, dtype=row.dtype).reshape(row.h, row.w)
+                geo = (
+                    g.ul_x + int(row.tile_col) * g.tile_cols * g.psx,
+                    g.ul_y - int(row.tile_row) * g.tile_rows * g.psy,
+                    g.psx, g.psy,
+                )
+                blob = tiff_encode_cog(canvas, geo=geo)
+                back = tiff_decode(blob)
+                gt = tiff_geotrans(blob)
+                rows.append(
+                    (row.tile_id, int((back == canvas).all()),
+                     tiff_overview_count(blob), float(gt[0]), float(gt[3]))
+                )
+            yield pd.DataFrame(
+                rows or None,
+                columns=["tile_id", "exact", "n_overviews", "ul_x", "ul_y"],
+            )
+
+    out = tiles.mapInPandas(
+        roundtrip,
+        schema="tile_id string, exact int, n_overviews int, ul_x double, ul_y double",
+    )
+    return out
+
+
 def q_minhash_pairs(spark, sf_dir):
     from veranda_spark.operators.dedup import minhash_lsh_pairs
 
@@ -847,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only pixel/sketch ops (no SQL analog)
         "burn_in_tiles": q_burn_in_tiles,
         "tile_algebra": q_tile_algebra,
+        "cog_roundtrip": q_cog_roundtrip,
         "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,
