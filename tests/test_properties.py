@@ -93,3 +93,60 @@ def test_cover_bounds_property(r0, c0, h, w, tile):
             assert 0 <= ov_r0 - tr * tile < tile and 0 <= ov_c0 - tc * tile < tile
             total += (ov_r1 - ov_r0) * (ov_c1 - ov_c0)
     assert total == h * w
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=4000))
+def test_lzw_roundtrip_property(data):
+    from veranda_spark.functions.tiff import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=4000))
+def test_packbits_roundtrip_property(data):
+    from veranda_spark.functions.tiff import packbits_decode, packbits_encode
+
+    assert packbits_decode(packbits_encode(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 50),
+    w=st.integers(1, 50),
+    dtype=st.sampled_from(["uint8", "uint16", "int16", "int32", "float32", "float64"]),
+    compression=st.sampled_from(["none", "lzw", "deflate", "packbits"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_property(h, w, dtype, compression, seed):
+    from veranda_spark.functions.tiff import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(seed)
+    if dtype.startswith("float"):
+        arr = (rng.standard_normal((h, w)) * 50).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, (h, w), dtype=dtype)
+    out = tiff_decode(tiff_encode(arr, compression=compression))
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 120),
+    w=st.integers(1, 120),
+    tile=st.sampled_from([16, 64]),
+    f=st.sampled_from([2, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_cog_roundtrip_property(h, w, tile, f, seed):
+    from veranda_spark.functions.tiff import tiff_decode, tiff_encode_cog
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    blob = tiff_encode_cog(arr, tile=tile, overviews=(f,))
+    np.testing.assert_array_equal(tiff_decode(blob), arr)
+    ov = tiff_decode(blob, ifd=1)
+    assert ov.shape == ((h + f - 1) // f, (w + f - 1) // f)
