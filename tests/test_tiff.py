@@ -362,3 +362,27 @@ def test_footprints_from_geotiff_roundtrip(spark, tmp_path):
         # a tile's canvas footprint starts at its tile origin
         assert r["px_col0"] == int(r["tile_id"].split("_")[1]) * 512
         assert r["px_row0"] == int(r["tile_id"].split("_")[0]) * 512
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32"])
+@pytest.mark.parametrize("compression", ["none", "lzw", "deflate"])
+def test_bigtiff_roundtrip(dtype, compression):
+    rng = np.random.default_rng(41)
+    if dtype == "float32":
+        arr = rng.standard_normal((23, 37)).astype(dtype)
+    else:
+        arr = rng.integers(0, np.iinfo(dtype).max, (23, 37), dtype=dtype)
+    blob = tiff_encode(arr, compression=compression, big=True)
+    assert blob[2] == 43  # BigTIFF magic
+    out = tiff_decode(blob)
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_bigtiff_geo_roundtrip():
+    from veranda_spark.functions.tiff import tiff_geotrans
+
+    arr = np.arange(60, dtype=np.uint8).reshape(6, 10)
+    blob = tiff_encode(arr, geo=(70.0, -30.0, 0.25, 0.25), big=True)
+    assert tiff_geotrans(blob) == (70.0, 0.25, 0.0, -30.0, 0.0, -0.25)
+    np.testing.assert_array_equal(tiff_decode(blob), arr)

@@ -5,7 +5,8 @@ Closes round 1's top capability gap: the reference IS a GeoTIFF library
 and ``sniff_fmt`` labels payloads "tiff", but the engine could not decode
 them.  This reader covers the reference's core storage layouts:
 
-- classic TIFF, little- or big-endian
+- classic TIFF (42) and BigTIFF (43, 64-bit offsets), little- or
+  big-endian
 - strip AND tile organization
 - compression: none (1), LZW (5), Deflate (8 and legacy 32946, stdlib
   zlib) and PackBits (32773), with horizontal predictor (2)
@@ -33,35 +34,55 @@ _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PREDICTOR, _SFMT = 317, 339
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+              16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
-def _read_ifd_at(data: bytes, bo: str, ifd_off: int) -> tuple[dict[int, list], int]:
-    """One IFD at ifd_off → (tags, next_ifd_offset)."""
-    (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+def _read_ifd_at(
+    data: bytes, bo: str, ifd_off: int, big: bool = False
+) -> tuple[dict[int, list], int]:
+    """One IFD at ifd_off → (tags, next_ifd_offset).  ``big`` = BigTIFF
+    layout (u64 counts/offsets, 20-byte entries)."""
+    if big:
+        (n,) = struct.unpack(bo + "Q", data[ifd_off : ifd_off + 8])
+        head, esize, inline = 8, 20, 8
+    else:
+        (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+        head, esize, inline = 2, 12, 4
     tags: dict[int, list] = {}
     for i in range(n):
-        e = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack(bo + "HHI", data[e : e + 8])
+        e = ifd_off + head + esize * i
+        if big:
+            tag, typ, cnt = struct.unpack(bo + "HHQ", data[e : e + 12])
+            vpos = e + 12
+        else:
+            tag, typ, cnt = struct.unpack(bo + "HHI", data[e : e + 8])
+            vpos = e + 8
         if typ not in _TYPE_FMT:
             continue
         size = _TYPE_SIZE[typ] * cnt
-        if size <= 4:
-            raw = data[e + 8 : e + 8 + size]
+        if size <= inline:
+            raw = data[vpos : vpos + size]
         else:
-            (off,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
+            (off,) = struct.unpack(bo + ("Q" if big else "I"), data[vpos : vpos + inline])
             raw = data[off : off + size]
         tags[tag] = list(struct.unpack(bo + str(cnt) + _TYPE_FMT[typ], raw))
-    (nxt,) = struct.unpack(bo + "I", data[ifd_off + 2 + 12 * n : ifd_off + 6 + 12 * n])
+    tail = ifd_off + head + esize * n
+    (nxt,) = struct.unpack(bo + ("Q" if big else "I"), data[tail : tail + (8 if big else 4)])
     return tags, nxt
 
 
 def _read_ifds(data: bytes, bo: str) -> list[dict[int, list]]:
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    big = struct.unpack(bo + "H", data[2:4])[0] == 43
+    if big:
+        (ifd_off,) = struct.unpack(bo + "Q", data[8:16])
+    else:
+        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
     out = []
     while ifd_off:
-        tags, ifd_off = _read_ifd_at(data, bo, ifd_off)
+        tags, ifd_off = _read_ifd_at(data, bo, ifd_off, big)
         out.append(tags)
         if len(out) > 64:  # corrupt chain guard
             break
@@ -69,8 +90,7 @@ def _read_ifds(data: bytes, bo: str) -> list[dict[int, list]]:
 
 
 def _read_ifd(data: bytes, bo: str) -> dict[int, list]:
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
-    return _read_ifd_at(data, bo, ifd_off)[0]
+    return _read_ifds(data, bo)[0]
 
 
 # ---- TIFF-variant LZW -------------------------------------------------------
@@ -225,9 +245,10 @@ def _undo_predictor(arr: np.ndarray) -> np.ndarray:
 
 
 def _tiff_bo(data: bytes) -> str:
-    if data[:2] == b"II" and data[2:4] == b"*\x00":
+    """Byte order for classic (42) or BigTIFF (43) magic."""
+    if data[:2] == b"II" and data[2] in (42, 43) and data[3] == 0:
         return "<"
-    if data[:2] == b"MM" and data[2:4] == b"\x00*":
+    if data[:2] == b"MM" and data[2] == 0 and data[3] in (42, 43):
         return ">"
     raise ValueError("not a TIFF")
 
@@ -306,31 +327,39 @@ def tiff_decode(data: bytes, ifd: int = 0) -> np.ndarray:
     return np.ascontiguousarray(out.astype(dt.newbyteorder("=")))
 
 
-def _ifd_total_size(entries: list[tuple]) -> int:
+def _ifd_total_size(entries: list[tuple], big: bool = False) -> int:
+    inline = 8 if big else 4
     ext = sum(
         _TYPE_SIZE[typ] * len(vals)
         for _, typ, vals in entries
-        if _TYPE_SIZE[typ] * len(vals) > 4
+        if _TYPE_SIZE[typ] * len(vals) > inline
     )
-    return 2 + 12 * len(entries) + 4 + ext
+    head, esize, tail = (8, 20, 8) if big else (2, 12, 4)
+    return head + esize * len(entries) + tail + ext
 
 
-def _build_ifd(entries: list[tuple], ifd_off: int, nxt: int) -> bytes:
+def _build_ifd(entries: list[tuple], ifd_off: int, nxt: int, big: bool = False) -> bytes:
     """entries: (tag, type, values-list); values too big for the inline
-    4-byte field are appended after the entry table."""
+    field are appended after the entry table.  ``big`` = BigTIFF layout
+    (u64 counts/offsets, 20-byte entries)."""
     entries = sorted(entries)
-    table = struct.pack("<H", len(entries))
+    inline = 8 if big else 4
+    table = struct.pack("<Q" if big else "<H", len(entries))
     ext = bytearray()
-    ext_base = ifd_off + 2 + 12 * len(entries) + 4
+    head, esize = (8, 20) if big else (2, 12)
+    ext_base = ifd_off + head + esize * len(entries) + inline
+    cnt_fmt, off_fmt = ("<HHQ", "<Q") if big else ("<HHI", "<I")
     for tag, typ, vals in entries:
         size = _TYPE_SIZE[typ] * len(vals)
         raw = struct.pack("<" + str(len(vals)) + _TYPE_FMT[typ], *vals)
-        if size <= 4:
-            table += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+        if size <= inline:
+            table += struct.pack(cnt_fmt, tag, typ, len(vals)) + raw.ljust(inline, b"\0")
         else:
-            table += struct.pack("<HHII", tag, typ, len(vals), ext_base + len(ext))
+            table += struct.pack(cnt_fmt, tag, typ, len(vals)) + struct.pack(
+                off_fmt, ext_base + len(ext)
+            )
             ext += raw
-    table += struct.pack("<I", nxt)
+    table += struct.pack(off_fmt, nxt)
     return bytes(table) + bytes(ext)
 
 
@@ -338,10 +367,12 @@ def tiff_encode(
     arr: np.ndarray,
     compression: str = "none",
     geo: tuple[float, float, float, float] | None = None,
+    big: bool = False,
 ) -> bytes:
     """(h, w) or (h, w, spp) → single-strip little-endian TIFF.
     compression: 'none', 'lzw', 'deflate' or 'packbits'.  ``geo`` =
-    (ul_x, ul_y, psx, psy) writes GeoTIFF placement tags."""
+    (ul_x, ul_y, psx, psy) writes GeoTIFF placement tags.  ``big``
+    emits BigTIFF (version 43, 64-bit offsets — tiles past 4 GB)."""
     arr = np.asarray(arr)
     kinds = {"u": 1, "i": 2, "f": 3}
     ok = {("u", 1), ("u", 2), ("i", 2), ("i", 4), ("f", 4), ("f", 8)}
@@ -386,12 +417,22 @@ def tiff_encode(
     ]
     if geo is not None:
         entries += _geo_entries(geo)
-    data_off = 8 + _ifd_total_size(entries)
+    if big:
+        # BigTIFF: strip offset/count as LONG8
+        entries = [
+            (t, 16 if t in (_STRIP_OFF, _STRIP_CNT) else ty, v)
+            for t, ty, v in entries
+        ]
+        ifd0 = 16
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd0)
+    else:
+        ifd0 = 8
+        header = struct.pack("<2sHI", b"II", 42, ifd0)
+    data_off = ifd0 + _ifd_total_size(entries, big)
     entries = [
         (t, ty, [data_off] if t == _STRIP_OFF else v) for t, ty, v in entries
     ]
-    header = struct.pack("<2sHI", b"II", 42, 8)
-    return header + _build_ifd(entries, 8, 0) + payload
+    return header + _build_ifd(entries, ifd0, 0, big) + payload
 
 
 # ---- COG-style export -------------------------------------------------------
