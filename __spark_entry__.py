@@ -451,6 +451,30 @@ def q_doc_stopwords(spark, sf_dir):
     )
 
 
+def q_pivot_events(spark, sf_dir):
+    # §2.4 pivot: per-user event-type counts as columns (explicit value
+    # list so the plan is a single pass, no distinct-scan)
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = e.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    # §2.7 JSON scalar functions: extract props.k, aggregate per type
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.count("k").alias("n_k"),
+        )
+    )
+
+
 def q_doc_langid(spark, sf_dir):
     # heuristic language ID (stopword-hit argmax, tie order en>de>fr>es)
     from veranda_spark.functions.text import lang_id
@@ -878,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_stopwords": q_doc_stopwords,
         "doc_langid": q_doc_langid,
+        "pivot_events": q_pivot_events,
+        "json_extract": q_json_extract,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
@@ -1195,6 +1221,21 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
                WHERE t IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')) AS de_hits
             FROM documents
+        """,
+        "pivot_events": r"""
+            SELECT user_id,
+                   cast(count(CASE WHEN event_type = 'click' THEN 1 END) AS bigint) AS n_click,
+                   cast(count(CASE WHEN event_type = 'error' THEN 1 END) AS bigint) AS n_error,
+                   cast(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bigint) AS n_purchase,
+                   cast(count(CASE WHEN event_type = 'signup' THEN 1 END) AS bigint) AS n_signup,
+                   cast(count(CASE WHEN event_type = 'view' THEN 1 END) AS bigint) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "json_extract": r"""
+            SELECT event_type,
+                   cast(sum(cast(props->>'k' AS integer)) AS bigint) AS sum_k,
+                   cast(count(cast(props->>'k' AS integer)) AS bigint) AS n_k
+            FROM events GROUP BY event_type
         """,
         "doc_langid": r"""
             WITH hits AS (
