@@ -118,3 +118,43 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert read_tiles(spark, base, as_of=ts_between).count() == n1
     with pytest.raises(ValueError, match="unknown run_id"):
         read_tiles(spark, base, as_of="nope").count()
+
+
+def test_streaming_burn_in_exactly_once(spark, tmp_path):
+    from veranda_spark.io.lineage import write_tiles_checkpointed
+    from veranda_spark.streaming.append import burn_in_stream, stream_images
+
+    src = str(tmp_path / "drop")
+    base = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # epoch 1: 120 images
+    generate_images(spark, 120).write.mode("append").parquet(src)
+    q = burn_in_stream(stream_images(spark, src), GRID, base, ckpt)
+    q.awaitTermination(120)
+    n_gen1 = read_tiles(spark, base, mode="all").count()
+    assert n_gen1 > 0
+
+    # epoch 2: more images (re-running the drained stream picks up only
+    # the new files — the availableNow resume)
+    generate_images(spark, 300, seed=43).write.mode("append").parquet(src)
+    q = burn_in_stream(stream_images(spark, src), GRID, base, ckpt)
+    q.awaitTermination(120)
+    all_rows = read_tiles(spark, base, mode="all")
+    assert all_rows.count() > n_gen1
+    # every (tile, run) generation appears exactly once
+    dup = (
+        all_rows.groupBy("tile_id", "run_id").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    # latest mode: one row per tile
+    latest = read_tiles(spark, base, mode="latest")
+    assert latest.count() == latest.select("tile_id").distinct().count()
+
+    # crash-replay of an epoch is a no-op (scope="run" anti-join)
+    tiles1 = burn_in(generate_images(spark, 120), GRID, per_layer=False)
+    runs = {r["run_id"] for r in all_rows.select("run_id").distinct().collect()}
+    first_run = sorted(runs)[0]
+    replay = write_tiles_checkpointed(tiles1, base, run_id=first_run, scope="run")
+    assert replay["written"] == 0
+    assert read_tiles(spark, base, mode="all").count() == all_rows.count()

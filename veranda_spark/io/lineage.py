@@ -48,6 +48,7 @@ def write_tiles_checkpointed(
     lossy_fmt: str | None = None,
     min_psnr: float | None = 40.0,
     grid=None,
+    scope: str = "table",
 ) -> dict:
     """Write burn-in output partitioned by tile_id with lineage records.
 
@@ -73,10 +74,30 @@ def write_tiles_checkpointed(
     writes record NULL psnr (not NaN).  Returns counters
     {written, skipped} where skipped = tiles already committed in the
     lineage (computed from the lineage table alone — the pixel pipeline
-    is executed exactly once)."""
+    is executed exactly once).
+
+    ``scope`` controls the resume anti-join: "table" (default) skips
+    tiles committed by ANY run — overwrite/one-shot semantics; "run"
+    skips only tiles committed by THIS run_id — append semantics where
+    each run adds its own generation of tiles (streaming micro-batches:
+    a crash-replay of the same batch is a no-op, while other batches'
+    tiles are untouched).
+    """
+    if scope not in ("table", "run"):
+        raise ValueError(f"scope {scope!r}")
     spark = tiles.sparkSession
     run_id = run_id or f"run_{int(time.time() * 1000)}"
-    done = completed_tiles(spark, base)
+    if scope == "run":
+        lin = read_lineage(spark, base)
+        done = (
+            None
+            if lin is None
+            else lin.filter(
+                (F.col("status") == "done") & (F.col("run_id") == run_id)
+            ).select("tile_id").distinct()
+        )
+    else:
+        done = completed_tiles(spark, base)
     n_done = 0 if done is None else done.count()
     todo = tiles if done is None else tiles.join(done, "tile_id", "left_anti")
     if lossy_fmt is not None:
@@ -191,18 +212,25 @@ def snapshots(spark: SparkSession, base: str) -> DataFrame:
 
 
 def read_tiles(
-    spark: SparkSession, base: str, as_of: str | float | None = None
+    spark: SparkSession,
+    base: str,
+    as_of: str | float | None = None,
+    mode: str = "latest",
 ) -> DataFrame:
     """Read back the tiled sink (partition pruning on tile_id applies).
 
-    Only lineage-committed rows are visible: the newest 'done' run per
-    tile wins (a broadcast-sized dim — one row per tile), so orphan rows
-    from a crash between the data and lineage appends never surface.
+    Only lineage-committed rows are visible, so orphan rows from a crash
+    between the data and lineage appends never surface.  ``mode``:
+    "latest" (default) — the newest 'done' run per tile wins (overwrite
+    semantics); "all" — every committed (tile_id, run_id) generation is
+    returned (append semantics: streaming micro-batch layers).
 
     ``as_of`` time-travels the read (Iceberg snapshot semantics on top of
     the run_id commit protocol): a run_id string pins the table as of
     that run's commit; a float unix timestamp pins it as of that instant.
     Runs committed later are invisible — including tiles they added."""
+    if mode not in ("latest", "all"):
+        raise ValueError(f"mode {mode!r}")
     data = spark.read.parquet(os.path.join(base, "tiles"))
     lin = read_lineage(spark, base)
     if lin is None or "run_id" not in data.columns:
@@ -221,6 +249,9 @@ def read_tiles(
         else:
             cutoff = float(as_of)
         done = done.filter(F.col("completed_at") <= cutoff)
+    if mode == "all":
+        committed = done.select("tile_id", "run_id").distinct()
+        return data.join(F.broadcast(committed), ["tile_id", "run_id"])
     latest = done.groupBy("tile_id").agg(
         F.max_by("run_id", "completed_at").alias("run_id")
     )

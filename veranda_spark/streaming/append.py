@@ -128,3 +128,39 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def burn_in_stream(
+    stream: DataFrame,
+    grid: RegularGrid,
+    base: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental tile burn-in with exactly-once commits (§2.8 + the
+    north rule's 'killed job resumes without recomputing completed
+    tiles', in STREAMING form).
+
+    foreachBatch: every micro-batch of image rows burns into per-tile
+    canvases and commits through the lineage run_id protocol with
+    run_id = the batch id and scope="run" — a crash-replay of the same
+    epoch anti-joins its own committed tiles away (idempotent), while
+    other batches' generations are untouched.  Read back with
+    ``read_tiles(mode="all")`` (each batch is one generation of layers)
+    or ``mode="latest"`` (newest generation per tile wins).
+    """
+    from veranda_spark.io.lineage import write_tiles_checkpointed
+    from veranda_spark.operators.raster import burn_in
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        tiles = burn_in(batch_df, grid, per_layer=False)
+        write_tiles_checkpointed(
+            tiles, base, run_id=f"b{int(batch_id):09d}", scope="run"
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
