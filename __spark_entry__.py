@@ -529,6 +529,16 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    # pretraining context-window chunking: overlapping token windows,
+    # all-JVM (split -> sequence -> explode -> slice)
+    from veranda_spark.operators.sample import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, window=40, overlap=8)
+    return out.select("doc_id", "chunk_id", F.col("n_tok").cast("int").alias("n_tok"))
+
+
 def q_phash_neardup(spark, sf_dir):
     # perceptual-hash image near-dup (input_hint's phash:int64 column),
     # pigeonhole block join + exact bit_count re-check — oracle-checkable
@@ -908,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
         "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
         "hash_split": q_hash_split,
         # embeddings
         "select_bbox": q_select_bbox,
@@ -1266,6 +1277,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 30
                         THEN 1 ELSE 0 END AS len_ok
             FROM documents
+        """,
+        "doc_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
+              FROM documents
+            )
+            SELECT doc_id, cast(start/32 AS bigint) AS chunk_id,
+                   cast(len(tokens[start+1 : start+40]) AS integer) AS n_tok
+            FROM toks, unnest(generate_series(0, len(tokens)-1, 32)) AS g(start)
         """,
         "stratified_sample": r"""
             SELECT doc_id, lang FROM (

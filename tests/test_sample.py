@@ -58,3 +58,26 @@ def test_hash_split_matches_python_and_is_stable(spark, docs):
 def test_hash_split_rejects_bad_weights(spark, docs):
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(docs, {"a": 0.5, "b": 0.6})
+
+
+def test_chunk_documents_matches_python(spark):
+    from veranda_spark.operators.sample import chunk_documents
+
+    rows = [(0, " ".join(f"t{i}" for i in range(10))), (1, "one"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tok"])
+        for r in chunk_documents(df, window=4, overlap=1).collect()
+    }
+    want = {}
+    for did, text in rows:
+        toks = text.split()
+        step = 3
+        for start in range(0, len(toks), step):
+            piece = toks[start : start + 4]
+            want[(did, start // step)] = (" ".join(piece), len(piece))
+    assert got == want
+    # overlap: consecutive chunks share `overlap` tokens
+    assert got[(0, 0)][0].split()[-1] == got[(0, 1)][0].split()[0]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, window=4, overlap=4)

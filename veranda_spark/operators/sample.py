@@ -67,3 +67,39 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    pretraining context-window prep step): chunk i covers tokens
+    [i·step, i·step + window) with step = window - overlap.
+
+    All JVM Column ops — split → sequence of starts → explode → slice;
+    no UDF, so chunking runs inside whole-stage codegen and the explode
+    is the only row amplification (factor ≈ n_tokens / step)."""
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window (got {overlap}, {window})")
+    step = window - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = (
+        df.withColumn("_toks", toks)
+        .withColumn(
+            "_start",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(step))
+            ),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_start") / step).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("_toks", F.col("_start") + 1, window)).alias("chunk"),
+            F.size(F.slice("_toks", F.col("_start") + 1, window)).alias("n_tok"),
+        )
+    )
+    return out
