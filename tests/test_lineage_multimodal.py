@@ -158,3 +158,36 @@ def test_streaming_burn_in_exactly_once(spark, tmp_path):
     replay = write_tiles_checkpointed(tiles1, base, run_id=first_run, scope="run")
     assert replay["written"] == 0
     assert read_tiles(spark, base, mode="all").count() == all_rows.count()
+
+
+def test_compact_tiles(spark, tmp_path):
+    from veranda_spark.io.lineage import compact_tiles, snapshots
+    from veranda_spark.streaming.append import burn_in_stream, stream_images
+
+    src = str(tmp_path / "drop")
+    base = str(tmp_path / "sink")
+    # several streaming epochs -> several files per hot tile
+    for seed, n in ((1, 80), (2, 150), (3, 220)):
+        generate_images(spark, n, seed=seed).write.mode("append").parquet(src)
+        q = burn_in_stream(stream_images(spark, src), GRID, base,
+                           str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+    before = {
+        (r["tile_id"], bytes(r["bytes"])) for r in
+        read_tiles(spark, base, mode="latest").select("tile_id", "bytes").collect()
+    }
+    stats = compact_tiles(spark, base)
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["files_after"] == stats["tiles"]  # one file per tile
+    after = {
+        (r["tile_id"], bytes(r["bytes"])) for r in
+        read_tiles(spark, base, mode="latest").select("tile_id", "bytes").collect()
+    }
+    assert after == before  # latest generation is preserved bit-for-bit
+    # history is expired: one snapshot, the compact run
+    snaps = snapshots(spark, base).collect()
+    assert len(snaps) == 1 and snaps[0]["run_id"] == stats["run_id"]
+    # the sink still accepts new runs afterwards
+    t = burn_in(generate_images(spark, 40, seed=9), GRID, per_layer=False)
+    out = write_tiles_checkpointed(t, base, run_id="post", scope="run")
+    assert out["written"] > 0

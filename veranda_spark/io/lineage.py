@@ -256,3 +256,78 @@ def read_tiles(
         F.max_by("run_id", "completed_at").alias("run_id")
     )
     return data.join(F.broadcast(latest), ["tile_id", "run_id"])
+
+
+def compact_tiles(spark: SparkSession, base: str, run_id: str | None = None) -> dict:
+    """Small-file compaction + history expiry (Iceberg rewrite-data-files
+    / expire-snapshots analog).  Many append runs (streaming micro-batches,
+    resumed jobs) leave one small parquet file per run per tile; at 10^12
+    scale that file count dominates scan planning.  This rewrites the sink
+    to the CURRENT generation only — one task (= one file) per tile — and
+    replaces the lineage with a single compact commit.
+
+    Staged swap, never in-place: the compacted table and lineage are
+    written to a sibling directory, then directory renames make the swap;
+    a crash before the final rename leaves the original sink untouched.
+    Time travel to pre-compaction runs is expired by design (that is what
+    'expire snapshots' means) — snapshot history restarts at the compact
+    run.  On an object store replace the renames with a catalog pointer
+    swap."""
+    import shutil
+
+    run_id = run_id or f"compact_{int(time.time() * 1000)}"
+    cur = read_tiles(spark, base, mode="latest").withColumn("run_id", F.lit(run_id))
+    tiles_dir = os.path.join(base, "tiles")
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = _count_files(tiles_dir)
+    tmp = base + ".compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed compaction: discard
+    (
+        cur.repartition("tile_id")
+        .write.mode("overwrite")
+        .partitionBy("tile_id")
+        .parquet(os.path.join(tmp, "tiles"))
+    )
+    staged = spark.read.parquet(os.path.join(tmp, "tiles"))
+    n_tiles = staged.select("tile_id").distinct().count()
+    lineage = (
+        staged.groupBy("tile_id", "tile_row", "tile_col")
+        .agg(F.sum(F.col("n_images").cast("long")).alias("n_images"))
+        .select(
+            "tile_id",
+            "tile_row",
+            "tile_col",
+            "n_images",
+            F.lit(run_id).alias("run_id"),
+            F.lit("done").alias("status"),
+            F.lit(None).cast("double").alias("psnr"),
+            F.lit(time.time()).alias("completed_at"),
+        )
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(tmp, "_lineage"))
+    # swap: retire the old generation, promote the staged one
+    old = base + ".pre_compact"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.makedirs(old)
+    os.rename(tiles_dir, os.path.join(old, "tiles"))
+    os.rename(lineage_path(base), os.path.join(old, "_lineage"))
+    os.rename(os.path.join(tmp, "tiles"), tiles_dir)
+    os.rename(os.path.join(tmp, "_lineage"), lineage_path(base))
+    shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "run_id": run_id,
+        "tiles": n_tiles,
+        "files_before": files_before,
+        "files_after": _count_files(tiles_dir),
+    }
