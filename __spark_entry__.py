@@ -451,6 +451,34 @@ def q_doc_stopwords(spark, sf_dir):
     )
 
 
+def q_median_price(spark, sf_dir):
+    # §2.4 exact percentile: per-priority median order price (interpolated
+    # median of two doubles is bit-identical across engines)
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("med_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_range_window(spark, sf_dir):
+    # §2.5 RANGE frame: events per user in the trailing 10 minutes
+    # (integer count over a time-range frame — order-independent)
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_10m"),
+    )
+
+
 def q_pivot_events(spark, sf_dir):
     # §2.4 pivot: per-user event-type counts as columns (explicit value
     # list so the plan is a single pass, no distinct-scan)
@@ -913,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stopwords": q_doc_stopwords,
         "doc_langid": q_doc_langid,
         "pivot_events": q_pivot_events,
+        "median_price": q_median_price,
+        "range_window": q_range_window,
         "json_extract": q_json_extract,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
@@ -1232,6 +1262,21 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
                WHERE t IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')) AS de_hits
             FROM documents
+        """,
+        "median_price": r"""
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.5) AS med_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "range_window": r"""
+            SELECT event_id, user_id,
+                   count(*) OVER (
+                     PARTITION BY user_id
+                     ORDER BY cast(epoch(ts) AS bigint)
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+                   ) AS n_trailing_10m
+            FROM events
         """,
         "pivot_events": r"""
             SELECT user_id,
