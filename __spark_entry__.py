@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from veranda_spark.grid import RegularGrid
-from veranda_spark.cells import cell_id, cell_id_sql
+from veranda_spark.cells import cell_id, cell_id_sql, zorder_key_sql
 
 # ---- shared derivations -----------------------------------------------------
 
@@ -448,6 +448,22 @@ def q_doc_stopwords(spark, sf_dir):
         "doc_id",
         stopword_hits(F.col("text"), "en").alias("en_hits"),
         stopword_hits(F.col("text"), "de").alias("de_hits"),
+    )
+
+
+def q_zorder_cells(spark, sf_dir):
+    # Morton/Z-order clustering key (the Iceberg Z-ORDER BY analog):
+    # interleave tile (row, col) bits JVM-side — rows sorted by this key
+    # are spatially clustered, so row-group min/max stats prune 2-D scans
+    from veranda_spark.cells import zorder_key
+
+    p = _points(spark, sf_dir)
+    return p.select(
+        "point_id",
+        zorder_key(
+            F.floor(F.col("py") / 256).cast("long"),
+            F.floor(F.col("px") / 256).cast("long"),
+        ).alias("z_key"),
     )
 
 
@@ -942,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "pivot_events": q_pivot_events,
         "median_price": q_median_price,
+        "zorder_cells": q_zorder_cells,
         "range_window": q_range_window,
         "json_extract": q_json_extract,
         "doc_quality": q_doc_quality,
@@ -1262,6 +1279,12 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(DISTINCT t) FROM unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
                WHERE t IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')) AS de_hits
             FROM documents
+        """,
+        "zorder_cells": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT point_id,
+                   {zorder_key_sql("cast(floor(py/256) as bigint)", "cast(floor(px/256) as bigint)")} AS z_key
+            FROM pts
         """,
         "median_price": r"""
             SELECT o_orderpriority,

@@ -116,3 +116,38 @@ def cell_id_sql(px_col_expr: str, px_row_expr: str, res: int) -> str:
         f"+ (cast(floor(({px_row_expr}) / {size}) as bigint) + {CELL_OFFSET}) * {1 << 29} "
         f"+ (cast(floor(({px_col_expr}) / {size}) as bigint) + {CELL_OFFSET}))"
     )
+
+
+def _spread_bits16(x: Column) -> Column:
+    """Spread the low 16 bits of x to even bit positions (0,2,4,...,30)
+    — the classic morton-code magic-mask ladder, all JVM bit ops."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(col_a: Column, col_b: Column) -> Column:
+    """Morton / Z-order interleave of two 16-bit non-negative ints into a
+    32-bit key: bit i of a lands at 2i+1, bit i of b at 2i.  Rows sorted
+    by this key are spatially clustered, so parquet row-group min/max
+    statistics prune 2-D range scans — the Iceberg/Delta Z-ORDER BY
+    analog, as a plain Column expression."""
+    return F.shiftleft(_spread_bits16(col_a.cast("long")), 1).bitwiseOR(
+        _spread_bits16(col_b.cast("long"))
+    )
+
+
+def zorder_key_sql(a_expr: str, b_expr: str) -> str:
+    """ANSI-SQL rendering of zorder_key for the DuckDB oracle."""
+
+    def spread(e: str) -> str:
+        # BIGINT throughout: DuckDB << raises on INT32 overflow
+        s = f"(cast(({e}) as bigint) & 65535)"
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            s = f"(({s} | ({s} << {shift})) & {mask})"
+        return s
+
+    return f"(({spread(a_expr)} << 1) | {spread(b_expr)})"

@@ -56,3 +56,29 @@ def partitions_scanned(df: DataFrame) -> int:
     m = re.search(r"partition filters: \[[^\]]*\]", plan_str)
     # fall back to inputFiles which reflects pruning for static filters
     return len(df.inputFiles())
+
+
+def write_zordered(
+    df,
+    path: str,
+    a_col: str = "tile_row",
+    b_col: str = "tile_col",
+    n_files: int | None = None,
+) -> None:
+    """Z-order-clustered parquet write (Iceberg/Delta Z-ORDER BY analog):
+    range-partition + sort on the morton key of (a_col, b_col) so each
+    output file covers a compact 2-D region — parquet min/max stats on
+    a_col/b_col then prune spatial range scans to a few files instead of
+    all of them.  The key is dropped before write; clustering lives in
+    the file layout, not the schema."""
+    from veranda_spark.cells import zorder_key
+
+    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        df.withColumn("_z", zorder_key(F.col(a_col), F.col(b_col)))
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
