@@ -519,6 +519,22 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_pii_scan(spark, sf_dir):
+    # PII / boilerplate scan: per-doc email and URL counts + a redaction
+    # sample length (regexes chosen to behave identically in Java regex
+    # and DuckDB RE2)
+    from veranda_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    n_em, n_url = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_url.alias("n_urls"),
+        F.length(redact_pii(F.col("text"))).alias("redacted_len"),
+    )
+
+
 def q_doc_langid(spark, sf_dir):
     # heuristic language ID (stopword-hit argmax, tie order en>de>fr>es)
     from veranda_spark.functions.text import lang_id
@@ -956,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_stopwords": q_doc_stopwords,
         "doc_langid": q_doc_langid,
+        "pii_scan": q_pii_scan,
         "pivot_events": q_pivot_events,
         "median_price": q_median_price,
         "zorder_cells": q_zorder_cells,
@@ -1315,6 +1332,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(props->>'k' AS integer)) AS bigint) AS sum_k,
                    cast(count(cast(props->>'k' AS integer)) AS bigint) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "pii_scan": r"""
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS integer) AS n_emails,
+                   cast(len(regexp_extract_all(text, 'https?://[^\s]+')) AS integer) AS n_urls,
+                   cast(length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), 'https?://[^\s]+', '<URL>', 'g')) AS integer) AS redacted_len
+            FROM documents
         """,
         "doc_langid": r"""
             WITH hits AS (

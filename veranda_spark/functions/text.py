@@ -192,3 +192,25 @@ def simhash64(hashes: pd.Series) -> pd.Series:
 def hamming64(a: Column, b: Column) -> Column:
     """Bit count of XOR — SimHash distance (bit_count is built-in)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_urls) per document — the standard pretraining PII /
+    boilerplate scan, as JVM regexp_extract_all counts (both patterns
+    behave identically in Spark's Java regex and DuckDB's RE2, so the
+    scan is oracle-checkable)."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails/URLs with placeholder tokens (the filter side of
+    the scan)."""
+    t = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, URL_RE, "<URL>")
