@@ -150,3 +150,20 @@ def test_cog_roundtrip_property(h, w, tile, f, seed):
     np.testing.assert_array_equal(tiff_decode(blob), arr)
     ov = tiff_decode(blob, ifd=1)
     assert ov.shape == ((h + f - 1) // f, (w + f - 1) // f)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    base=st.integers(-(2**63), 2**63 - 1),
+    bits=st.lists(st.integers(0, 63), min_size=0, max_size=3, unique=True),
+)
+def test_pigeonhole_block_share_property(base, bits):
+    # any pair with hamming <= 3 must share at least one 16-bit block —
+    # the completeness guarantee behind simhash_pairs / phash_neardup_pairs
+    a = base & (2**64 - 1)
+    b = a
+    for bit in bits:
+        b ^= 1 << bit
+    blocks_a = [(a >> (i * 16)) & 0xFFFF for i in range(4)]
+    blocks_b = [(b >> (i * 16)) & 0xFFFF for i in range(4)]
+    assert any(x == y for x, y in zip(blocks_a, blocks_b))
