@@ -177,7 +177,8 @@ def test_phash_neardup_radius_guard(spark):
         phash_neardup_pairs(df, max_hamming=4, n_blocks=4)
 
 
-def test_ivf_pq_topk_recall(spark, embeddings):
+@pytest.mark.parametrize("residual", [True, False])
+def test_ivf_pq_topk_recall(spark, embeddings, residual):
     from veranda_spark.operators.ann import ivf_pq_topk
 
     qs = embeddings.filter(F.col("vec_id") < 5).select(
@@ -186,7 +187,7 @@ def test_ivf_pq_topk_recall(spark, embeddings):
     exact = brute_force_topk(embeddings, qs, k=5).collect()
     approx = ivf_pq_topk(
         embeddings, qs, k=5, nlist=8, nprobe=4, m=8, ncodes=16, refine=4,
-        sample_rows=200,
+        sample_rows=200, residual=residual,
     ).collect()
     ex = {(r["query_id"], r["vec_id"]) for r in exact}
     ap = {(r["query_id"], r["vec_id"]) for r in approx}

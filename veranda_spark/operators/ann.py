@@ -130,8 +130,8 @@ def ivf_topk(
 
 def _train_pq(sample: np.ndarray, m: int, ncodes: int, seed: int = 42) -> np.ndarray:
     """Per-subspace codebooks, shape (m, ncodes, dim//m) — k-means per
-    subspace on the training sample (raw vectors, not residuals; documented
-    simplification fine for unit-norm embeddings)."""
+    subspace on the training sample (raw vectors or residuals, depending
+    on what the caller passes)."""
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -160,8 +160,15 @@ def ivf_pq_topk(
     query_id: str = "query_id",
     query_emb: str = "embedding",
     seed: int = 42,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k with exact re-rank.
+
+    ``residual=True`` (default, the standard IVF-PQ form) quantizes
+    (vector − cell centroid) so the codebooks only need to span the
+    within-cell spread — better recall per code byte; the query LUT is
+    then per (query, probed cell).  ``residual=False`` quantizes raw
+    vectors with a single LUT per query.
 
     Plan (each stage is the one you'd run at 10^12 vectors):
       1. encode: corpus → (vec_id, cell, codes[m]) via one Arrow pass —
@@ -182,35 +189,62 @@ def ivf_pq_topk(
     )
     centroids = _kmeans(sample, nlist, seed=seed)
     ncodes = min(ncodes, max(2, len(sample) // 4))
-    books = _train_pq(sample, m, ncodes, seed=seed)  # (m, ncodes, sub)
+    if residual:
+        assign = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)
+        train = sample - centroids[assign]
+    else:
+        train = sample
+    books = _train_pq(train, m, ncodes, seed=seed)  # (m, ncodes, sub)
     dim = sample.shape[1]
     sub = dim // m
+
+    def _subspace_codes(mat: np.ndarray) -> np.ndarray:
+        codes = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            s = mat[:, j * sub : (j + 1) * sub]
+            dj = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = dj.argmin(1)
+        return codes
 
     @F.pandas_udf("cell int, codes array<int>")
     def encode(emb: pd.Series) -> pd.DataFrame:
         mat = np.stack(emb.to_numpy())
         d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
         cell = d.argmin(1).astype("int32")
-        codes = np.empty((len(mat), m), dtype="int32")
-        for j in range(m):
-            s = mat[:, j * sub : (j + 1) * sub]
-            dj = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-            codes[:, j] = dj.argmin(1)
+        codes = _subspace_codes(mat - centroids[cell] if residual else mat)
         return pd.DataFrame({"cell": cell, "codes": list(codes)})
 
-    def probe_lut(emb: pd.Series) -> pd.DataFrame:
-        mat = np.stack(emb.to_numpy())
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        cells = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
-        luts = np.empty((len(mat), m * ncodes), dtype="float64")
+    def _lut_of(vecs: np.ndarray) -> np.ndarray:
+        luts = np.empty((len(vecs), m * ncodes), dtype="float64")
         for j in range(m):
-            s = mat[:, j * sub : (j + 1) * sub]
+            s = vecs[:, j * sub : (j + 1) * sub]
             luts[:, j * ncodes : (j + 1) * ncodes] = (
                 (s[:, None, :] - books[j][None, :, :]) ** 2
             ).sum(-1)
-        return pd.DataFrame({"cells": list(cells), "lut": list(luts)})
+        return luts
 
-    probe = F.pandas_udf(probe_lut, "cells array<int>, lut array<double>")
+    def probe_lut(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        cells = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
+        out = []
+        for i in range(len(mat)):
+            probes = []
+            if residual:
+                res = mat[i][None, :] - centroids[cells[i]]  # (nprobe, dim)
+                luts = _lut_of(res)
+                for k_, cell in enumerate(cells[i]):
+                    probes.append({"cell": int(cell), "lut": list(luts[k_])})
+            else:
+                lut = _lut_of(mat[i][None, :])[0]
+                for cell in cells[i]:
+                    probes.append({"cell": int(cell), "lut": list(lut)})
+            out.append(probes)
+        return pd.Series(out)
+
+    probe = F.pandas_udf(
+        probe_lut, "array<struct<cell: int, lut: array<double>>>"
+    )
 
     enc = c.select("vec_id", encode(F.col("emb")).alias("e")).select(
         "vec_id", "e.cell", "e.codes"
@@ -219,9 +253,9 @@ def ivf_pq_topk(
         F.col(query_id).alias("query_id"),
         F.col(query_emb).cast("array<double>").alias("qemb"),
     )
-    qp = q0.select("query_id", "qemb", probe(F.col("qemb")).alias("p")).select(
-        "query_id", "qemb", F.explode("p.cells").alias("cell"), F.col("p.lut").alias("lut")
-    )
+    qp = q0.select(
+        "query_id", "qemb", F.explode(probe(F.col("qemb"))).alias("p")
+    ).select("query_id", "qemb", F.col("p.cell").alias("cell"), F.col("p.lut").alias("lut"))
     # ADC: JVM-side lookup-table sum over the m code entries
     adc_terms = F.transform(
         F.col("codes"),
