@@ -191,3 +191,35 @@ def test_compact_tiles(spark, tmp_path):
     t = burn_in(generate_images(spark, 40, seed=9), GRID, per_layer=False)
     out = write_tiles_checkpointed(t, base, run_id="post", scope="run")
     assert out["written"] > 0
+
+
+def test_compact_keep_history_vacuums_orphans(spark, tmp_path):
+    import os
+
+    from veranda_spark.io.lineage import compact_tiles, snapshots
+
+    base = str(tmp_path / "sink")
+    for i, n in enumerate((60, 150)):
+        t = burn_in(generate_images(spark, n, seed=i), GRID, per_layer=False)
+        write_tiles_checkpointed(t, base, run_id=f"r{i}", scope="run")
+    committed = read_tiles(spark, base, mode="all").count()
+    snaps_before = {r["run_id"]: r["n_tiles"] for r in snapshots(spark, base).collect()}
+
+    # simulate a crash AFTER the data append, BEFORE the lineage commit:
+    # orphan rows on disk that no commit record covers
+    orphan = burn_in(generate_images(spark, 40, seed=7), GRID, per_layer=False)
+    (orphan.withColumn("run_id", F.lit("crashed"))
+           .write.mode("append").partitionBy("tile_id")
+           .parquet(os.path.join(base, "tiles")))
+    raw_before = spark.read.parquet(os.path.join(base, "tiles")).count()
+    assert raw_before > committed  # orphans exist on disk
+    assert read_tiles(spark, base, mode="all").count() == committed  # invisible
+
+    stats = compact_tiles(spark, base, keep_history=True)
+    raw_after = spark.read.parquet(os.path.join(base, "tiles")).count()
+    assert raw_after == committed  # orphans vacuumed
+    assert stats["files_after"] == stats["tiles"]
+    # history preserved: same snapshots, time travel still works
+    snaps_after = {r["run_id"]: r["n_tiles"] for r in snapshots(spark, base).collect()}
+    assert snaps_after == snaps_before
+    assert read_tiles(spark, base, as_of="r0").count() == snaps_before["r0"]

@@ -258,7 +258,12 @@ def read_tiles(
     return data.join(F.broadcast(latest), ["tile_id", "run_id"])
 
 
-def compact_tiles(spark: SparkSession, base: str, run_id: str | None = None) -> dict:
+def compact_tiles(
+    spark: SparkSession,
+    base: str,
+    run_id: str | None = None,
+    keep_history: bool = False,
+) -> dict:
     """Small-file compaction + history expiry (Iceberg rewrite-data-files
     / expire-snapshots analog).  Many append runs (streaming micro-batches,
     resumed jobs) leave one small parquet file per run per tile; at 10^12
@@ -271,12 +276,22 @@ def compact_tiles(spark: SparkSession, base: str, run_id: str | None = None) -> 
     a crash before the final rename leaves the original sink untouched.
     Time travel to pre-compaction runs is expired by design (that is what
     'expire snapshots' means) — snapshot history restarts at the compact
-    run.  On an object store replace the renames with a catalog pointer
-    swap."""
+    run.  ``keep_history=True`` instead compacts EVERY committed
+    generation into one file per tile and keeps the lineage verbatim —
+    snapshots/time travel still work, and crash-orphan rows (data rows
+    whose commit record never landed) are vacuumed because only
+    lineage-committed rows are staged.  On an object store replace the
+    renames with a catalog pointer swap."""
     import shutil
 
     run_id = run_id or f"compact_{int(time.time() * 1000)}"
-    cur = read_tiles(spark, base, mode="latest").withColumn("run_id", F.lit(run_id))
+    if keep_history:
+        cur = read_tiles(spark, base, mode="all")
+        old_lineage = read_lineage(spark, base).filter(F.col("status") == "done")
+    else:
+        cur = read_tiles(spark, base, mode="latest").withColumn(
+            "run_id", F.lit(run_id)
+        )
     tiles_dir = os.path.join(base, "tiles")
 
     def _count_files(d: str) -> int:
@@ -299,20 +314,23 @@ def compact_tiles(spark: SparkSession, base: str, run_id: str | None = None) -> 
     )
     staged = spark.read.parquet(os.path.join(tmp, "tiles"))
     n_tiles = staged.select("tile_id").distinct().count()
-    lineage = (
-        staged.groupBy("tile_id", "tile_row", "tile_col")
-        .agg(F.sum(F.col("n_images").cast("long")).alias("n_images"))
-        .select(
-            "tile_id",
-            "tile_row",
-            "tile_col",
-            "n_images",
-            F.lit(run_id).alias("run_id"),
-            F.lit("done").alias("status"),
-            F.lit(None).cast("double").alias("psnr"),
-            F.lit(time.time()).alias("completed_at"),
+    if keep_history:
+        lineage = old_lineage
+    else:
+        lineage = (
+            staged.groupBy("tile_id", "tile_row", "tile_col")
+            .agg(F.sum(F.col("n_images").cast("long")).alias("n_images"))
+            .select(
+                "tile_id",
+                "tile_row",
+                "tile_col",
+                "n_images",
+                F.lit(run_id).alias("run_id"),
+                F.lit("done").alias("status"),
+                F.lit(None).cast("double").alias("psnr"),
+                F.lit(time.time()).alias("completed_at"),
+            )
         )
-    )
     lineage.write.mode("overwrite").parquet(os.path.join(tmp, "_lineage"))
     # swap: retire the old generation, promote the staged one
     old = base + ".pre_compact"
