@@ -613,6 +613,27 @@ def q_phash_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_neardup_groups(spark, sf_dir):
+    # transitive near-dup grouping: phash pairs -> connected components ->
+    # survivor counts (rows-only: iterative label propagation has no SQL
+    # oracle; correctness is pytest-asserted vs union-find)
+    from veranda_spark.operators.dedup import (
+        connected_components,
+        phash_neardup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("phash")
+    )
+    pairs = phash_neardup_pairs(d, max_hamming=1, id_col="doc_id")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
 # ---- embeddings / ANN ---------------------------------------------------------
 
 
@@ -981,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
+        "neardup_groups": q_neardup_groups,
         "stratified_sample": q_stratified_sample,
         "doc_chunks": q_doc_chunks,
         "hash_split": q_hash_split,

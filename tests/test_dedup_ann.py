@@ -198,3 +198,50 @@ def test_ivf_pq_topk_recall(spark, embeddings, residual):
         key = (r["query_id"], r["vec_id"])
         if key in ex_cos:
             assert abs(r["cos"] - ex_cos[key]) < 1e-9
+
+
+def test_connected_components_vs_union_find(spark):
+    from veranda_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_first_neardup,
+    )
+
+    rng = np.random.default_rng(19)
+    # random graph over 200 nodes: chains + cliques + isolated pairs
+    edges = set()
+    for i in range(0, 50):  # chain 0-1-2-...-50
+        edges.add((i, i + 1))
+    for base in (100, 110, 120):  # 5-cliques
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.add((base + i, base + j))
+    for _ in range(40):  # random pairs
+        a, b = rng.integers(130, 200, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    pdf = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(pdf).collect()}
+
+    # union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+    # survivor rule: exactly one doc per component survives
+    nodes = sorted(want)
+    docs = spark.createDataFrame([(n, f"text {n}") for n in nodes] + [(9999, "solo")],
+                                 "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup_keep_first_neardup(docs, pdf).collect()}
+    assert kept == set(want.values()) | {9999}

@@ -277,3 +277,83 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → (node, component) where
+    component = the smallest node id reachable from node.  Near-dup
+    PAIRS under-specify dedup: if A~B and B~C, all three are one group
+    even when A~C never surfaced — survivor selection needs components.
+
+    Min-label propagation WITH pointer doubling: each round every node
+    takes the min label in its neighborhood, then compresses label →
+    label-of-label (path halving), so even a pure chain converges in
+    O(log n) rounds instead of O(diameter).  Each round is two shuffles;
+    lineage is truncated with localCheckpoint every round so plans stay
+    flat at web scale.  Raises if max_iter rounds do not converge."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        upd = labels.join(neigh, labels["node"] == neigh["src"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: label <- label(label) (labels cover every node)
+        parents = upd.select(
+            F.col("node").alias("lnode"), F.col("label").alias("llabel")
+        )
+        new_labels = (
+            upd.join(parents, upd["label"] == parents["lnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("llabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_keep_first_neardup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop all near-duplicates except the smallest id of each connected
+    component (the survivor rule of exact dedup, extended to transitive
+    near-dup groups).  Rows that appear in no pair survive untouched."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
