@@ -47,6 +47,19 @@ HEADLINE = [
     "image_features",
 ]
 
+#: informational (non-headline, not part of the cross-round metric):
+#: round-2 operator families, timed once in the shared session
+NEWOP = [
+    "phash_neardup",
+    "stratified_sample",
+    "hash_split",
+    "doc_chunks",
+    "pivot_events",
+    "zorder_cells",
+    "ann_ivfpq",
+    "tile_algebra",
+]
+
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000"))
 SCALE_PARTITIONS = 128
 # finer grid than the query GRID: parallelism must come from tiles at scale
@@ -361,6 +374,11 @@ def main() -> None:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
+    newop_timings: dict[str, float] = {}
+    for name in NEWOP:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()
+        newop_timings[name] = round(time.monotonic() - t0, 3)
     mh_micro = minhash_micro(spark, sf_dir)
     spark.stop()
     stop_spark()
@@ -372,6 +390,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "newop_queries": newop_timings,
         "minhash_micro": mh_micro,
     }
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
