@@ -333,6 +333,12 @@ def write_bench_md(result: dict) -> None:
             f"\nHeadline per-query seconds at sf={result['sf']}: "
             f"{json.dumps(result['queries'])}\n"
             + (
+                f"\nRound-2 operator families (informational, same session) at "
+                f"sf={result['sf']}: {json.dumps(result['newop_queries'])}\n"
+                if result.get("newop_queries")
+                else ""
+            )
+            + (
                 "\n## MinHash signature micro-bench\n\n"
                 f"{json.dumps(result['minhash_micro'])}\n\n"
                 "Same session, same cached web-page-length shingle arrays,\n"
