@@ -911,6 +911,15 @@ def q_rollup_orders(spark, sf_dir):
     )
 
 
+def q_cube_orders(spark, sf_dir):
+    # §2.4 grouping sets: full CUBE over (status, priority)
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+    )
+
+
 def q_quicklook(spark, sf_dir):
     from veranda_spark.fixtures import generate_images
     from veranda_spark.operators.raster import quicklook
@@ -1012,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_cell": q_parent_cell,
         "running_window": q_running_window,
         "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
         "quicklook": q_quicklook,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1212,6 +1222,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS rev
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus, cast(sum(l_quantity) as double) AS sum_qty,
