@@ -91,3 +91,27 @@ def test_wkb_roundtrip_and_sink(spark, tmp_path):
 
     pd_df = polygons_df(spark, {"t": [(0, 0), (1, 0), (0, 1)]})
     assert pd_df.count() == 1
+
+
+def test_wkb_multiring_roundtrip_and_pip(spark):
+    from veranda_spark.io.vector import parse_wkb_rings, with_xy_rings, wkb_polygon
+    from veranda_spark.operators.joins import pip_join_table
+
+    outer = [(100.0, 100.0), (900.0, 100.0), (900.0, 900.0), (100.0, 900.0)]
+    hole = [(400.0, 400.0), (600.0, 400.0), (600.0, 600.0), (400.0, 600.0)]
+    blob = wkb_polygon([outer, hole])
+    kind, rings = parse_wkb_rings(blob)
+    assert kind == "polygon" and len(rings) == 2
+    assert rings[0][0] == (100.0, 100.0) and rings[0][-1] == (100.0, 100.0)
+
+    # GeoParquet-style table -> rings column -> PIP join, end to end
+    gdf = spark.createDataFrame(
+        [("donut", bytearray(blob))], "polygon_id string, geometry binary"
+    )
+    polys = with_xy_rings(gdf).drop("geometry")
+    pts = spark.createDataFrame(
+        [(1, 200.5, 200.5), (2, 500.5, 500.5), (3, 950.5, 950.5)],
+        "point_id long, px double, py double",
+    )
+    got = {r["point_id"] for r in pip_join_table(pts, polys).collect()}
+    assert got == {1}  # 2 in the hole, 3 outside
