@@ -1410,11 +1410,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
-              FROM documents
+              FROM documents WHERE trim(text) <> ''
+            ), bounds AS (
+              SELECT doc_id, tokens,
+                     CASE WHEN len(tokens) <= 40 THEN 0
+                          ELSE 32 * cast(ceil((len(tokens) - 40) / 32.0) AS bigint)
+                     END AS max_start
+              FROM toks
             )
             SELECT doc_id, cast(start/32 AS bigint) AS chunk_id,
                    cast(len(tokens[start+1 : start+40]) AS integer) AS n_tok
-            FROM toks, unnest(generate_series(0, len(tokens)-1, 32)) AS g(start)
+            FROM bounds, unnest(generate_series(0, max_start, 32)) AS g(start)
         """,
         "stratified_sample": r"""
             SELECT doc_id, lang FROM (

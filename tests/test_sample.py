@@ -63,20 +63,36 @@ def test_hash_split_rejects_bad_weights(spark, docs):
 def test_chunk_documents_matches_python(spark):
     from veranda_spark.operators.sample import chunk_documents
 
-    rows = [(0, " ".join(f"t{i}" for i in range(10))), (1, "one"), (2, "a b")]
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(10))),
+        (1, "one"),
+        (2, "a b"),
+        (3, " ".join(f"u{i}" for i in range(5))),  # window < n <= window+step-overlap edge
+        (4, "   "),  # whitespace-only: no chunks
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    window, overlap = 4, 1
+    step = window - overlap
     got = {
         (r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tok"])
-        for r in chunk_documents(df, window=4, overlap=1).collect()
+        for r in chunk_documents(df, window=window, overlap=overlap).collect()
     }
     want = {}
     for did, text in rows:
         toks = text.split()
-        step = 3
-        for start in range(0, len(toks), step):
-            piece = toks[start : start + 4]
+        if not toks:
+            continue
+        n = len(toks)
+        max_start = 0 if n <= window else step * -(-(n - window) // step)
+        for start in range(0, max_start + 1, step):
+            piece = toks[start : start + window]
             want[(did, start // step)] = (" ".join(piece), len(piece))
     assert got == want
+    # no chunk fully contained in its predecessor, no phantom empty chunks
+    assert all(k[0] != 4 for k in got)
+    for (did, cid), (_, n_tok) in got.items():
+        if cid > 0:
+            assert n_tok > overlap, (did, cid)
     # overlap: consecutive chunks share `overlap` tokens
     assert got[(0, 0)][0].split()[-1] == got[(0, 1)][0].split()[0]
     with pytest.raises(ValueError, match="overlap"):

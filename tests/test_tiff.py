@@ -386,3 +386,12 @@ def test_bigtiff_geo_roundtrip():
     blob = tiff_encode(arr, geo=(70.0, -30.0, 0.25, 0.25), big=True)
     assert tiff_geotrans(blob) == (70.0, 0.25, 0.0, -30.0, 0.0, -0.25)
     np.testing.assert_array_equal(tiff_decode(blob), arr)
+
+
+def test_tiff_long_dimension_tags():
+    # >65535-wide image: dimension tags must be LONG, not SHORT
+    # (use a 1-px-tall strip so the test stays cheap)
+    arr = np.zeros((1, 70000), dtype=np.uint8)
+    for big in (False, True):
+        out = tiff_decode(tiff_encode(arr, compression="deflate", big=big))
+        assert out.shape == (1, 70000)

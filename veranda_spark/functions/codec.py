@@ -178,9 +178,16 @@ def lossy_decode(data: bytes) -> np.ndarray:
 # ---- format dispatch ------------------------------------------------------
 
 
-def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+#: formats whose encode→decode round trip is bit-exact (PSNR gates and
+#: dtype guards only apply to truly lossy codecs)
+LOSSLESS_FMTS = {"raw", "png", "tiff", "tiff_lzw", "tiff_deflate", "tiff_packbits", "cog"}
+
+
+def encode_image(arr: np.ndarray, fmt: str, geo=None) -> bytes:
     """Array → payload bytes.  'raw' = C-order bytes of the storage dtype
-    (shape carried by the table's w/h columns); 'png' = lossless PNG."""
+    (shape carried by the table's w/h columns); 'png' = lossless PNG.
+    ``geo`` = (ul_x, ul_y, psx, psy) embeds GeoTIFF placement tags on the
+    TIFF-family formats (ignored elsewhere)."""
     if fmt == "raw":
         return np.ascontiguousarray(arr).tobytes()
     if fmt == "png":
@@ -190,15 +197,15 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "tiff":
         from veranda_spark.functions.tiff import tiff_encode
 
-        return tiff_encode(arr)
+        return tiff_encode(arr, geo=geo)
     if fmt in ("tiff_lzw", "tiff_deflate", "tiff_packbits"):
         from veranda_spark.functions.tiff import tiff_encode
 
-        return tiff_encode(arr, compression=fmt[5:])
+        return tiff_encode(arr, compression=fmt[5:], geo=geo)
     if fmt == "cog":
         from veranda_spark.functions.tiff import tiff_encode_cog
 
-        return tiff_encode_cog(arr)
+        return tiff_encode_cog(arr, geo=geo)
     raise NotImplementedError(f"fmt {fmt!r} (jpeg decode needs a codec lib; stubbed)")
 
 

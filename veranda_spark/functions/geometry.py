@@ -153,3 +153,22 @@ def polygon_area(poly: np.ndarray) -> float:
     p = np.asarray(poly, dtype="float64")
     x, y = p[:, 0], p[:, 1]
     return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def is_ring_list_column(df, xy_col: str) -> bool:
+    """True when ``xy_col`` holds a ring LIST (array<array<array<double>>>,
+    holes/multipolygons) rather than a single ring — shared schema probe
+    for pip_join_table / zonal_stats_table."""
+    from pyspark.sql import types as T
+
+    elem = df.schema[xy_col].dataType.elementType
+    return isinstance(elem, T.ArrayType) and isinstance(elem.elementType, T.ArrayType)
+
+
+def spec_to_rings(spec, multi_ring: bool) -> list[np.ndarray]:
+    """Arrow row value of an xy column → list of (N,2) float64 ring arrays."""
+    if multi_ring:
+        return [
+            np.asarray([list(v) for v in ring], dtype="float64") for ring in spec
+        ]
+    return [np.asarray([list(v) for v in spec], dtype="float64")]

@@ -403,15 +403,18 @@ def tiff_encode(
     elif compression != "none":
         raise ValueError(f"compression {compression!r}")
 
+    # SHORT only fits 16 bits — dimensions past 65535 (the whole point of
+    # BigTIFF) must be LONG
+    dim_t = 4 if (w > 0xFFFF or h > 0xFFFF) else 3
     entries = [
-        (_W, 3, [w]),
-        (_H, 3, [h]),
+        (_W, dim_t, [w]),
+        (_H, dim_t, [h]),
         (_BITS, 3, [bits]),
         (_COMP, 3, [comp]),
         (_PHOTO, 3, [1]),  # BlackIsZero
         (_STRIP_OFF, 4, [0]),  # patched below
         (_SPP, 3, [spp]),
-        (_ROWS_PER_STRIP, 3, [h]),
+        (_ROWS_PER_STRIP, dim_t, [h]),
         (_STRIP_CNT, 4, [len(payload)]),
         (_SFMT, 3, [sfmt]),
     ]

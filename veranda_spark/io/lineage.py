@@ -106,11 +106,14 @@ def write_tiles_checkpointed(
         import numpy as np
         import pandas as pd
 
-        from veranda_spark.functions.codec import decode_image, encode_image, psnr
+        from veranda_spark.functions.codec import (
+            LOSSLESS_FMTS,
+            decode_image,
+            encode_image,
+            psnr,
+        )
 
         out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in todo.schema) + ", psnr double, fmt string"
-
-        lossless_fmts = {"tiff", "tiff_lzw", "tiff_deflate", "tiff_packbits", "cog"}
 
         def reencode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -123,7 +126,7 @@ def write_tiles_checkpointed(
                         )
                     canvas = np.frombuffer(row.bytes, dtype=row.dtype).reshape(row.h, row.w)
                     if canvas.dtype not in (np.dtype("uint8"), np.dtype("uint16")) and (
-                        lossy_fmt not in lossless_fmts
+                        lossy_fmt not in LOSSLESS_FMTS
                     ):
                         # lossless TIFF round-trips any supported dtype
                         # bit-exactly; the uint gate only protects truly
@@ -132,26 +135,17 @@ def write_tiles_checkpointed(
                             f"lossy fmt {lossy_fmt!r} supports uint8/uint16 canvases, "
                             f"got {canvas.dtype} for tile {row.tile_id}"
                         )
-                    if grid is not None and lossy_fmt in lossless_fmts:
-                        from veranda_spark.functions.tiff import (
-                            tiff_encode,
-                            tiff_encode_cog,
-                        )
-
-                        geo = (
+                    geo = (
+                        (
                             grid.ul_x + int(row.tile_col) * grid.tile_cols * grid.psx,
                             grid.ul_y - int(row.tile_row) * grid.tile_rows * grid.psy,
                             grid.psx,
                             grid.psy,
                         )
-                        if lossy_fmt == "cog":
-                            enc = tiff_encode_cog(canvas, geo=geo)
-                        elif lossy_fmt == "tiff":
-                            enc = tiff_encode(canvas, geo=geo)
-                        else:
-                            enc = tiff_encode(canvas, compression=lossy_fmt[5:], geo=geo)
-                    else:
-                        enc = encode_image(canvas, lossy_fmt)
+                        if grid is not None
+                        else None
+                    )
+                    enc = encode_image(canvas, lossy_fmt, geo=geo)
                     dec = decode_image(enc, lossy_fmt, row.h, row.w)
                     peak = 255.0 if canvas.dtype == np.dtype("uint8") else 65535.0
                     p = min(psnr(canvas.astype("float64"), dec.astype("float64"), peak), 1e9)
@@ -287,7 +281,13 @@ def compact_tiles(
     run_id = run_id or f"compact_{int(time.time() * 1000)}"
     if keep_history:
         cur = read_tiles(spark, base, mode="all")
-        old_lineage = read_lineage(spark, base).filter(F.col("status") == "done")
+        lin = read_lineage(spark, base)
+        if lin is None:
+            raise FileNotFoundError(
+                f"keep_history compaction needs a lineage table at "
+                f"{lineage_path(base)}"
+            )
+        old_lineage = lin.filter(F.col("status") == "done")
     else:
         cur = read_tiles(spark, base, mode="latest").withColumn(
             "run_id", F.lit(run_id)

@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 
 from veranda_spark.cells import cell_id, pack_cell, ring_cells
 from veranda_spark.functions.geometry import (
+    is_ring_list_column,
     points_in_polygon,
     points_in_rings,
     polygon_bbox,
+    spec_to_rings,
 )
 
 
@@ -135,13 +137,8 @@ def pip_join_table(
 
     ``xy_col`` is one ring (array<array<double>>) or a ring LIST (holes /
     multipolygons, even-odd) — detected from the column's nesting depth."""
-    from pyspark.sql import types as _T
-
     size = 1 << res
-    elem = polygons.schema[xy_col].dataType.elementType
-    multi_ring = isinstance(elem, _T.ArrayType) and isinstance(
-        elem.elementType, _T.ArrayType
-    )
+    multi_ring = is_ring_list_column(polygons, xy_col)
     flat_xy = F.flatten(F.col(xy_col)) if multi_ring else F.col(xy_col)
     xs = F.transform(flat_xy, lambda v: F.element_at(v, 1))
     ys = F.transform(flat_xy, lambda v: F.element_at(v, 2))
@@ -176,15 +173,11 @@ def pip_join_table(
             m = (pid == p).to_numpy()
             first = int(np.flatnonzero(m)[0])
             spec = xy.iloc[first]
+            rings = spec_to_rings(spec, multi_ring)
             if multi_ring:
-                rings = [
-                    np.asarray([np.asarray(v, dtype="float64") for v in ring])
-                    for ring in spec
-                ]
                 out[m] = points_in_rings(xv[m], yv[m], rings)
             else:
-                poly = np.asarray([np.asarray(v, dtype="float64") for v in spec])
-                out[m] = points_in_polygon(xv[m], yv[m], poly)
+                out[m] = points_in_polygon(xv[m], yv[m], rings[0])
         return pd.Series(out)
 
     return cand.filter(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from veranda_spark.cells import cover_cells, pack_cell
 from veranda_spark.functions.codec import decode_image
 from veranda_spark.functions.geometry import (
+    spec_to_rings,
     points_in_polygon,
     polygon_pixel_mask,
     rings_pixel_mask,
@@ -635,14 +636,11 @@ def zonal_stats_table(
     or a ring LIST (holes / multipolygons, even-odd semantics) — detected
     from the column's nesting depth.
     """
-    from pyspark.sql import types as _T
+    from veranda_spark.functions.geometry import is_ring_list_column
 
     size = 1 << res
     id_col = "image_id" if "image_id" in df.columns else df.columns[0]
-    elem = polygons.schema[xy_col].dataType.elementType
-    multi_ring = isinstance(elem, _T.ArrayType) and isinstance(
-        elem.elementType, _T.ArrayType
-    )
+    multi_ring = is_ring_list_column(polygons, xy_col)
     flat_xy = F.flatten(F.col(xy_col)) if multi_ring else F.col(xy_col)
     img_cover = df.select(
         F.col(id_col).alias("_img"),
@@ -695,13 +693,7 @@ def zonal_stats_table(
                 arr = _maybe_decode_values(arr, row, auto_decode)
                 for entry in row.zonal_polys:
                     pid, xy = entry["_pid"], entry["_xy"]
-                    if multi_ring:
-                        rings = [
-                            np.asarray([list(v) for v in ring], dtype="float64")
-                            for ring in xy
-                        ]
-                    else:
-                        rings = [np.asarray([list(v) for v in xy], dtype="float64")]
+                    rings = spec_to_rings(xy, multi_ring)
                     p = _zonal_partial(arr, rings, grid_args, row)
                     if p is not None:
                         out.append((str(pid),) + p)

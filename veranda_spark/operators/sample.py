@@ -82,18 +82,27 @@ def chunk_documents(
 
     All JVM Column ops — split → sequence of starts → explode → slice;
     no UDF, so chunking runs inside whole-stage codegen and the explode
-    is the only row amplification (factor ≈ n_tokens / step)."""
+    is the only row amplification (factor ≈ n_tokens / step).
+
+    Start generation stops at the first start that reaches EOF: the last
+    chunk is the smallest start whose window covers the final token, so
+    no chunk is fully contained in its predecessor (a 460-token doc at
+    window=512 yields exactly one chunk).  Whitespace-only documents
+    yield no chunks."""
     if not 0 <= overlap < window:
         raise ValueError(f"need 0 <= overlap < window (got {overlap}, {window})")
     step = window - overlap
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size("_toks")
+    max_start = F.when(n <= window, F.lit(0)).otherwise(
+        F.lit(step) * F.floor((n - window + step - 1) / step)
+    )
     out = (
-        df.withColumn("_toks", toks)
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("_toks", toks)
         .withColumn(
             "_start",
-            F.explode(
-                F.sequence(F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(step))
-            ),
+            F.explode(F.sequence(F.lit(0), max_start.cast("int"), F.lit(step))),
         )
         .select(
             F.col(id_col),
