@@ -209,6 +209,7 @@ def test_compact_keep_history_vacuums_orphans(spark, tmp_path):
     # orphan rows on disk that no commit record covers
     orphan = burn_in(generate_images(spark, 40, seed=7), GRID, per_layer=False)
     (orphan.withColumn("run_id", F.lit("crashed"))
+           .withColumn("attempt_id", F.lit("deadbeef"))
            .write.mode("append").partitionBy("tile_id")
            .parquet(os.path.join(base, "tiles")))
     raw_before = spark.read.parquet(os.path.join(base, "tiles")).count()
@@ -223,3 +224,94 @@ def test_compact_keep_history_vacuums_orphans(spark, tmp_path):
     snaps_after = {r["run_id"]: r["n_tiles"] for r in snapshots(spark, base).collect()}
     assert snaps_after == snaps_before
     assert read_tiles(spark, base, as_of="r0").count() == snaps_before["r0"]
+
+
+def test_replay_after_partial_crash_never_duplicates(spark, tmp_path):
+    # THE deterministic-run_id crash window: the data append of batch
+    # "b1" lands, the lineage commit does not, then streaming replays
+    # the same batch.  Attempt-scoped commits must keep exactly ONE copy
+    # visible.
+    import os
+
+    base = str(tmp_path / "sink")
+    tiles = burn_in(generate_images(spark, 100, seed=3), GRID, per_layer=False).cache()
+    n_tiles = tiles.count()
+
+    # simulate the half-written first attempt: data rows present
+    # (with their own attempt id), no lineage commit
+    (tiles.withColumn("run_id", F.lit("b1"))
+          .withColumn("attempt_id", F.lit("attempt_crashed"))
+          .write.mode("append").partitionBy("tile_id")
+          .parquet(os.path.join(base, "tiles")))
+
+    # the replay: same run_id, scope="run" — sees no commit, rewrites all
+    out = write_tiles_checkpointed(tiles, base, run_id="b1", scope="run")
+    assert out["written"] == n_tiles
+
+    back = read_tiles(spark, base, mode="all")
+    assert back.count() == n_tiles  # one visible copy, not two
+    assert back.groupBy("tile_id").count().filter("count > 1").count() == 0
+    assert read_tiles(spark, base, mode="latest").count() == n_tiles
+    # the crashed attempt's rows are on disk but never visible
+    raw = spark.read.parquet(os.path.join(base, "tiles"))
+    assert raw.count() == 2 * n_tiles
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    import os
+    import shutil
+
+    from veranda_spark.io.lineage import lineage_path, recover_compaction
+
+    base = str(tmp_path / "sink")
+    t = burn_in(generate_images(spark, 80, seed=2), GRID, per_layer=False)
+    write_tiles_checkpointed(t, base, run_id="r0")
+    golden = {
+        (r["tile_id"], bytes(r["bytes"])) for r in
+        read_tiles(spark, base).select("tile_id", "bytes").collect()
+    }
+
+    def snapshot_dirs():
+        shutil.copytree(base, base + ".orig")
+
+    def restore_dirs():
+        shutil.rmtree(base)
+        shutil.copytree(base + ".orig", base)
+        shutil.rmtree(base + ".orig")
+
+    # crash state A: marker written, tiles retired, nothing promoted
+    snapshot_dirs()
+    old = base + ".pre_compact"
+    os.makedirs(old)
+    open(base + ".compact_marker", "w").write("rX")
+    os.rename(os.path.join(base, "tiles"), os.path.join(old, "tiles"))
+    assert recover_compaction(base) == "rolled_back"
+    got = {(r["tile_id"], bytes(r["bytes"])) for r in
+           read_tiles(spark, base).select("tile_id", "bytes").collect()}
+    assert got == golden
+    restore_dirs()
+
+    # crash state B: tiles promoted from staging, lineage not yet — the
+    # silent-wrong-data hazard; rollback restores BOTH originals
+    snapshot_dirs()
+    os.makedirs(os.path.join(old, ""), exist_ok=True)
+    open(base + ".compact_marker", "w").write("rX")
+    os.rename(os.path.join(base, "tiles"), os.path.join(old, "tiles"))
+    os.rename(lineage_path(base), os.path.join(old, "_lineage"))
+    # a fake promoted staging dir takes tiles' place
+    os.makedirs(os.path.join(base, "tiles"))
+    assert recover_compaction(base) == "rolled_back"
+    got = {(r["tile_id"], bytes(r["bytes"])) for r in
+           read_tiles(spark, base).select("tile_id", "bytes").collect()}
+    assert got == golden
+    restore_dirs()
+
+    # crash state C: everything promoted, marker not yet removed -> forward
+    open(base + ".compact_marker", "w").write("rX")
+    assert recover_compaction(base) == "rolled_forward"
+    assert not os.path.exists(base + ".compact_marker")
+    got = {(r["tile_id"], bytes(r["bytes"])) for r in
+           read_tiles(spark, base).select("tile_id", "bytes").collect()}
+    assert got == golden
+    # no pending swap: a plain call is a no-op
+    assert recover_compaction(base) is None

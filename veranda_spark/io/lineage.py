@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
     "tile_id string, tile_row long, tile_col long, n_images long, "
-    "run_id string, status string, psnr double, completed_at double"
+    "run_id string, attempt_id string, status string, psnr double, "
+    "completed_at double"
 )
 
 
@@ -82,11 +83,21 @@ def write_tiles_checkpointed(
     each run adds its own generation of tiles (streaming micro-batches:
     a crash-replay of the same batch is a no-op, while other batches'
     tiles are untouched).
+
+    Every write additionally stamps a fresh ``attempt_id``; the lineage
+    commit records it and ``read_tiles`` joins on (tile_id, run_id,
+    attempt_id).  This closes the deterministic-run_id replay window:
+    if a data append lands but the crash precedes the lineage append,
+    the replay (same run_id, NEW attempt) commits its own rows and the
+    half-written attempt's rows stay invisible forever — no duplicates.
     """
+    import uuid
+
     if scope not in ("table", "run"):
         raise ValueError(f"scope {scope!r}")
     spark = tiles.sparkSession
     run_id = run_id or f"run_{int(time.time() * 1000)}"
+    attempt_id = uuid.uuid4().hex[:16]
     if scope == "run":
         lin = read_lineage(spark, base)
         done = (
@@ -162,7 +173,11 @@ def write_tiles_checkpointed(
                 yield pdf
 
         todo = todo.mapInPandas(reencode, schema=out_schema)
-    todo = todo.withColumn("run_id", F.lit(run_id)).cache()
+    todo = (
+        todo.withColumn("run_id", F.lit(run_id))
+        .withColumn("attempt_id", F.lit(attempt_id))
+        .cache()
+    )
     n_todo = todo.count()
     if n_todo:
         (
@@ -176,6 +191,7 @@ def write_tiles_checkpointed(
             "tile_col",
             F.col("n_images").cast("long").alias("n_images"),
             F.lit(run_id).alias("run_id"),
+            F.lit(attempt_id).alias("attempt_id"),
             F.lit("done").alias("status"),
             (
                 F.col("psnr") if lossy_fmt is not None else F.lit(None).cast("double")
@@ -243,13 +259,73 @@ def read_tiles(
         else:
             cutoff = float(as_of)
         done = done.filter(F.col("completed_at") <= cutoff)
+    # attempt-scoped commits (see write_tiles_checkpointed): join on the
+    # attempt too when both sides carry it, so a half-written attempt of
+    # a replayed run can never surface alongside the committed one
+    keys = ["tile_id", "run_id"]
+    if "attempt_id" in data.columns and "attempt_id" in lin.columns:
+        keys.append("attempt_id")
     if mode == "all":
-        committed = done.select("tile_id", "run_id").distinct()
-        return data.join(F.broadcast(committed), ["tile_id", "run_id"])
-    latest = done.groupBy("tile_id").agg(
-        F.max_by("run_id", "completed_at").alias("run_id")
+        committed = done.select(*keys).distinct()
+        return data.join(F.broadcast(committed), keys)
+    val_keys = [k for k in keys if k != "tile_id"]
+    latest = (
+        done.groupBy("tile_id")
+        .agg(F.max_by(F.struct(*val_keys), "completed_at").alias("_s"))
+        .select("tile_id", *[F.col(f"_s.{k}").alias(k) for k in val_keys])
     )
-    return data.join(F.broadcast(latest), ["tile_id", "run_id"])
+    return data.join(F.broadcast(latest), keys)
+
+
+def recover_compaction(base: str) -> str | None:
+    """Recover a sink from an interrupted compaction swap.
+
+    compact_tiles stages everything first, then drops a MARKER file and
+    performs the directory renames; this function (called automatically
+    at the start of every compact_tiles, and safe to call any time) uses
+    the marker to either roll FORWARD (all renames finished — just
+    clean up) or roll BACK (restore the retired originals).  Returns
+    "rolled_forward", "rolled_back", or None when no swap was pending.
+    Staging leftovers from a crash before the marker existed are
+    discarded — the original sink was never touched at that point."""
+    import shutil
+
+    tmp = base + ".compacting"
+    old_dir = base + ".pre_compact"
+    marker = base + ".compact_marker"
+    tiles_dir = os.path.join(base, "tiles")
+    if not os.path.exists(marker):
+        for d in (tmp, old_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        return None
+    swap_done = (
+        not os.path.exists(os.path.join(tmp, "tiles"))
+        and not os.path.exists(os.path.join(tmp, "_lineage"))
+        and os.path.exists(tiles_dir)
+        and os.path.exists(lineage_path(base))
+    )
+    if swap_done:
+        for d in (tmp, old_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        os.remove(marker)
+        return "rolled_forward"
+    # roll back: whatever originals were retired into old_dir go back;
+    # any staged piece already promoted into base is discarded
+    if os.path.exists(os.path.join(old_dir, "tiles")):
+        if os.path.exists(tiles_dir):
+            shutil.rmtree(tiles_dir)
+        os.rename(os.path.join(old_dir, "tiles"), tiles_dir)
+    if os.path.exists(os.path.join(old_dir, "_lineage")):
+        if os.path.exists(lineage_path(base)):
+            shutil.rmtree(lineage_path(base))
+        os.rename(os.path.join(old_dir, "_lineage"), lineage_path(base))
+    for d in (tmp, old_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.remove(marker)
+    return "rolled_back"
 
 
 def compact_tiles(
@@ -266,8 +342,12 @@ def compact_tiles(
     replaces the lineage with a single compact commit.
 
     Staged swap, never in-place: the compacted table and lineage are
-    written to a sibling directory, then directory renames make the swap;
-    a crash before the final rename leaves the original sink untouched.
+    written to a sibling directory, then directory renames make the swap
+    under a marker file — a crash at ANY point is recoverable: before
+    the marker the original sink was never touched, and with the marker
+    present ``recover_compaction`` (run automatically on the next
+    compaction) rolls the swap back to the originals or forward to the
+    completed state.
     Time travel to pre-compaction runs is expired by design (that is what
     'expire snapshots' means) — snapshot history restarts at the compact
     run.  ``keep_history=True`` instead compacts EVERY committed
@@ -278,6 +358,8 @@ def compact_tiles(
     renames with a catalog pointer swap."""
     import shutil
 
+    recover_compaction(base)  # roll back/forward any interrupted swap
+    marker = base + ".compact_marker"
     run_id = run_id or f"compact_{int(time.time() * 1000)}"
     if keep_history:
         cur = read_tiles(spark, base, mode="all")
@@ -289,8 +371,10 @@ def compact_tiles(
             )
         old_lineage = lin.filter(F.col("status") == "done")
     else:
-        cur = read_tiles(spark, base, mode="latest").withColumn(
-            "run_id", F.lit(run_id)
+        cur = (
+            read_tiles(spark, base, mode="latest")
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("attempt_id", F.lit(run_id))
         )
     tiles_dir = os.path.join(base, "tiles")
 
@@ -304,8 +388,6 @@ def compact_tiles(
 
     files_before = _count_files(tiles_dir)
     tmp = base + ".compacting"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # leftover from a crashed compaction: discard
     (
         cur.repartition("tile_id")
         .write.mode("overwrite")
@@ -326,21 +408,24 @@ def compact_tiles(
                 "tile_col",
                 "n_images",
                 F.lit(run_id).alias("run_id"),
+                F.lit(run_id).alias("attempt_id"),
                 F.lit("done").alias("status"),
                 F.lit(None).cast("double").alias("psnr"),
                 F.lit(time.time()).alias("completed_at"),
             )
         )
     lineage.write.mode("overwrite").parquet(os.path.join(tmp, "_lineage"))
-    # swap: retire the old generation, promote the staged one
+    # swap under a marker: recover_compaction can roll an interrupted
+    # sequence back (originals retired into .pre_compact) or forward
     old = base + ".pre_compact"
-    if os.path.exists(old):
-        shutil.rmtree(old)
     os.makedirs(old)
+    with open(marker, "w") as fh:
+        fh.write(run_id)
     os.rename(tiles_dir, os.path.join(old, "tiles"))
     os.rename(lineage_path(base), os.path.join(old, "_lineage"))
     os.rename(os.path.join(tmp, "tiles"), tiles_dir)
     os.rename(os.path.join(tmp, "_lineage"), lineage_path(base))
+    os.remove(marker)
     shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
     return {
