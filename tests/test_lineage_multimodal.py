@@ -315,3 +315,53 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert got == golden
     # no pending swap: a plain call is a no-op
     assert recover_compaction(base) is None
+
+
+def test_attempt_upgrade_transition(spark, tmp_path):
+    # pre-upgrade sink (no attempt_id anywhere) + one post-upgrade write:
+    # legacy committed rows must stay visible, orphans must stay hidden
+    import os
+    import time as _time
+
+    base = str(tmp_path / "sink")
+    legacy = burn_in(generate_images(spark, 80, seed=1), GRID, per_layer=False).cache()
+    n_legacy = legacy.count()
+    (legacy.withColumn("run_id", F.lit("old1"))
+           .write.mode("append").partitionBy("tile_id")
+           .parquet(os.path.join(base, "tiles")))
+    lin_rows = legacy.select(
+        "tile_id", "tile_row", "tile_col",
+        F.col("n_images").cast("long").alias("n_images"),
+        F.lit("old1").alias("run_id"), F.lit("done").alias("status"),
+        F.lit(None).cast("double").alias("psnr"),
+        F.lit(float(_time.time())).alias("completed_at"),
+    )
+    lin_rows.write.mode("append").parquet(os.path.join(base, "_lineage"))
+    assert read_tiles(spark, base, mode="all").count() == n_legacy
+
+    # post-upgrade write adds a new generation with attempt ids
+    extra = burn_in(generate_images(spark, 200, seed=2), GRID, per_layer=False)
+    out = write_tiles_checkpointed(extra, base, run_id="new1", scope="run")
+    assert out["written"] > 0
+    allrows = read_tiles(spark, base, mode="all")
+    assert allrows.filter("run_id = 'old1'").count() == n_legacy  # not lost
+    assert allrows.count() == n_legacy + out["written"]
+    # latest still resolves one row per tile
+    latest = read_tiles(spark, base, mode="latest")
+    assert latest.count() == latest.select("tile_id").distinct().count()
+
+
+def test_compact_requires_lineage(spark, tmp_path):
+    import os
+
+    from veranda_spark.io.lineage import compact_tiles
+
+    base = str(tmp_path / "s")
+    t = burn_in(generate_images(spark, 40), GRID, per_layer=False)
+    t.withColumn("run_id", F.lit("x")).write.mode("append").partitionBy(
+        "tile_id"
+    ).parquet(os.path.join(base, "tiles"))
+    with pytest.raises(FileNotFoundError, match="lineage"):
+        compact_tiles(base=base, spark=spark)
+    # the sink was never touched: raw rows still readable
+    assert spark.read.parquet(os.path.join(base, "tiles")).count() > 0

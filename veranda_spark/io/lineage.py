@@ -28,11 +28,21 @@ def lineage_path(base: str) -> str:
 
 
 def read_lineage(spark: SparkSession, base: str) -> DataFrame | None:
+    """None when the lineage table does not exist yet; any OTHER read
+    failure (corrupt footer after a crash mid-append, FS errors) raises —
+    visibility now depends entirely on the lineage join, so silently
+    treating a broken lineage as absent would surface orphaned attempts
+    as duplicate rows."""
     p = lineage_path(base)
     try:
-        return spark.read.parquet(p)
-    except Exception:
-        return None
+        # mergeSchema: sinks written before the attempt_id upgrade mix
+        # schemas; merged reads give the old rows attempt_id = NULL
+        return spark.read.option("mergeSchema", "true").parquet(p)
+    except Exception as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def completed_tiles(spark: SparkSession, base: str) -> DataFrame | None:
@@ -241,7 +251,9 @@ def read_tiles(
     Runs committed later are invisible — including tiles they added."""
     if mode not in ("latest", "all"):
         raise ValueError(f"mode {mode!r}")
-    data = spark.read.parquet(os.path.join(base, "tiles"))
+    data = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "tiles")
+    )
     lin = read_lineage(spark, base)
     if lin is None or "run_id" not in data.columns:
         if as_of is not None:
@@ -260,21 +272,34 @@ def read_tiles(
             cutoff = float(as_of)
         done = done.filter(F.col("completed_at") <= cutoff)
     # attempt-scoped commits (see write_tiles_checkpointed): join on the
-    # attempt too when both sides carry it, so a half-written attempt of
-    # a replayed run can never surface alongside the committed one
-    keys = ["tile_id", "run_id"]
-    if "attempt_id" in data.columns and "attempt_id" in lin.columns:
-        keys.append("attempt_id")
+    # attempt too, NULL-safely — rows/commits from before the attempt_id
+    # upgrade carry NULL on both sides (mergeSchema) and must keep
+    # matching each other, while a half-written attempt of a replayed
+    # run can never surface alongside the committed one
+    has_attempt = "attempt_id" in data.columns or "attempt_id" in lin.columns
+    if has_attempt:
+        if "attempt_id" not in data.columns:
+            data = data.withColumn("attempt_id", F.lit(None).cast("string"))
+        if "attempt_id" not in lin.columns:
+            done = done.withColumn("attempt_id", F.lit(None).cast("string"))
+    val_keys = ["run_id"] + (["attempt_id"] if has_attempt else [])
+
+    def _join(committed):
+        cond = (data["tile_id"] == committed["tile_id"]) & (
+            data["run_id"] == committed["run_id"]
+        )
+        if has_attempt:
+            cond = cond & data["attempt_id"].eqNullSafe(committed["attempt_id"])
+        return data.join(F.broadcast(committed), cond, "left_semi")
+
     if mode == "all":
-        committed = done.select(*keys).distinct()
-        return data.join(F.broadcast(committed), keys)
-    val_keys = [k for k in keys if k != "tile_id"]
+        return _join(done.select("tile_id", *val_keys).distinct())
     latest = (
         done.groupBy("tile_id")
         .agg(F.max_by(F.struct(*val_keys), "completed_at").alias("_s"))
         .select("tile_id", *[F.col(f"_s.{k}").alias(k) for k in val_keys])
     )
-    return data.join(F.broadcast(latest), keys)
+    return _join(latest)
 
 
 def recover_compaction(base: str) -> str | None:
@@ -359,6 +384,12 @@ def compact_tiles(
     import shutil
 
     recover_compaction(base)  # roll back/forward any interrupted swap
+    if read_lineage(spark, base) is None:
+        # guard BEFORE staging/renames: a lineage-less sink would
+        # otherwise fail mid-swap with tiles already retired
+        raise FileNotFoundError(
+            f"compaction needs a lineage table at {lineage_path(base)}"
+        )
     marker = base + ".compact_marker"
     run_id = run_id or f"compact_{int(time.time() * 1000)}"
     if keep_history:
