@@ -50,3 +50,39 @@ def test_writer_chain_and_export(spark, tmp_path):
     back = read_tiles(spark, str(tmp_path / "out"))
     assert back.count() == 8
     assert set(r["layer_id"] for r in back.select("layer_id").distinct().collect()) == {1, 3}
+
+
+def test_reader_from_sink_roundtrip(spark, tmp_path):
+    # export a mosaic, bind the sink as a register, stitched-read a
+    # window spanning four tiles — pixels equal the original burn-in
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from veranda_spark.api import RasterReader, RasterWriter
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.grid import RegularGrid
+    from veranda_spark.operators.raster import burn_in, read_window
+
+    g = RegularGrid(tile_cols=256, tile_rows=256, n_tile_cols=16, n_tile_rows=8)
+    imgs = generate_images(spark, 400).cache()
+    base = str(tmp_path / "sink")
+    RasterWriter(imgs, g).export(base, run_id="r1", per_layer=False)
+
+    # original full-pipeline window (spans a 2x2 tile neighborhood)
+    want_rows = read_window(imgs, g, 200, 200, 300, 300).collect()
+    want = {
+        (r["var"], r["layer_id"]): np.frombuffer(r["bytes"], dtype=r["dtype"])
+        for r in want_rows
+    }
+    got_rows = (
+        RasterReader.from_sink(spark, base, g)
+        .read(row=200, col=200, height=300, width=300)
+        .collect()
+    )
+    got = {
+        (r["var"], r["layer_id"]): np.frombuffer(r["bytes"], dtype=r["dtype"])
+        for r in got_rows
+    }
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=str(k))

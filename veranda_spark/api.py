@@ -44,6 +44,44 @@ class RasterReader:
     def from_parquet(cls, spark: SparkSession, path: str, grid: RegularGrid) -> "RasterReader":
         return cls(spark.read.parquet(path), grid)
 
+    @classmethod
+    def from_sink(
+        cls,
+        spark: SparkSession,
+        base: str,
+        grid: RegularGrid,
+        as_of=None,
+        mode: str = "latest",
+    ) -> "RasterReader":
+        """Bind a checkpointed tiled sink (write_tiles_checkpointed /
+        RasterWriter.export output) as a register: each committed tile
+        canvas becomes an image row placed at its tile origin, so the
+        full select/read chain — including windows that span tiles —
+        works over exported mosaics.  ``as_of`` / ``mode`` are
+        read_tiles' snapshot controls (time travel, latest vs all
+        generations)."""
+        from pyspark.sql import functions as F
+
+        from veranda_spark.io.lineage import read_tiles
+
+        t = read_tiles(spark, base, as_of=as_of, mode=mode)
+        fmt = F.col("fmt") if "fmt" in t.columns else F.lit("raw")
+        reg = t.select(
+            F.col("run_id").alias("image_id"),
+            F.col("tile_id"),
+            F.col("var"),
+            F.col("layer_id"),
+            F.col("bytes"),
+            F.col("h"),
+            F.col("w"),
+            F.col("channels"),
+            F.col("dtype"),
+            fmt.alias("fmt"),
+            (F.col("tile_row") * grid.tile_rows).alias("px_row0"),
+            (F.col("tile_col") * grid.tile_cols).alias("px_col0"),
+        )
+        return cls(reg, grid)
+
     # ---- select_* family (copy-on-write chaining) ------------------------
 
     def _with(self, df: DataFrame) -> "RasterReader":
