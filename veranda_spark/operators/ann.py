@@ -69,6 +69,21 @@ def _kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 42) -> 
     return centroids
 
 
+def _train_sample(c: DataFrame, sample_rows: int, seed: int) -> np.ndarray:
+    """Deterministic unbiased training sample: order by a seeded hash of
+    the id, not the id itself.  A bare limit picks whatever partitions
+    answer first (run-dependent); an id-ordered take is deterministic but
+    biased toward low ids on id-correlated corpora.  Hash order is both —
+    every row has equal probability of landing in the take, and the same
+    (corpus, seed) always yields the same sample."""
+    rows = (
+        c.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    return np.stack([r["emb"] for r in rows])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -89,14 +104,7 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("emb")
     )
-    # orderBy before limit: a bare limit picks whatever partitions answer
-    # first, making centroids (and the whole index) run-dependent.  The
-    # ordered take keeps training deterministic; sampling bias toward low
-    # ids is documented and harmless for unit-norm synthetic embeddings —
-    # swap in a salted sample for adversarial id-correlated corpora.
-    sample = np.stack(
-        [r["emb"] for r in c.orderBy("vec_id").limit(sample_rows).collect()]
-    )
+    sample = _train_sample(c, sample_rows, seed)
     centroids = _kmeans(sample, nlist, seed=seed)
 
     @F.pandas_udf(T.IntegerType())
@@ -184,9 +192,7 @@ def ivf_pq_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("emb")
     )
-    sample = np.stack(
-        [r["emb"] for r in c.orderBy("vec_id").limit(sample_rows).collect()]
-    )
+    sample = _train_sample(c, sample_rows, seed)
     centroids = _kmeans(sample, nlist, seed=seed)
     ncodes = min(ncodes, max(2, len(sample) // 4))
     if residual:

@@ -214,6 +214,8 @@ def knn_join(
     qx: str = "qx",
     qy: str = "qy",
     max_rounds: int = 4,
+    per_cell_hint: float | None = None,
+    hist_sample: int = 16,
 ) -> DataFrame:
     """k-nearest-neighbors of each query point (north-rule addition; no
     reference analog — SURVEY.md §2.3 J3 note).
@@ -248,15 +250,29 @@ def knn_join(
     # near-empty bbox drives a needlessly large first ring).  The median
     # occupied-cell count is robust to both skew and empty space; the
     # guard radius + brute-force fallback keep correctness independent of
-    # the estimate.
+    # the estimate.  Round-3: the estimate no longer costs a full pass —
+    # callers with a maintained histogram pass per_cell_hint (median rows
+    # per occupied cell); otherwise a deterministic 1-in-hist_sample hash
+    # sample of the point table is histogrammed and scaled back up.  A
+    # wrong estimate only moves work between rounds, never the answer.
     import math
 
-    stats = pts.groupBy("_pcell").count().agg(
-        F.count("*").alias("n_cells"),
-        F.percentile_approx("count", 0.5).alias("p50"),
-    ).collect()[0]
-    if stats["n_cells"]:
-        per_cell = max(float(stats["p50"]), 1e-9)
+    per_cell = per_cell_hint
+    if per_cell is None:
+        spts = pts
+        scale = 1
+        if hist_sample > 1:
+            spts = pts.filter(
+                F.pmod(F.xxhash64("_pid"), F.lit(hist_sample)) == 0
+            )
+            scale = hist_sample
+        stats = spts.groupBy("_pcell").count().agg(
+            F.count("*").alias("n_cells"),
+            F.percentile_approx("count", 0.5).alias("p50"),
+        ).collect()[0]
+        if stats["n_cells"]:
+            per_cell = float(stats["p50"]) * scale
+    if per_cell is not None and per_cell > 0:
         # ring of radius r covers (2r+1)^2 cells; aim for ~3k candidates
         r = max(1, int(math.ceil((math.sqrt(3.0 * k / per_cell) - 1) / 2)))
         r = min(r, 64)
