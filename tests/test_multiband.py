@@ -61,3 +61,40 @@ def test_single_band_unchanged(spark):
     assert t["channels"] == 1
     canvas = np.frombuffer(t["bytes"], dtype=t["dtype"]).reshape(16, 16)
     assert (canvas[0:8, 0:8] == 7).all()
+
+
+def test_multiband_lossless_tiff_sink_roundtrip(spark, tmp_path):
+    # round-3 (ADVICE): the checkpointed sink re-encodes multi-band
+    # canvases with the lossless TIFF family — (h, w, spp) interleaved —
+    # and the decoded canvas is bit-identical
+    from veranda_spark.functions.tiff import tiff_decode
+    from veranda_spark.io.lineage import read_tiles, write_tiles_checkpointed
+
+    df, _, _ = _rgb_rows(spark)
+    tiles = burn_in(df, GRID, per_layer=False)
+    plain = {
+        t["tile_id"]: np.frombuffer(t["bytes"], dtype=t["dtype"]).reshape(
+            t["h"], t["w"], t["channels"]
+        )
+        for t in tiles.collect()
+    }
+    base = str(tmp_path / "sink3")
+    res = write_tiles_checkpointed(tiles, base, run_id="r1", lossy_fmt="tiff_lzw")
+    assert res["written"] > 0
+    for t in read_tiles(spark, base).collect():
+        dec = tiff_decode(bytes(t["bytes"]))
+        assert dec.shape == (t["h"], t["w"], 3)
+        np.testing.assert_array_equal(dec, plain[t["tile_id"]])
+
+
+def test_multiband_lossy_sink_still_rejected(spark, tmp_path):
+    import pytest
+
+    from veranda_spark.io.lineage import write_tiles_checkpointed
+
+    df, _, _ = _rgb_rows(spark)
+    tiles = burn_in(df, GRID, per_layer=False)
+    with pytest.raises(Exception, match="single-band"):
+        write_tiles_checkpointed(
+            tiles, str(tmp_path / "sinkl"), run_id="r1", lossy_fmt="dctq"
+        )

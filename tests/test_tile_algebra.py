@@ -41,3 +41,18 @@ def test_tile_algebra_shape_guard(spark):
 
     with pytest.raises(Exception, match="shape"):
         tile_algebra(a, a, lambda x, y: np.zeros((2, 2))).collect()
+
+
+def test_tile_algebra_misaligned_dims_raise(spark):
+    import pytest
+
+    rect = RegularGrid(tile_cols=256, tile_rows=128, n_tile_cols=16, n_tile_rows=16)
+    a = burn_in(generate_images(spark, 30), rect, per_layer=False)
+    # transpose b's h/w: same byte count, wrong layout — must raise, not
+    # silently reshape
+    swapped = [F.col("w").alias("h") if c == "h"
+               else F.col("h").alias("w") if c == "w"
+               else F.col(c) for c in a.columns]
+    b = a.select(*swapped)
+    with pytest.raises(Exception, match="misaligned"):
+        tile_algebra(a, b, lambda x, y: x - y).collect()

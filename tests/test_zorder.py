@@ -57,3 +57,13 @@ def test_write_zordered_files_are_disjoint_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint
     # nothing lost
     assert spark.read.parquet(path).count() == len(rows)
+
+
+def test_write_zordered_rejects_out_of_range(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 70000, 3), (2, 5, 9)], "row_id long, tile_row long, tile_col long"
+    )
+    with pytest.raises(Exception, match="65535"):
+        write_zordered(df, str(tmp_path / "bad"), n_files=2)

@@ -74,8 +74,22 @@ def write_zordered(
     from veranda_spark.cells import zorder_key
 
     n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # zorder_key interleaves the LOW 16 BITS of each coordinate; larger
+    # values alias onto the same key and the clustering (hence min/max
+    # pruning) silently degrades.  Enforce the precondition up front with
+    # a plan-side assert — no extra pass, it rides the write scan.
+    guard = F.assert_true(
+        (F.col(a_col) >= 0) & (F.col(a_col) <= 0xFFFF)
+        & (F.col(b_col) >= 0) & (F.col(b_col) <= 0xFFFF),
+        F.concat(
+            F.lit(f"write_zordered: {a_col}/{b_col} must be in [0, 65535], got ("),
+            F.col(a_col).cast("string"), F.lit(", "),
+            F.col(b_col).cast("string"), F.lit(")"),
+        ),
+    )
     (
         df.withColumn("_z", zorder_key(F.col(a_col), F.col(b_col)))
+        .withColumn("_zg", guard).filter(F.col("_zg").isNull()).drop("_zg")
         .repartitionByRange(n, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")

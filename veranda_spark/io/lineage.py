@@ -27,6 +27,10 @@ def lineage_path(base: str) -> str:
     return os.path.join(base, "_lineage")
 
 
+def _strip_file_scheme(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
 def read_lineage(spark: SparkSession, base: str) -> DataFrame | None:
     """None when the lineage table does not exist yet; any OTHER read
     failure (corrupt footer after a crash mid-append, FS errors) raises —
@@ -34,15 +38,14 @@ def read_lineage(spark: SparkSession, base: str) -> DataFrame | None:
     treating a broken lineage as absent would surface orphaned attempts
     as duplicate rows."""
     p = lineage_path(base)
-    try:
-        # mergeSchema: sinks written before the attempt_id upgrade mix
-        # schemas; merged reads give the old rows attempt_id = NULL
-        return spark.read.option("mergeSchema", "true").parquet(p)
-    except Exception as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            return None
-        raise
+    # absent-vs-corrupt decided by the filesystem, not by matching
+    # exception text (which varies across Spark versions/locales): a
+    # missing path is None, any read error on an EXISTING path raises.
+    if not os.path.exists(_strip_file_scheme(p)):
+        return None
+    # mergeSchema: sinks written before the attempt_id upgrade mix
+    # schemas; merged reads give the old rows attempt_id = NULL
+    return spark.read.option("mergeSchema", "true").parquet(p)
 
 
 def completed_tiles(spark: SparkSession, base: str) -> DataFrame | None:
@@ -140,12 +143,18 @@ def write_tiles_checkpointed(
             for pdf in it:
                 payloads, psnrs = [], []
                 for row in pdf.itertuples(index=False):
-                    if int(getattr(row, "channels", 1) or 1) != 1:
+                    ch = int(getattr(row, "channels", 1) or 1)
+                    if ch != 1 and lossy_fmt not in LOSSLESS_FMTS:
+                        # the TIFF family writes (h, w, spp) interleaved
+                        # samples losslessly; only truly lossy codecs
+                        # (dctq) are single-band
                         raise ValueError(
-                            "lossy re-encode supports single-band canvases "
-                            f"(tile {row.tile_id} has channels>1)"
+                            f"lossy fmt {lossy_fmt!r} re-encode supports "
+                            f"single-band canvases (tile {row.tile_id} has "
+                            f"channels={ch})"
                         )
-                    canvas = np.frombuffer(row.bytes, dtype=row.dtype).reshape(row.h, row.w)
+                    shape = (row.h, row.w) if ch == 1 else (row.h, row.w, ch)
+                    canvas = np.frombuffer(row.bytes, dtype=row.dtype).reshape(shape)
                     if canvas.dtype not in (np.dtype("uint8"), np.dtype("uint16")) and (
                         lossy_fmt not in LOSSLESS_FMTS
                     ):

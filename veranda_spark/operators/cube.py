@@ -98,7 +98,8 @@ def tile_algebra(
     )
     right = b.select(
         *keys,
-        F.col("bytes").alias("xbb"), F.col("channels").alias("xcb"),
+        F.col("bytes").alias("xbb"), F.col("h").alias("xhb"), F.col("w").alias("xwb"),
+        F.col("channels").alias("xcb"),
         F.col("dtype").alias("xdb"), F.col("n_images").alias("xnb"),
     )
     joined = left.join(right, keys)
@@ -115,6 +116,16 @@ def tile_algebra(
             rows = []
             for row in pdf.itertuples(index=False):
                 h, w = int(row.xh), int(row.xw)
+                hb, wb = int(row.xhb), int(row.xwb)
+                if (hb, wb) != (h, w):
+                    # a transposed/mismatched b tile with the same byte
+                    # count would reshape "successfully" and compute
+                    # silently wrong pixels — fail loudly instead
+                    raise ValueError(
+                        f"tile_algebra: misaligned tiles on key "
+                        f"{tuple(getattr(row, k) for k in keys)}: "
+                        f"a is {h}x{w}, b is {hb}x{wb}"
+                    )
                 va = _dec(row.xba, row.xda, h, w, int(row.xca))
                 vb = _dec(row.xbb, row.xdb, h, w, int(row.xcb))
                 out = np.asarray(fn(va, vb), dtype="float64")
