@@ -743,6 +743,22 @@ def q_tiff_decode(spark, sf_dir):
     )
 
 
+def q_jpeg_decode(spark, sf_dir):
+    # real baseline-JFIF JPEG decode in the pipeline (round-3; closes the
+    # input_hint's fmt gate — functions/jpeg.py, pure numpy): fixture
+    # images encode as JPEG, decode through the codec dispatch inside the
+    # feature kernel, aggregate per-image stats.  Rows-only: lossy pixel
+    # decode has no SQL analog.  Reference analog: GDAL decodes
+    # jpeg-in-tiff transparently (native/geotiff.py:241-280).
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.sources.multimodal import extract_features
+
+    imgs = generate_images(spark, 300, fmts=("jpg",))
+    return extract_features(imgs).select(
+        "image_id", "mean_val", "std_val", "edge_energy"
+    )
+
+
 def q_cog_roundtrip(spark, sf_dir):
     # S4: COG-shape export loop in-flight — burn-in canvases re-encode as
     # tiled multi-IFD TIFF with geo tags, then decode + geotransform
@@ -1039,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,
         "tiff_decode": q_tiff_decode,
+        "jpeg_decode": q_jpeg_decode,
         "minhash_pairs": q_minhash_pairs,
         "simhash_sigs": q_simhash_sigs,
         "embedding_neardup": q_embedding_neardup,

@@ -63,5 +63,7 @@ def test_psnr_identity_and_bound():
 
 
 def test_unsupported_fmt_is_stubbed():
+    # jpg is real since round 3 (functions/jpeg.py); a truly unknown fmt
+    # still fails loudly
     with pytest.raises(NotImplementedError):
-        encode_image(np.zeros((2, 2), np.uint8), "jpg")
+        encode_image(np.zeros((2, 2), np.uint8), "webp")

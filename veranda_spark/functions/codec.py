@@ -119,7 +119,7 @@ def png_decode(data: bytes) -> np.ndarray:
 # A self-contained lossy format for exercising the PSNR>=40dB invariant
 # (input_hint) without external codec libraries: 8x8 block DCT-II,
 # uniform quantization, zlib entropy stage.  Deterministic; NOT a JPEG —
-# real jpg payloads stay gated behind NotImplementedError.
+# real jpg payloads decode through functions/jpeg.py (baseline JFIF).
 
 _DCT8 = np.array(
     [[np.cos((2 * x + 1) * u * np.pi / 16) * (np.sqrt(0.125) if u == 0 else 0.5)
@@ -206,7 +206,13 @@ def encode_image(arr: np.ndarray, fmt: str, geo=None) -> bytes:
         from veranda_spark.functions.tiff import tiff_encode_cog
 
         return tiff_encode_cog(arr, geo=geo)
-    raise NotImplementedError(f"fmt {fmt!r} (jpeg decode needs a codec lib; stubbed)")
+    if fmt in ("jpg", "jpeg"):
+        from veranda_spark.functions.jpeg import jpeg_encode
+
+        # quality 95: keeps even the noisiest fixture images above the
+        # input_hint's PSNR>=40dB lossy invariant
+        return jpeg_encode(arr, quality=95)
+    raise NotImplementedError(f"fmt {fmt!r}")
 
 
 def decode_image(
@@ -225,6 +231,10 @@ def decode_image(
         from veranda_spark.functions.tiff import tiff_decode
 
         return tiff_decode(data)
+    if fmt in ("jpg", "jpeg"):
+        from veranda_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     if fmt == "zip":
         # zip-container read (reference /vsizip/ path, native/geotiff.py:
         # 137-149): unwrap the first member and re-sniff its format
@@ -242,6 +252,10 @@ def decode_image(
             from veranda_spark.functions.tiff import tiff_decode
 
             return tiff_decode(inner)
+        if inner[:3] == b"\xff\xd8\xff":
+            from veranda_spark.functions.jpeg import jpeg_decode
+
+            return jpeg_decode(inner)
         return decode_image(inner, "raw", h, w, channels, dtype)
     raise NotImplementedError(f"fmt {fmt!r}")
 

@@ -2,10 +2,10 @@
 
 Binary payloads are opaque `binary` columns with typed metadata; the
 Spark-side plumbing — schemas, batch shapes, partitioning, UDF
-signatures — is real and tested.  Actual media codecs (JPEG, MP3, H.264)
-are NOT importable in this environment, so the decode kernels are gated:
-formats the engine owns (raw / png) decode for real; everything else
-raises NotImplementedError or, with ``fake=True``, produces a
+signatures — is real and tested.  Formats the engine owns decode for
+real: raw / png / dctq / TIFF family / baseline JFIF JPEG
+(functions/jpeg.py).  Media codecs the env lacks (MP3, H.264) stay
+gated: they raise NotImplementedError or, with ``fake=True``, produce a
 deterministic synthetic decode so downstream stages stay testable.
 """
 
@@ -28,8 +28,14 @@ FEATURES_SCHEMA = (
 
 def _decode_any(row, fake: bool) -> np.ndarray:
     fmt = row.fmt
-    if fmt in ("raw", "png", "dctq", "tiff", "tiff_lzw"):
-        return decode_image(row.bytes, fmt, int(row.h), int(row.w))
+    if fmt in ("raw", "png", "dctq", "tiff", "tiff_lzw", "jpg", "jpeg"):
+        arr = decode_image(row.bytes, fmt, int(row.h), int(row.w))
+        # features operate on luma; collapse RGB decodes (BT.601)
+        if arr.ndim == 3:
+            arr = (
+                0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+            )
+        return arr
     if fake:
         # deterministic fake decode keyed on payload hash (media libs absent)
         seed = np.frombuffer(row.bytes[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
