@@ -222,6 +222,27 @@ def q_reproject(spark, sf_dir):
     return out.select("image_id", "px_col0", "px_row0", "w", "h")
 
 
+def q_reproject_crs(spark, sf_dir):
+    # round-3: REAL cross-CRS math (functions/crs.py) — lon/lat points
+    # project to spherical Web Mercator as pure JVM Column expressions,
+    # reproduced in ANSI SQL for the oracle.  Floor-to-meter absorbs
+    # sub-ulp libm differences between the JVM and DuckDB; x is exact
+    # (radians·R is IEEE-deterministic multiplication).
+    from veranda_spark.functions.crs import SPARK, lonlat_to_webmerc
+
+    pts = spark.range(2000).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 35000) / 100.0 - 175.0).alias("lon"),
+        (((F.col("id") * 104729) % 16800) / 100.0 - 84.0).alias("lat"),
+    )
+    mx, my = lonlat_to_webmerc(SPARK, F.col("lon"), F.col("lat"))
+    return pts.select(
+        "point_id",
+        F.floor(mx).cast("long").alias("merc_x_m"),
+        F.floor(my).cast("long").alias("merc_y_m"),
+    )
+
+
 def q_zonal_table(spark, sf_dir):
     # zonal extraction against a polygon TABLE (rows-only: pixel payloads
     # have no SQL analog; parity vs the dict variant is pytest-checked)
@@ -999,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygon": q_pip_triangle,
         "pip_table": q_pip_table,
         "reproject": q_reproject,
+        "reproject_crs": q_reproject_crs,
         "zonal_table": q_zonal_table,
         "cell_histogram": q_cell_histogram,
         "knn": q_knn,
@@ -1128,6 +1150,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT polygon_id, count(*) AS n_points,
                    cast(sum(point_id) as bigint) AS sum_ids
             FROM hits GROUP BY 1
+        """,
+        "reproject_crs": """
+            SELECT i AS point_id,
+                   cast(floor(radians(((i*7919) % 35000) / 100.0 - 175.0)
+                              * 6378137.0) as bigint) AS merc_x_m,
+                   cast(floor(ln(tan(radians(((i*104729) % 16800) / 100.0 - 84.0)
+                                     / 2.0 + pi() / 4.0))
+                              * 6378137.0) as bigint) AS merc_y_m
+            FROM range(2000) t(i)
         """,
         "reproject": """
             SELECT i AS image_id,

@@ -58,6 +58,81 @@ def test_reproject_footprints_affine(spark):
     assert r["px_row0"] == 32
     assert r["w"] == 16 and r["h"] == 20  # extents scale by psx ratio
 
-    other = RegularGrid(sref="EPSG:3857")
-    with pytest.raises(ValueError, match="affine-remap"):
+    # unsupported CRS pair still raises loudly (round-3: 4326↔3857↔UTM
+    # are now real transforms, so the raise moved to the unknown set)
+    other = RegularGrid(sref="EPSG:27700")
+    with pytest.raises(ValueError, match="unsupported CRS pair"):
         reproject_footprints(df, src, other)
+
+
+def test_crs_column_backend_matches_numpy(spark):
+    # the same formulas run as JVM Column expressions and as numpy —
+    # they must agree to float64 noise on a spread of points
+    import pyspark.sql.functions as F
+
+    from veranda_spark.functions.crs import NP, SPARK, transform
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(6.5, 11.5, 300)   # UTM zone 32
+    lat = rng.uniform(-80, 84, 300)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    for dst in ("EPSG:3857", "EPSG:32632"):
+        xs, ys = transform(SPARK, "EPSG:4326", dst, F.col("lon"), F.col("lat"))
+        got = df.select(xs.alias("x"), ys.alias("y")).collect()
+        ex, ey = transform(NP, "EPSG:4326", dst, lon, lat)
+        np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
+        np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)
+
+
+def test_utm_roundtrip_mirrors_reference_intent():
+    # reference round-trips coordinates through osr (tests/test_gdal.py:
+    # 21-49); same intent here: forward+inverse is identity to ~1e-8 deg
+    from veranda_spark.functions.crs import NP, lonlat_to_utm, utm_to_lonlat
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-3, 3, 1000) + 9.0
+    lat = rng.uniform(-80, 84, 1000)
+    e, n = lonlat_to_utm(NP, lon, lat, 32)
+    lo, la = utm_to_lonlat(NP, e, n, 32)
+    assert np.abs(lo - lon).max() < 1e-7 and np.abs(la - lat).max() < 1e-7
+    # southern-hemisphere false northing round-trips too
+    e, n = lonlat_to_utm(NP, lon, -np.abs(lat), 32, south=True)
+    lo, la = utm_to_lonlat(NP, e, n, 32, south=True)
+    assert np.abs(la + np.abs(lat)).max() < 1e-7
+
+
+def test_reproject_footprints_cross_crs_covers_original(spark):
+    # a footprint on a lon/lat grid maps into a Web Mercator grid; the
+    # warped footprint's world bbox must cover all four original corners
+    from veranda_spark.functions.crs import NP, transform as tx
+
+    src = RegularGrid(ul_x=-180.0, ul_y=85.0, psx=0.01, psy=0.01, sref="EPSG:4326")
+    dst = RegularGrid(
+        ul_x=-20037508.34, ul_y=20037508.34, psx=1000.0, psy=1000.0,
+        sref="EPSG:3857",
+    )
+    df = spark.createDataFrame(
+        [(1, 19200, 4000, 500, 400), (2, 5000, 12000, 50, 60)],
+        "image_id long, px_col0 long, px_row0 long, w long, h long",
+    )
+    out = {r["image_id"]: r for r in reproject_footprints(df, src, dst).collect()}
+    for row in df.collect():
+        lon0 = src.ul_x + row["px_col0"] * src.psx
+        lat0 = src.ul_y - row["px_row0"] * src.psy
+        lon1 = lon0 + row["w"] * src.psx
+        lat1 = lat0 - row["h"] * src.psy
+        xs, ys = tx(NP, "EPSG:4326", "EPSG:3857",
+                    np.array([lon0, lon1, lon0, lon1]),
+                    np.array([lat0, lat0, lat1, lat1]))
+        r = out[row["image_id"]]
+        wx0 = dst.ul_x + r["px_col0"] * dst.psx
+        wy0 = dst.ul_y - r["px_row0"] * dst.psy
+        wx1 = wx0 + r["w"] * dst.psx
+        wy1 = wy0 - r["h"] * dst.psy
+        assert wx0 <= xs.min() and wx1 >= xs.max()
+        assert wy1 <= ys.min() and wy0 >= ys.max()
+        # and it is tight to one pixel on each side
+        assert wx0 >= xs.min() - dst.psx and wx1 <= xs.max() + dst.psx
+        assert wy1 >= ys.min() - dst.psy and wy0 <= ys.max() + dst.psy

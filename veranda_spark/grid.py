@@ -254,24 +254,70 @@ class RegularGrid:
 def reproject_footprints(
     df: DataFrame, src: "RegularGrid", dst: "RegularGrid"
 ) -> DataFrame:
-    """Affine re-map of integer footprints from one grid's pixel frame to
-    another's (same CRS; declared-sref mismatch raises — true datum
-    reprojection needs a projection library and stays out of scope, like
-    the reference delegates it to GDAL/osr).  World coordinates are
-    preserved: px indices recompute from the world origin, extents scale
-    by the pixel-size ratio (ceil, so the new footprint always covers the
-    old one)."""
-    if src.sref is not None and dst.sref is not None and src.sref != dst.sref:
-        raise ValueError(
-            f"cannot affine-remap between CRSs: {src.sref!r} != {dst.sref!r}"
+    """Re-map integer footprints from one grid's pixel frame to another's.
+
+    Same CRS (or undeclared): pure affine — px indices recompute from the
+    world origin, extents scale by the pixel-size ratio (ceil, so the new
+    footprint always covers the old one).
+
+    Different CRSs: real coordinate transform (round-3).  When both srefs
+    are in the supported set (EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx;
+    functions/crs.py — the reference gets the same transforms from
+    GDAL/osr, gdalport.py:58-101), all four footprint corners transform
+    src→lon/lat→dst as JVM Column expressions and the new footprint is
+    the ceil'd bounding box of the warped corners (covers the original;
+    nonlinear warp means corners, not just origin).  Pixel payloads are
+    NOT resampled — this is register/footprint math, the metadata half of
+    a warp; resampling stays with read_window's target grid.  Unsupported
+    CRS pairs still raise loudly."""
+    same = src.sref is None or dst.sref is None or src.sref == dst.sref
+    if same:
+        x0 = F.lit(src.ul_x) + F.col("px_col0") * F.lit(src.psx)
+        y0 = F.lit(src.ul_y) - F.col("px_row0") * F.lit(src.psy)
+        return (
+            df.withColumn("_new_col0", F.floor((x0 - F.lit(dst.ul_x)) / F.lit(dst.psx)).cast("long"))
+            .withColumn("_new_row0", F.floor((F.lit(dst.ul_y) - y0) / F.lit(dst.psy)).cast("long"))
+            .withColumn("w", F.ceil(F.col("w") * F.lit(src.psx / dst.psx)).cast(dict(df.dtypes)["w"]))
+            .withColumn("h", F.ceil(F.col("h") * F.lit(src.psy / dst.psy)).cast(dict(df.dtypes)["h"]))
+            .withColumn("px_col0", F.col("_new_col0"))
+            .withColumn("px_row0", F.col("_new_row0"))
+            .drop("_new_col0", "_new_row0")
         )
-    x0 = F.lit(src.ul_x) + F.col("px_col0") * F.lit(src.psx)
-    y0 = F.lit(src.ul_y) - F.col("px_row0") * F.lit(src.psy)
+
+    from veranda_spark.functions.crs import SPARK, transform
+
+    def world(col_px, row_px):
+        return (
+            F.lit(src.ul_x) + col_px * F.lit(src.psx),
+            F.lit(src.ul_y) - row_px * F.lit(src.psy),
+        )
+
+    corners = [
+        world(F.col("px_col0"), F.col("px_row0")),
+        world(F.col("px_col0") + F.col("w"), F.col("px_row0")),
+        world(F.col("px_col0"), F.col("px_row0") + F.col("h")),
+        world(F.col("px_col0") + F.col("w"), F.col("px_row0") + F.col("h")),
+    ]
+    txy = [transform(SPARK, src.sref, dst.sref, x, y) for x, y in corners]
+    xmin = F.least(*[x for x, _ in txy])
+    xmax = F.greatest(*[x for x, _ in txy])
+    ymin = F.least(*[y for _, y in txy])
+    ymax = F.greatest(*[y for _, y in txy])
+    new_col0 = F.floor((xmin - F.lit(dst.ul_x)) / F.lit(dst.psx)).cast("long")
+    new_row0 = F.floor((F.lit(dst.ul_y) - ymax) / F.lit(dst.psy)).cast("long")
     return (
-        df.withColumn("_new_col0", F.floor((x0 - F.lit(dst.ul_x)) / F.lit(dst.psx)).cast("long"))
-        .withColumn("_new_row0", F.floor((F.lit(dst.ul_y) - y0) / F.lit(dst.psy)).cast("long"))
-        .withColumn("w", F.ceil(F.col("w") * F.lit(src.psx / dst.psx)).cast(dict(df.dtypes)["w"]))
-        .withColumn("h", F.ceil(F.col("h") * F.lit(src.psy / dst.psy)).cast(dict(df.dtypes)["h"]))
+        df.withColumn("_new_col0", new_col0)
+        .withColumn("_new_row0", new_row0)
+        .withColumn(
+            "w",
+            (F.ceil((xmax - F.lit(dst.ul_x)) / F.lit(dst.psx)) - F.col("_new_col0"))
+            .cast(dict(df.dtypes)["w"]),
+        )
+        .withColumn(
+            "h",
+            (F.ceil((F.lit(dst.ul_y) - ymin) / F.lit(dst.psy)) - F.col("_new_row0"))
+            .cast(dict(df.dtypes)["h"]),
+        )
         .withColumn("px_col0", F.col("_new_col0"))
         .withColumn("px_row0", F.col("_new_row0"))
         .drop("_new_col0", "_new_row0")
