@@ -55,3 +55,31 @@ def test_quicklook_decimation_and_stretch(spark):
     if layer1:
         got = png_decode(bytes(layer1[0]["bytes"]))
     np.testing.assert_array_equal(got, want)
+
+
+def test_quicklook_color_table(spark):
+    import numpy as np
+    import pytest
+
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.functions.codec import png_decode
+    from veranda_spark.operators.raster import quicklook
+
+    imgs = generate_images(spark, 12)
+    # identity-ish ct: gray g -> (g, 255-g, 0)
+    ct = np.stack(
+        [np.arange(256), 255 - np.arange(256), np.zeros(256)], axis=1
+    ).astype(np.uint8)
+    gray = {r["image_id"]: png_decode(bytes(r["bytes"]))
+            for r in quicklook(imgs, factor=4).collect()}
+    color = {r["image_id"]: png_decode(bytes(r["bytes"]))
+             for r in quicklook(imgs, factor=4, ct=ct).collect()}
+    assert set(gray) == set(color)
+    for iid, g in gray.items():
+        c = color[iid]
+        assert c.shape == (*g.shape, 3)
+        np.testing.assert_array_equal(c[..., 0], g)
+        np.testing.assert_array_equal(c[..., 1], 255 - g)
+        assert (c[..., 2] == 0).all()
+    with pytest.raises(ValueError, match="color table"):
+        quicklook(imgs, ct=np.zeros((16, 3), np.uint8))

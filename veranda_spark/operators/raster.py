@@ -710,50 +710,103 @@ def quicklook(
     factor: int = 4,
     vmin: float | None = None,
     vmax: float | None = None,
+    ct: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Quicklook decimation + linear stretch (gen_qlook analog,
     reference gdalport.py:283-360): block-mean downsample by ``factor``,
-    stretch [vmin, vmax] → 0..255 uint8, emit PNG payloads.
+    stretch [vmin, vmax] → 0..255 uint8, emit PNG payloads.  ``ct`` is
+    the optional (256, 3) uint8 color table (gen_qlook's ``ct`` param):
+    stretched gray values map through it to RGB quicklooks.
 
-    When vmin/vmax are None a global min/max agg pass supplies the stretch
-    (gdalport.py:264-269 '-scale' semantics).
+    When vmin/vmax are None a global min/max supplies the stretch
+    (gdalport.py:264-269 '-scale' semantics).  Round-3 single-decode
+    plan: pass 1 decodes each image ONCE and emits (downsampled float
+    blocks + per-image min/max of the FULL-res pixels); the global
+    stretch aggregates over those stats and pass 2 re-reads only the
+    small blocks (1/factor² of the bytes) — originals are never decoded
+    twice.  The intermediate is persisted MEMORY_AND_DISK (at cluster
+    scale it is the natural temp table between the two jobs).
     """
     from veranda_spark.functions.codec import png_encode
 
-    if vmin is None or vmax is None:
-        stats_schema = "mn double, mx double"
+    if ct is not None:
+        ct = np.asarray(ct, dtype=np.uint8)
+        if ct.shape != (256, 3):
+            raise ValueError(f"ct must be a (256, 3) uint8 color table, got {ct.shape}")
 
-        def minmax(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                vals = []
-                for row in pdf.itertuples(index=False):
-                    arr = _decode_row(row).astype("float64")
-                    vals.append((float(np.nanmin(arr)), float(np.nanmax(arr))))
-                yield pd.DataFrame(vals or None, columns=["mn", "mx"])
-
-        row = (
-            df.mapInPandas(minmax, schema=stats_schema)
-            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
-            .collect()[0]
-        )
-        vmin = row["mn"] if vmin is None else vmin
-        vmax = row["mx"] if vmax is None else vmax
-    span = max(vmax - vmin, 1e-12)
+    def _colorize(gray: np.ndarray) -> np.ndarray:
+        return gray if ct is None else ct[gray]
 
     ql_schema = "image_id string, bytes binary, h int, w int, fmt string"
+
+    def _small_of(row) -> np.ndarray:
+        arr = _decode_row(row).astype("float64")
+        h, w = arr.shape
+        th, tw = h // factor * factor, w // factor * factor
+        blocks = arr[:th, :tw].reshape(th // factor, factor, tw // factor, factor)
+        return blocks.mean(axis=(1, 3)), arr
+
+    def _rid(row) -> str:
+        return (
+            getattr(row, "image_id", None)
+            or f"{getattr(row, 'var', 'data')}_{getattr(row, 'layer_id', 1)}"
+        )
+
+    if vmin is None or vmax is None:
+        mid_schema = "image_id string, small binary, h int, w int, mn double, mx double"
+
+        def pass1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    small, arr = _small_of(row)
+                    rows.append((
+                        _rid(row), small.tobytes(),
+                        small.shape[0], small.shape[1],
+                        float(np.nanmin(arr)), float(np.nanmax(arr)),
+                    ))
+                yield pd.DataFrame(
+                    rows or None,
+                    columns=["image_id", "small", "h", "w", "mn", "mx"],
+                )
+
+        from pyspark import StorageLevel
+
+        mid = df.mapInPandas(pass1, schema=mid_schema).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        stats = mid.agg(F.min("mn").alias("mn"), F.max("mx").alias("mx")).collect()[0]
+        vmin = stats["mn"] if vmin is None else vmin
+        vmax = stats["mx"] if vmax is None else vmax
+        span = max(vmax - vmin, 1e-12)
+
+        def stretch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    small = np.frombuffer(row.small, dtype="float64").reshape(
+                        row.h, row.w
+                    )
+                    out = np.clip((small - vmin) / span * 255.0, 0, 255).astype("uint8")
+                    rows.append((row.image_id, png_encode(_colorize(out)), row.h, row.w, "png"))
+                yield pd.DataFrame(
+                    rows or None, columns=["image_id", "bytes", "h", "w", "fmt"]
+                )
+
+        return mid.mapInPandas(stretch, schema=ql_schema)
+
+    span = max(vmax - vmin, 1e-12)
 
     def decimate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for row in pdf.itertuples(index=False):
-                arr = _decode_row(row).astype("float64")
-                h, w = arr.shape
-                th, tw = h // factor * factor, w // factor * factor
-                blocks = arr[:th, :tw].reshape(th // factor, factor, tw // factor, factor)
-                small = blocks.mean(axis=(1, 3))
+                small, _ = _small_of(row)
                 stretched = np.clip((small - vmin) / span * 255.0, 0, 255).astype("uint8")
-                rid = getattr(row, "image_id", None) or f"{getattr(row, 'var', 'data')}_{getattr(row, 'layer_id', 1)}"
-                rows.append((rid, png_encode(stretched), stretched.shape[0], stretched.shape[1], "png"))
+                rows.append((
+                    _rid(row), png_encode(_colorize(stretched)),
+                    stretched.shape[0], stretched.shape[1], "png",
+                ))
             yield pd.DataFrame(rows or None, columns=["image_id", "bytes", "h", "w", "fmt"])
 
     return df.mapInPandas(decimate, schema=ql_schema)
