@@ -177,8 +177,10 @@ def test_phash_neardup_radius_guard(spark):
         phash_neardup_pairs(df, max_hamming=4, n_blocks=4)
 
 
-@pytest.mark.parametrize("residual", [True, False])
-def test_ivf_pq_topk_recall(spark, embeddings, residual):
+@pytest.mark.parametrize(
+    "residual,opq", [(True, False), (False, False), (True, True)]
+)
+def test_ivf_pq_topk_recall(spark, embeddings, residual, opq):
     from veranda_spark.operators.ann import ivf_pq_topk
 
     qs = embeddings.filter(F.col("vec_id") < 5).select(
@@ -187,7 +189,7 @@ def test_ivf_pq_topk_recall(spark, embeddings, residual):
     exact = brute_force_topk(embeddings, qs, k=5).collect()
     approx = ivf_pq_topk(
         embeddings, qs, k=5, nlist=8, nprobe=4, m=8, ncodes=16, refine=4,
-        sample_rows=200, residual=residual,
+        sample_rows=200, residual=residual, opq=opq,
     ).collect()
     ex = {(r["query_id"], r["vec_id"]) for r in exact}
     ap = {(r["query_id"], r["vec_id"]) for r in approx}
@@ -245,3 +247,18 @@ def test_connected_components_vs_union_find(spark):
                                  "doc_id long, text string")
     kept = {r["doc_id"] for r in dedup_keep_first_neardup(docs, pdf).collect()}
     assert kept == set(want.values()) | {9999}
+
+
+def test_opq_rotation_is_orthonormal():
+    from veranda_spark.operators.ann import _train_opq
+
+    rng = np.random.default_rng(5)
+    # correlated dims: OPQ's home turf (independent subspaces waste bits)
+    base = rng.standard_normal((500, 4))
+    train = np.hstack([base, base @ rng.standard_normal((4, 12)) * 0.3])
+    rot = _train_opq(train, m=4, ncodes=8, seed=1, iters=3)
+    np.testing.assert_allclose(rot @ rot.T, np.eye(16), atol=1e-10)
+    # rotation must not change pairwise L2 distances (ADC validity)
+    d0 = np.linalg.norm(train[0] - train[1])
+    d1 = np.linalg.norm(train[0] @ rot.T - train[1] @ rot.T)
+    assert abs(d0 - d1) < 1e-9

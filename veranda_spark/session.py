@@ -26,6 +26,25 @@ def get_spark(
             shuffle_partitions = max(int(master[6:-1]), 4)
         else:
             shuffle_partitions = 2 * cpus
+    # Parallelism-aware Arrow batch sizing (round-3, measured with
+    # tools/exp_n2_arrow.py on the 600k-row burn-in, fresh JVM per trial,
+    # configs interleaved so host weather cancels):
+    #   local[2]:  1024rec/32m 63.5s | 2048/64m 47.6s | 4096/128m 34.4s
+    #   local[8]:  1024rec/32m 12.9s | 2048/64m 11.1s | 4096/128m 11.7s
+    #   local[32]: 1024rec/32m is the round-2 GC fix (64 MB batches x 32
+    #              tasks drove 10-20s ParallelGC pauses; 24-73s -> 7-18s)
+    # The pathology is TOTAL in-flight Arrow bytes (~concurrency x batch
+    # bytes), so the cap scales inversely with cores: ~512 MB in flight,
+    # batch bytes clamped to [32m, 128m], records scaled to match.  Small
+    # batches at low parallelism just pay per-batch worker round-trips
+    # (2x at local[2]) without any GC benefit.
+    n_cores = (
+        int(master[6:-1])
+        if master.startswith("local[") and master[6:-1].isdigit()
+        else cpus
+    )
+    batch_mb = min(128, max(32, 512 // max(n_cores, 1)))
+    batch_rec = 1024 * batch_mb // 32
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -34,14 +53,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 1024, not 4096: rows carry multi-KB image payloads, so 4096-row
-        # Arrow batches are ~64 MB byte[]s; with 32 concurrent tasks that
-        # put 10-20s of ParallelGC pauses on the critical path (measured:
-        # 600k-row burn-in at local[32] went 24-73s -> 7-18s with 1024).
         # maxBytesPerBatch caps the Python->JVM return direction the same
         # way (worker-side, pyspark worker.py).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rec))
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(batch_mb * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("VERANDA_SPARK_DRIVER_MEM", "24g"))
         # Arrow batches allocate multi-MB byte[]s; under G1 those are
