@@ -310,11 +310,11 @@ def write_bench_md(result: dict) -> None:
     if c:
         ctrl = (
             "\n## Environment ceiling controls (no Spark)\n\n"
-            "The same 8-vs-32-process comparison on pure-ALU and on\n"
+            "The same 2/8/32-process comparison on pure-ALU and on\n"
             "memory-streaming work, run right next to the engine job:\n\n"
-            "| control | wall 8p (s) | wall 32p (s) | efficiency |\n|---|---|---|---|\n"
-            f"| pure ALU (tiny working set) | {c['alu']['wall_8']} | {c['alu']['wall_32']} | {c['alu']['efficiency']} |\n"
-            f"| memory streaming (numpy copy+sum) | {c['membw']['wall_8']} | {c['membw']['wall_32']} | {c['membw']['efficiency']} |\n\n"
+            "| control | wall 2p | wall 8p | wall 32p | eff 2→8 | eff 8→32 |\n|---|---|---|---|---|---|\n"
+            f"| pure ALU (tiny working set) | {c['alu'].get('wall_2', '—')} | {c['alu']['wall_8']} | {c['alu']['wall_32']} | {c['alu'].get('efficiency_2_8', '—')} | {c['alu']['efficiency']} |\n"
+            f"| memory streaming (numpy copy+sum) | {c['membw'].get('wall_2', '—')} | {c['membw']['wall_8']} | {c['membw']['wall_32']} | {c['membw'].get('efficiency_2_8', '—')} | {c['membw']['efficiency']} |\n\n"
             "This sandbox's memory bus saturates near 8 cores: even a\n"
             "perfectly parallel memory-streaming workload gets ~"
             f"{c['membw']['efficiency']} efficiency from 8→32 procs, and pure\n"
@@ -341,17 +341,21 @@ def write_bench_md(result: dict) -> None:
             f"| local[32] | {s['n32']['sec']} | {s['n32']['rows_per_sec']} |\n\n"
             f"rows = {s['rows']}, tiles = {s['n32']['n_tiles']}\n\n"
             f"**scaling efficiency N→4N (2→8 cores) = {s['scaling_efficiency']}**"
-            f" (target ≥ 0.8) — measured inside the host's linear region;\n"
-            f"= **{s.get('efficiency_vs_alu_ceiling', '?')} of the pure-ALU ceiling** the host\n"
-            f"itself achieved in the same run (best observed raw across "
-            f"rounds: 0.99).\n"
-            f"Secondary 8→32: {s['scaling_efficiency_8_32']} (best-of-3 per level) —\n"
+            f" (target ≥ 0.8) — measured inside the host's linear region,\n"
+            f"with PER-LEVEL-FAIR Arrow configs (round 3 removed the r2 batch\n"
+            f"cap's 2× tax on the n2 denominator, so this number is no longer\n"
+            f"flattered by a degraded baseline).  Against the host's own\n"
+            f"same-run ceilings: {s.get('efficiency_vs_alu_ceiling', '?')} of the pure-ALU 2→8 ceiling, "
+            f"{round(s['scaling_efficiency'] / max(c['membw']['efficiency_2_8'], 1e-9), 3) if c.get('membw', {}).get('efficiency_2_8') else '?'} of\n"
+            f"the memory-streaming 2→8 ceiling (burn-in IS memory-streaming\n"
+            f"work, so the membw control is the apples-to-apples bound).\n"
+            f"Secondary 8→32: {s['scaling_efficiency_8_32']} raw, "
+            f"{s.get('efficiency_8_32_vs_alu_ceiling', '?')} of the ALU ceiling —\n"
             f"bounded by the host memory bus, not the plan (controls below).\n"
-            f"Round-2 note: round 1's 6.5× 8→32 anomaly was engine-side after\n"
-            f"all — 64 MB Arrow batches (4096 rows × multi-KB image payloads)\n"
-            f"× 32 concurrent tasks drove 10-20 s of ParallelGC pauses; fixed\n"
-            f"by maxRecordsPerBatch=1024 + maxBytesPerBatch=32m in session.py\n"
-            f"(600k-row burn-in at local[32]: 24-73 s → 7-18 s).\n"
+            f"History: r1's 6.5× 8→32 anomaly was 64 MB Arrow batches × 32\n"
+            f"tasks → ParallelGC pauses; r2 capped batches at 1024/32m, which\n"
+            f"fixed n32 but taxed n2 2×; r3 scales the cap with parallelism\n"
+            f"(session.py, measured sweep in tools/exp_n2_arrow.py).\n"
             + ctrl +
             "\nHost-weather caveat: this sandbox's throughput on\n"
             "memory-bound work swings 2-8x minute to minute (observed\n"
