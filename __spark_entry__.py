@@ -659,6 +659,25 @@ def q_neardup_groups(spark, sf_dir):
 # ---- embeddings / ANN ---------------------------------------------------------
 
 
+def q_doc_logprob(spark, sf_dir):
+    # round-3 curation: unigram-LM quality score, probabilities from the
+    # corpus itself (operators/curate.py); fully SQL-expressible
+    from veranda_spark.operators.curate import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark, sf_dir):
+    # round-3 curation: exact word-3-gram overlap vs a benchmark subset
+    # (doc_id % 17 == 0); flagged docs with overlap counts
+    from veranda_spark.operators.curate import contamination_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    rest = d.filter(F.col("doc_id") % 17 != 0)
+    return contamination_ngrams(rest, bench, n=3)
+
+
 def q_ann_topk(spark, sf_dir):
     from veranda_spark.operators.ann import brute_force_topk
 
@@ -1051,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window": q_range_window,
         "json_extract": q_json_extract,
         "doc_quality": q_doc_quality,
+        "doc_logprob": q_doc_logprob,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
         "neardup_groups": q_neardup_groups,
@@ -1505,6 +1526,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a
             JOIN documents b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 2
+        """,
+        "doc_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                       '\s+', ' ', 'g')), '\s+')) AS tok
+              FROM documents
+            ),
+            toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            vocab AS (SELECT tok, count(*) AS cnt FROM toks2 GROUP BY tok),
+            tot AS (SELECT cast(sum(cnt) as bigint) AS total FROM vocab)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(cast(cnt as double) / total)), 4) AS logprob_avg
+            FROM toks2 JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "decontaminate": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                       '\s+', ' ', 'g')), '\s+') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(ts) - 2, 0) + 1),
+                       i -> array_to_string(ts[i:i+2], ' '))) AS gs
+              FROM norm
+            ),
+            doc_grams AS (
+              SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 17 <> 0
+            ),
+            bench_grams AS (
+              SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 17 = 0
+            )
+            SELECT doc_id, count(*) AS n_contaminated_grams
+            FROM doc_grams JOIN bench_grams USING (gram)
+            GROUP BY doc_id
         """,
         "neardup_groups": r"""
             WITH RECURSIVE pairs AS (

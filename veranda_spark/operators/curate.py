@@ -1,0 +1,118 @@
+"""Corpus-statistics curation operators (training-data pipeline, graft
+axes): n-gram-LM quality scoring and benchmark decontamination.
+
+Both are standard public-LM-pipeline stages (unigram-LM filtering and
+the exact-n-gram decontamination rule popularized by the GPT-3 /
+The Pile reports).  No reference analog — veranda is raster-only; these
+extend the engine's documents side the same way dedup/ANN do.
+
+Everything is JVM Column work: tokenization/n-grams via
+functions/text.py (zip_with shingles), probabilities from a groupBy
+over the corpus itself, joins keyed on md5 hashes so shuffle keys are
+fixed-width.  Fully SQL-expressible → both ops are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from veranda_spark.functions.text import normalize_text, tokens, word_ngrams
+
+
+def _norm_tokens(text_col: str):
+    return tokens(normalize_text(F.col(text_col)))
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM quality score: each document's mean ln p(token), with
+    token probabilities estimated from the corpus itself (MLE over the
+    normalized-token vocabulary).  Low scores = rare-token-heavy docs
+    (gibberish, OCR noise, boilerplate fragments) — the cheap first
+    filter of a pretraining pipeline.
+
+    Scale: the vocabulary is Zipf-bounded (≪ corpus size) so the
+    (token, count) dim BROADCASTS; the doc side explodes once, joins on
+    token, aggregates map-side.  The corpus total rides along as a
+    broadcast 1-row frame — no driver-side scalar.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 4).alias(
+                "logprob_avg"
+            ),
+        )
+    )
+    return scored
+
+
+def contamination_ngrams(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination by exact n-gram overlap (the 13-gram
+    rule of public LM pipelines; ``n`` configurable): a document is
+    contaminated if any of its word n-grams appears anywhere in the
+    benchmark set.  Returns (id, n_contaminated_grams) for flagged docs;
+    anti-join the result to drop them.
+
+    Scale: benchmark gram sets are small (eval suites, not corpora) →
+    the distinct-gram dim BROADCASTS, keyed on md5(gram) so the join key
+    is fixed-width instead of an arbitrarily long string; the corpus
+    side streams through map-side with no shuffle before the final
+    per-doc count."""
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    bench_grams = (
+        bench.select(
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(F.col(bench_text_col or text_col), n)
+                )
+            ).alias("gram")
+        )
+        .select(F.md5("gram").alias("_gh"))
+        .distinct()
+    )
+    hits = doc_grams.join(
+        F.broadcast(bench_grams), F.md5(F.col("gram")) == F.col("_gh")
+    )
+    return hits.groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated_grams")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """docs minus every row flagged by ``contamination_ngrams`` — the
+    actual pipeline stage (left_anti on the flagged ids)."""
+    flagged = contamination_ngrams(
+        docs, bench, n=n, text_col=text_col, id_col=id_col
+    ).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")
