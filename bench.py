@@ -69,11 +69,14 @@ NEWOP = [
     "tile_algebra",
 ]
 
-#: round-3 additions (JPEG decode, real CRS math, oracle'd CC chain)
+#: round-3 additions (JPEG decode, real CRS math, oracle'd CC chain,
+#: curation stages)
 ROUND3 = [
     "jpeg_decode",
     "reproject_crs",
     "neardup_groups",
+    "doc_logprob",
+    "decontaminate",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000"))
