@@ -799,6 +799,40 @@ def q_jpeg_decode(spark, sf_dir):
     )
 
 
+def q_warp_crs(spark, sf_dir):
+    # round-3: cross-CRS pixel WARP (operators/raster.warp_window) — a
+    # lon/lat-registered mosaic resampled into a Web Mercator window
+    # through the functions/crs.py transform.  Rows-only (pixel payloads
+    # have no SQL analog; parity is pytest-golden in test_warp.py).
+    # Reference analog: gdal.Warp via gdalport.
+    import numpy as np
+
+    from veranda_spark.functions.crs import NP, transform
+    from veranda_spark.operators.raster import warp_window
+
+    src = RegularGrid(
+        ul_x=10.0, ul_y=50.0, psx=0.001, psy=0.001,
+        tile_cols=256, tile_rows=256, n_tile_cols=16, n_tile_rows=8,
+        sref="EPSG:4326",
+    )
+    x0, y1 = transform(
+        NP, "EPSG:4326", "EPSG:3857", np.array([10.0]), np.array([50.0])
+    )
+    dst = RegularGrid(
+        ul_x=float(x0[0]), ul_y=float(y1[0]), psx=80.0, psy=80.0,
+        tile_cols=256, tile_rows=256, n_tile_cols=16, n_tile_rows=8,
+        sref="EPSG:3857",
+    )
+    from veranda_spark.fixtures import generate_images
+
+    imgs = generate_images(spark, 300)
+    out = warp_window(imgs, src, dst, 0, 0, 512, 512)
+    return out.select(
+        "var", "layer_id", F.crc32(F.col("bytes")).alias("canvas_crc"),
+        "h", "w",
+    )
+
+
 def q_cog_roundtrip(spark, sf_dir):
     # S4: COG-shape export loop in-flight — burn-in canvases re-encode as
     # tiled multi-IFD TIFF with geo tags, then decode + geotransform
@@ -1094,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_in_tiles": q_burn_in_tiles,
         "tile_algebra": q_tile_algebra,
         "cog_roundtrip": q_cog_roundtrip,
+        "warp_crs": q_warp_crs,
         "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,

@@ -810,3 +810,136 @@ def quicklook(
             yield pd.DataFrame(rows or None, columns=["image_id", "bytes", "h", "w", "fmt"])
 
     return df.mapInPandas(decimate, schema=ql_schema)
+
+
+def warp_window(
+    df: DataFrame,
+    src_grid: RegularGrid,
+    dst_grid: RegularGrid,
+    row0: int,
+    col0: int,
+    height: int,
+    width: int,
+    nodata: float = -9999.0,
+    method: str = "nearest",
+    pad_px: int = 2,
+) -> DataFrame:
+    """Cross-CRS windowed WARP — the pixel half of reprojection (round 3;
+    the reference delegates this to gdal.Warp, which veranda calls via
+    gdalport).  Assembles the destination window
+    ``[row0:row0+height, col0:col0+width]`` in ``dst_grid``'s pixel frame
+    from imagery registered on ``src_grid``, resampling through the CRS
+    transform (functions/crs.py lon/lat hub; identity when the srefs
+    match).
+
+    Plan (distributed where the bytes are):
+      1. the dst window's corner+edge world coords inverse-transform
+         dst→src to bound the SOURCE read — only that region's images
+         are scanned/decoded (read_window's pushdown + pre-shuffle patch
+         slicing do the heavy lifting);
+      2. one numpy gather per assembled (var, layer) canvas maps every
+         dst pixel center through the transform to a src pixel
+         (``nearest``) or a bilinear blend (``bilinear``, float64 out,
+         nodata-aware).  Out-of-source pixels come back as ``nodata``.
+    """
+    from veranda_spark.functions.crs import NP, transform
+
+    same_crs = (
+        src_grid.sref is None
+        or dst_grid.sref is None
+        or src_grid.sref == dst_grid.sref
+    )
+
+    def dst_world(cols: np.ndarray, rows: np.ndarray):
+        return (
+            dst_grid.ul_x + (cols + 0.5) * dst_grid.psx,
+            dst_grid.ul_y - (rows + 0.5) * dst_grid.psy,
+        )
+
+    def to_src(x: np.ndarray, y: np.ndarray):
+        if same_crs:
+            return x, y
+        return transform(NP, dst_grid.sref, src_grid.sref, x, y)
+
+    # 1. bound the source read from the dst window's boundary (corners +
+    # edge midpoints: projective edges can bow outward between corners)
+    bc = np.array([col0, col0 + width / 2, col0 + width], dtype="float64")
+    br = np.array([row0, row0 + height / 2, row0 + height], dtype="float64")
+    cols_b, rows_b = np.meshgrid(bc, br)
+    xb, yb = dst_world(cols_b.ravel() - 0.5, rows_b.ravel() - 0.5)
+    sxb, syb = to_src(xb, yb)
+    sc = (sxb - src_grid.ul_x) / src_grid.psx
+    sr = (src_grid.ul_y - syb) / src_grid.psy
+    src_c0 = int(np.floor(sc.min())) - pad_px
+    src_r0 = int(np.floor(sr.min())) - pad_px
+    src_w = int(np.ceil(sc.max())) + pad_px - src_c0
+    src_h = int(np.ceil(sr.max())) + pad_px - src_r0
+
+    canvases = read_window(
+        df, src_grid, src_r0, src_c0, src_h, src_w, nodata=nodata
+    )
+
+    # 2. per-canvas gather (dst pixel centers → src pixel coords)
+    jj, ii = np.meshgrid(
+        np.arange(col0, col0 + width), np.arange(row0, row0 + height)
+    )
+    gx, gy = dst_world(jj.astype("float64"), ii.astype("float64"))
+    sx, sy = to_src(gx, gy)
+    fcol = (sx - src_grid.ul_x) / src_grid.psx - 0.5 - src_c0
+    frow = (src_grid.ul_y - sy) / src_grid.psy - 0.5 - src_r0
+
+    def _warp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                ch = int(row.channels)
+                shape = (row.h, row.w) if ch == 1 else (row.h, row.w, ch)
+                src = np.frombuffer(row.bytes, dtype=row.dtype).reshape(shape)
+                if method == "nearest":
+                    ir = np.rint(frow).astype("int64")
+                    ic = np.rint(fcol).astype("int64")
+                    ok = (ir >= 0) & (ir < row.h) & (ic >= 0) & (ic < row.w)
+                    out = np.full(
+                        (height, width) if ch == 1 else (height, width, ch),
+                        nodata,
+                        dtype=src.dtype,
+                    )
+                    out[ok] = src[ir[ok], ic[ok]]
+                    dt = str(src.dtype)
+                elif method == "bilinear":
+                    vals = src.astype("float64")
+                    vals[vals == nodata] = np.nan
+                    r0f = np.floor(frow).astype("int64")
+                    c0f = np.floor(fcol).astype("int64")
+                    wr = frow - r0f
+                    wc = fcol - c0f
+                    ok = (
+                        (r0f >= 0) & (r0f + 1 < row.h)
+                        & (c0f >= 0) & (c0f + 1 < row.w)
+                    )
+                    rr, cc = np.clip(r0f, 0, row.h - 2), np.clip(c0f, 0, row.w - 2)
+                    if ch != 1:
+                        wr = wr[..., None]
+                        wc = wc[..., None]
+                    v = (
+                        vals[rr, cc] * (1 - wr) * (1 - wc)
+                        + vals[rr, cc + 1] * (1 - wr) * wc
+                        + vals[rr + 1, cc] * wr * (1 - wc)
+                        + vals[rr + 1, cc + 1] * wr * wc
+                    )
+                    out = np.where(ok if ch == 1 else ok[..., None], v, np.nan)
+                    out = np.where(np.isnan(out), nodata, out)
+                    dt = "float64"
+                else:
+                    raise ValueError(f"method must be nearest|bilinear, got {method!r}")
+                rows.append((
+                    row.var, int(row.layer_id),
+                    np.ascontiguousarray(out).tobytes(),
+                    height, width, ch, dt,
+                ))
+            yield pd.DataFrame(
+                rows or None,
+                columns=["var", "layer_id", "bytes", "h", "w", "channels", "dtype"],
+            )
+
+    return canvases.mapInPandas(_warp, schema=ASSEMBLED_SCHEMA)
