@@ -833,6 +833,22 @@ def q_warp_crs(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    # round-3 multimodal audio leg: REAL WAV decode (functions/wav.py, no
+    # codec lib needed) → per-clip features; rows-only (FFT features have
+    # no SQL analog).
+    from veranda_spark.fixtures import generate_audio
+    from veranda_spark.sources.multimodal import extract_audio_features
+
+    clips = generate_audio(spark, 300)
+    return extract_audio_features(clips).select(
+        "audio_id", "duration_sec",
+        F.round("rms", 3).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
+    )
+
+
 def q_cog_roundtrip(spark, sf_dir):
     # S4: COG-shape export loop in-flight — burn-in canvases re-encode as
     # tiled multi-IFD TIFF with geo tags, then decode + geotransform
@@ -1129,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_algebra": q_tile_algebra,
         "cog_roundtrip": q_cog_roundtrip,
         "warp_crs": q_warp_crs,
+        "audio_features": q_audio_features,
         "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,

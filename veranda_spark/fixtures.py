@@ -184,3 +184,39 @@ def cube_to_rows(
         for lay in range(n)
     ]
     return spark.createDataFrame(rows, schema=CUBE_ROWS_SCHEMA)
+
+
+AUDIO_SCHEMA = "audio_id string, bytes binary, fmt string, rate int, n_samples int"
+
+
+def generate_audio(spark: SparkSession, n: int, rate: int = 16_000,
+                   seconds: float = 0.5) -> DataFrame:
+    """Deterministic WAV clip table (the audio leg of the multimodal
+    columns): clip i is a two-tone sine mix with frequencies keyed on i,
+    PCM-16 encoded by functions/wav.py on the executors."""
+
+    def gen(it):
+        import pandas as pd
+
+        from veranda_spark.functions.wav import wav_encode
+
+        n_samp = int(rate * seconds)
+        t = np.arange(n_samp) / rate
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                f1 = 200.0 + (i * 37) % 3000
+                f2 = 150.0 + (i * 91) % 5000
+                x = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(
+                    2 * np.pi * f2 * t
+                )
+                pcm = np.round(x * 20000).astype(np.int16)
+                rows.append(
+                    (f"clip_{i:08d}", wav_encode(pcm, rate), "wav", rate, n_samp)
+                )
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "bytes", "fmt", "rate", "n_samples"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=AUDIO_SCHEMA)

@@ -126,3 +126,40 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFr
             )
 
     return df.mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, rate int, duration_sec double, rms double, zcr double, "
+    "spectral_centroid_hz double, peak double"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio features over WAV payloads (real decode —
+    functions/wav.py, no codec lib needed): duration, RMS, zero-crossing
+    rate, spectral centroid, peak.  Arrow-batched, one decode per clip,
+    samples never leave the executor.  Input rows: (audio_id, bytes,
+    fmt='wav')."""
+    from veranda_spark.functions.wav import audio_feature_vector, wav_decode
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                if row.fmt != "wav":
+                    raise NotImplementedError(
+                        f"audio decode for fmt={row.fmt!r} needs a codec lib"
+                    )
+                samples, rate = wav_decode(row.bytes)
+                f = audio_feature_vector(samples, rate)
+                rows.append((
+                    row.audio_id, rate, f["duration_sec"], f["rms"],
+                    f["zcr"], f["spectral_centroid_hz"], f["peak"],
+                ))
+            yield pd.DataFrame(
+                rows or None,
+                columns=["audio_id", "rate", "duration_sec", "rms", "zcr",
+                         "spectral_centroid_hz", "peak"],
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
