@@ -136,3 +136,17 @@ def test_reproject_footprints_cross_crs_covers_original(spark):
         # and it is tight to one pixel on each side
         assert wx0 >= xs.min() - dst.psx and wx1 <= xs.max() + dst.psx
         assert wy1 >= ys.min() - dst.psy and wy0 <= ys.max() + dst.psy
+
+
+def test_utm_zone_helpers():
+    from veranda_spark.functions.crs import parse_sref, utm_epsg, utm_zone_of
+
+    assert utm_zone_of(9.0) == 32       # central Europe
+    assert utm_zone_of(-75.0) == 18     # US east coast
+    assert utm_zone_of(-180.0) == 1 and utm_zone_of(179.99) == 60
+    assert utm_epsg(9.0, 48.0) == "EPSG:32632"
+    assert utm_epsg(9.0, -20.0) == "EPSG:32732"
+    # the produced codes parse back into the supported set
+    assert parse_sref(utm_epsg(-75.0, 40.0)) == {
+        "kind": "utm", "zone": 18, "south": False,
+    }

@@ -220,3 +220,15 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
         )
     lon, lat = to_lonlat(mt, s, x, y)
     return from_lonlat(mt, d, lon, lat)
+
+
+def utm_zone_of(lon: float) -> int:
+    """UTM zone containing longitude ``lon`` (degrees, [-180, 180))."""
+    return int((lon + 180.0) // 6.0) % 60 + 1
+
+
+def utm_epsg(lon: float, lat: float) -> str:
+    """EPSG code string of the WGS84 UTM zone containing (lon, lat) —
+    convenience for picking a dst sref from data extent."""
+    zone = utm_zone_of(lon)
+    return f"EPSG:{(32600 if lat >= 0 else 32700) + zone}"
