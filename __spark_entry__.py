@@ -678,6 +678,35 @@ def q_decontaminate(spark, sf_dir):
     return contamination_ngrams(rest, bench, n=3)
 
 
+def q_merge_upsert(spark, sf_dir):
+    # round-3 §2.8: versioned-table MERGE (io/table.py — Iceberg-style
+    # snapshot + partition-granular copy-on-write).  Base and update
+    # batches derive from orders; the oracle reproduces upsert semantics
+    # with NOT IN / UNION ALL.  Values stay un-rounded: both engines read
+    # the same parquet doubles and apply the same exact IEEE ops.
+    import tempfile
+
+    from veranda_spark.io.table import create_table, merge_into, read_table
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 5).alias("p"),
+        F.col("o_totalprice").alias("val"),
+    )
+    upd = o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        ((F.col("o_orderkey") + 1) % 5).alias("p"),
+        (F.col("o_totalprice") * 2).alias("val"),
+    )
+    path = tempfile.mkdtemp(prefix="merge_q_")
+    create_table(base, path, partition_by="p")
+    merge_into(spark, path, upd, keys=["k"], partition_by="p")
+    return read_table(spark, path).select("k", "p", "val")
+
+
 def q_ann_topk(spark, sf_dir):
     from veranda_spark.operators.ann import brute_force_topk
 
@@ -1122,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_logprob": q_doc_logprob,
         "decontaminate": q_decontaminate,
+        "merge_upsert": q_merge_upsert,
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
         "neardup_groups": q_neardup_groups,
@@ -1619,6 +1649,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_contaminated_grams
             FROM doc_grams JOIN bench_grams USING (gram)
             GROUP BY doc_id
+        """,
+        "merge_upsert": """
+            WITH base AS (
+              SELECT o_orderkey AS k, o_orderkey % 5 AS p, o_totalprice AS val
+              FROM orders WHERE o_orderkey < 2000
+            ),
+            upd AS (
+              SELECT o_orderkey AS k, (o_orderkey + 1) % 5 AS p,
+                     o_totalprice * 2 AS val
+              FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+            )
+            SELECT k, p, val FROM base WHERE k NOT IN (SELECT k FROM upd)
+            UNION ALL
+            SELECT k, p, val FROM upd
         """,
         "neardup_groups": r"""
             WITH RECURSIVE pairs AS (

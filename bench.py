@@ -77,6 +77,9 @@ ROUND3 = [
     "neardup_groups",
     "doc_logprob",
     "decontaminate",
+    "warp_crs",
+    "audio_features",
+    "merge_upsert",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000"))

@@ -1,0 +1,111 @@
+"""Versioned table MERGE: upsert semantics, snapshot isolation, COW."""
+
+import os
+
+import pytest
+
+from veranda_spark.io.table import (
+    create_table,
+    current_version,
+    list_versions,
+    merge_into,
+    read_table,
+)
+
+
+def _rows(df):
+    return {(r["k"], r["p"], r["val"]) for r in df.collect()}
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(20)], "k long, p long, val string"
+    )
+    create_table(df, path, partition_by="p")
+    return path
+
+
+def test_merge_upsert_semantics(spark, base):
+    upd = spark.createDataFrame(
+        [(3, 3, "updated3"), (100, 0, "new100")], "k long, p long, val string"
+    )
+    res = merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    assert res == {"version": 2, "previous": 1}
+    got = _rows(read_table(spark, base))
+    assert (3, 3, "updated3") in got and (3, 3, "v3") not in got
+    assert (100, 0, "new100") in got
+    assert (7, 3, "v7") in got  # untouched row in an affected partition
+    assert len(got) == 21
+
+
+def test_snapshot_isolation_time_travel(spark, base):
+    upd = spark.createDataFrame([(0, 0, "X")], "k long, p long, val string")
+    merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    v1 = _rows(read_table(spark, base, version=1))
+    v2 = _rows(read_table(spark, base, version=2))
+    assert (0, 0, "v0") in v1 and (0, 0, "X") not in v1
+    assert (0, 0, "X") in v2
+    assert list_versions(base) == [1, 2]
+    with pytest.raises(ValueError, match="does not exist"):
+        read_table(spark, base, version=9)
+
+
+def test_cow_links_untouched_partitions(spark, base):
+    upd = spark.createDataFrame([(1, 1, "Y")], "k long, p long, val string")
+    merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    v1 = os.path.join(base, "_versions", "000001")
+    v2 = os.path.join(base, "_versions", "000002")
+
+    def inodes(vdir, part):
+        d = os.path.join(vdir, part)
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    # untouched partition p=2: files are the SAME inodes (hard links)
+    assert inodes(v1, "p=2") == inodes(v2, "p=2")
+    # affected partition p=1 was rewritten (no shared inodes)
+    assert not (
+        set(inodes(v1, "p=1").values()) & set(inodes(v2, "p=1").values())
+    )
+
+
+def test_partition_move_rewrites_both_sides(spark, base):
+    # key 2 moves from p=2 to p=0: old copy must vanish
+    upd = spark.createDataFrame([(2, 0, "moved")], "k long, p long, val string")
+    merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    got = _rows(read_table(spark, base))
+    assert (2, 0, "moved") in got and (2, 2, "v2") not in got
+    assert len(got) == 20
+
+
+def test_crashed_merge_is_invisible(spark, base):
+    # simulate a crash: orphan version dir exists but _current not bumped
+    orphan = os.path.join(base, "_versions", "000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "garbage"), "w") as f:
+        f.write("partial")
+    assert current_version(base) == 1
+    assert _rows(read_table(spark, base)) == _rows(read_table(spark, base, 1))
+    # the next merge discards the orphan and commits cleanly
+    upd = spark.createDataFrame([(0, 0, "Z")], "k long, p long, val string")
+    res = merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    assert res["version"] == 2
+    assert (0, 0, "Z") in _rows(read_table(spark, base))
+
+
+def test_unpartitioned_merge_and_schema_guard(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string")
+    create_table(df, path)
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, val string")
+    merge_into(spark, path, upd, keys=["k"])
+    got = {(r["k"], r["val"]) for r in read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    bad = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_into(spark, path, bad, keys=["k"])

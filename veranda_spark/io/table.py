@@ -1,0 +1,182 @@
+"""Versioned parquet tables with copy-on-write MERGE — Iceberg-style
+snapshot semantics without an Iceberg runtime (none in this env; the
+tile sinks get the same guarantees from io/lineage.py's run_id
+protocol, this module generalizes them to arbitrary keyed tables).
+
+Layout::
+
+    <path>/_versions/000001/...   immutable snapshot directories
+    <path>/_versions/000002/...
+    <path>/_current               text file naming the committed version
+
+The ``_current`` pointer is written LAST via an atomic rename, so a
+crash mid-write leaves an orphan (invisible) version directory, never a
+half-visible table — the same commit-point discipline as
+write_tiles_checkpointed.  ``merge_into`` rewrites only the partitions
+an update batch touches; untouched partition directories are hard-linked
+into the new version (on object stores this would be a manifest re-list
+instead of links — same O(changed), documented here for the local FS).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def _version_path(path: str, version: int) -> str:
+    return os.path.join(_versions_dir(path), f"{version:06d}")
+
+
+def current_version(path: str) -> int | None:
+    try:
+        with open(os.path.join(path, "_current")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _commit(path: str, version: int) -> None:
+    tmp = os.path.join(path, "_current.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, "_current"))  # atomic commit point
+
+
+def create_table(
+    df: DataFrame, path: str, partition_by: str | None = None
+) -> int:
+    """Write version 1 of a managed versioned table."""
+    os.makedirs(_versions_dir(path), exist_ok=True)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(_version_path(path, 1))
+    _commit(path, 1)
+    return 1
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (the current one, or ``version`` for
+    time travel).  Orphan (uncommitted) versions are unreadable by
+    construction — nothing points at them."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {path}")
+    v = version or cur
+    if v > cur or not os.path.isdir(_version_path(path, v)):
+        raise ValueError(f"version {v} does not exist (current={cur})")
+    return spark.read.parquet(_version_path(path, v))
+
+
+def list_versions(path: str) -> list[int]:
+    cur = current_version(path)
+    if cur is None:
+        return []
+    out = []
+    for name in sorted(os.listdir(_versions_dir(path))):
+        if name.isdigit() and int(name) <= cur:
+            out.append(int(name))
+    return out
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link a partition directory into the new version (COW: bytes
+    are shared, directories are new)."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(tgt, exist_ok=True)
+        for fn in files:
+            s, d = os.path.join(root, fn), os.path.join(tgt, fn)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+) -> dict:
+    """Upsert (MERGE INTO): matched target rows are replaced by the
+    update row, unmatched update rows are inserted, unmatched target
+    rows are kept.  Produces a NEW committed version; readers of older
+    versions are unaffected (snapshot isolation).
+
+    Copy-on-write granularity: with ``partition_by``, only partitions
+    present in the update batch are rewritten — every other partition
+    directory is hard-linked from the previous version.  An update that
+    MOVES a row across partitions must carry the new partition value;
+    the row's old partition is rewritten too (both sides are affected).
+
+    Scale: the per-partition rewrite is `target_partition ⊕ updates` —
+    a broadcast-able anti-join when the update batch is small; the
+    untouched bulk of a 100 TB table is never read, moved, or decoded.
+    """
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {path}")
+    tgt = read_table(spark, path)
+    if set(tgt.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_into schema mismatch: target {sorted(tgt.columns)} vs "
+            f"updates {sorted(updates.columns)}"
+        )
+    new_v = cur + 1
+    new_dir = _version_path(path, new_v)
+    if os.path.exists(new_dir):  # orphan from a crashed merge — discard
+        shutil.rmtree(new_dir)
+
+    if partition_by:
+        # partitions touched by the update batch: the updates' own
+        # partition values PLUS the current partition of any matched key
+        # (a key may move across partitions)
+        upd_parts = updates.select(partition_by).distinct()
+        moved_parts = (
+            tgt.join(updates.select(keys).distinct(), keys, "left_semi")
+            .select(partition_by)
+            .distinct()
+        )
+        affected = [
+            r[partition_by]
+            for r in upd_parts.union(moved_parts).distinct().collect()
+        ]
+        os.makedirs(new_dir, exist_ok=True)
+        old_dir = _version_path(path, cur)
+        aff_set = {str(a) for a in affected}
+        for name in os.listdir(old_dir):
+            if name.startswith(f"{partition_by}="):
+                if name.split("=", 1)[1] not in aff_set:
+                    _link_tree(
+                        os.path.join(old_dir, name), os.path.join(new_dir, name)
+                    )
+        tgt_aff = tgt.filter(F.col(partition_by).isin(affected))
+        merged = tgt_aff.join(
+            updates.select(keys).distinct(), keys, "left_anti"
+        ).unionByName(updates.filter(F.col(partition_by).isin(affected)))
+        (
+            merged.write.mode("append")
+            .partitionBy(partition_by)
+            .parquet(new_dir)
+        )
+    else:
+        merged = tgt.join(
+            updates.select(keys).distinct(), keys, "left_anti"
+        ).unionByName(updates)
+        merged.write.mode("overwrite").parquet(new_dir)
+
+    _commit(path, new_v)
+    return {"version": new_v, "previous": cur}
