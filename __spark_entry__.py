@@ -878,6 +878,22 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_pyramid(spark, sf_dir):
+    # round-3: distributed overview pyramid (gdaladdo analog) — levels
+    # built from the previous level, one parent-keyed shuffle each;
+    # rows-only (pixel payloads have no SQL analog; numpy parity in
+    # test_pyramid.py)
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import build_pyramid, burn_in
+
+    tiles = burn_in(generate_images(spark, 300), GRID, per_layer=False)
+    pyr = build_pyramid(tiles, levels=2)
+    return pyr.select(
+        "level", "tile_id", F.crc32(F.col("bytes")).alias("canvas_crc"),
+        "h", "w",
+    )
+
+
 def q_cog_roundtrip(spark, sf_dir):
     # S4: COG-shape export loop in-flight — burn-in canvases re-encode as
     # tiled multi-IFD TIFF with geo tags, then decode + geotransform
@@ -1176,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cog_roundtrip": q_cog_roundtrip,
         "warp_crs": q_warp_crs,
         "audio_features": q_audio_features,
+        "pyramid": q_pyramid,
         "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,

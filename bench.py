@@ -80,6 +80,7 @@ ROUND3 = [
     "warp_crs",
     "audio_features",
     "merge_upsert",
+    "pyramid",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000"))

@@ -943,3 +943,122 @@ def warp_window(
             )
 
     return canvases.mapInPandas(_warp, schema=ASSEMBLED_SCHEMA)
+
+
+PYRAMID_SCHEMA = (
+    "level int, tile_id string, tile_row long, tile_col long, var string, "
+    "layer_id int, bytes binary, h int, w int, channels int, dtype string"
+)
+
+
+def build_pyramid(
+    tiles: DataFrame,
+    levels: int = 2,
+    nodata: float = -9999.0,
+) -> DataFrame:
+    """Distributed overview pyramid over burn-in tiles (the gdaladdo /
+    COG-overview analog, computed ACROSS tiles instead of inside one
+    file — tiff_encode_cog builds per-payload overviews; this op builds
+    the mosaic-level ones).
+
+    Level k+1 tile (r, c) assembles from the 2×2 level-k tiles
+    (2r..2r+1, 2c..2c+1), each 2× block-mean downsampled into its
+    quadrant; missing children leave nodata.  Nodata pixels are excluded
+    from block means (all-nodata blocks stay nodata) — the standard
+    overview convention.
+
+    Scale: each level is ONE shuffle keyed on the parent tile, and its
+    input is the PREVIOUS level (4× smaller), never the originals —
+    total bytes moved ≈ 4/3 of level 1, exactly how gdaladdo recurses.
+    Output: union of levels 1..``levels`` (level 0 is the input).
+    """
+    out: DataFrame | None = None
+    cur = tiles
+
+    def shrink(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                ch = int(getattr(row, "channels", 1) or 1)
+                shape = (row.h, row.w) if ch == 1 else (row.h, row.w, ch)
+                arr = np.frombuffer(row.bytes, dtype=row.dtype).reshape(shape)
+                v = arr.astype("float64")
+                v[v == nodata] = np.nan
+                th, tw = row.h // 2 * 2, row.w // 2 * 2
+                blocks = (
+                    v[:th, :tw].reshape(th // 2, 2, tw // 2, 2)
+                    if ch == 1
+                    else v[:th, :tw].reshape(th // 2, 2, tw // 2, 2, ch)
+                )
+                axes = (1, 3)
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")  # all-NaN blocks
+                    small = np.nanmean(blocks, axis=axes)
+                small = np.where(np.isnan(small), nodata, small).astype(
+                    row.dtype
+                )
+                rows.append((
+                    int(row.tile_row) // 2, int(row.tile_col) // 2,
+                    int(row.tile_row) % 2, int(row.tile_col) % 2,
+                    getattr(row, "var", "data"),
+                    int(getattr(row, "layer_id", 1) or 1),
+                    np.ascontiguousarray(small).tobytes(),
+                    small.shape[0], small.shape[1], ch, str(small.dtype),
+                ))
+            yield pd.DataFrame(
+                rows or None,
+                columns=["p_row", "p_col", "q_row", "q_col", "var",
+                         "layer_id", "bytes", "h", "w", "channels", "dtype"],
+            )
+
+    quad_schema = (
+        "p_row long, p_col long, q_row int, q_col int, var string, "
+        "layer_id int, bytes binary, h int, w int, channels int, dtype string"
+    )
+
+    def assemble(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: dict[tuple, list] = {}
+        for pdf in it:
+            for key, g in pdf.groupby(
+                ["p_row", "p_col", "var", "layer_id"], sort=False
+            ):
+                pending.setdefault(key, []).append(g)
+        for (pr, pc, var, lay), gs in pending.items():
+            g = gs[0] if len(gs) == 1 else pd.concat(gs)
+            first = g.iloc[0]
+            qh, qw, ch = int(first["h"]), int(first["w"]), int(first["channels"])
+            shape = (2 * qh, 2 * qw) if ch == 1 else (2 * qh, 2 * qw, ch)
+            canvas = np.full(shape, nodata, dtype=first["dtype"])
+            for row in g.itertuples(index=False):
+                pshape = (row.h, row.w) if ch == 1 else (row.h, row.w, ch)
+                patch = np.frombuffer(row.bytes, dtype=row.dtype).reshape(pshape)
+                r0, c0 = int(row.q_row) * qh, int(row.q_col) * qw
+                canvas[r0: r0 + row.h, c0: c0 + row.w] = patch
+            yield pd.DataFrame({
+                "tile_id": [f"{pr}_{pc}"],
+                "tile_row": [int(pr)], "tile_col": [int(pc)],
+                "var": [var], "layer_id": [int(lay)],
+                "bytes": [np.ascontiguousarray(canvas).tobytes()],
+                "h": [canvas.shape[0]], "w": [canvas.shape[1]],
+                "channels": [ch], "dtype": [str(canvas.dtype)],
+            })
+
+    lvl_schema = (
+        "tile_id string, tile_row long, tile_col long, var string, "
+        "layer_id int, bytes binary, h int, w int, channels int, dtype string"
+    )
+    n_parts = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    for level in range(1, levels + 1):
+        quads = cur.mapInPandas(shrink, schema=quad_schema)
+        nxt = quads.repartition(
+            max(n_parts >> level, 4), "p_row", "p_col", "var", "layer_id"
+        ).mapInPandas(assemble, schema=lvl_schema)
+        tagged = nxt.withColumn("level", F.lit(level)).select(
+            "level", "tile_id", "tile_row", "tile_col", "var", "layer_id",
+            "bytes", "h", "w", "channels", "dtype",
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        cur = nxt
+    return out
