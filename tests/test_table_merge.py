@@ -109,3 +109,39 @@ def test_unpartitioned_merge_and_schema_guard(spark, tmp_path):
     bad = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_into(spark, path, bad, keys=["k"])
+
+
+def test_merge_stream_exactly_once(spark, tmp_path):
+    import os
+
+    from veranda_spark.io.table import list_versions
+    from veranda_spark.streaming.append import merge_stream
+
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(10)], "k long, p long, val string"
+    )
+    create_table(base, path, partition_by="p")
+
+    src = str(tmp_path / "updates")
+    upd = spark.createDataFrame(
+        [(2, 2, "U2"), (50, 1, "new50")], "k long, p long, val string"
+    )
+    upd.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("k long, p long, val string").parquet(src)
+    q = merge_stream(stream, path, keys=["k"],
+                     checkpoint_dir=str(tmp_path / "ckpt"), partition_by="p")
+    q.awaitTermination(120)
+    got = _rows(read_table(spark, path))
+    assert (2, 2, "U2") in got and (50, 1, "new50") in got and len(got) == 11
+    versions = list_versions(path)
+
+    # crash-replay simulation: fresh checkpoint, same source → batch 0
+    # replays with identical content; the marker makes it a no-op
+    stream2 = spark.readStream.schema("k long, p long, val string").parquet(src)
+    q2 = merge_stream(stream2, path, keys=["k"],
+                      checkpoint_dir=str(tmp_path / "ckpt2"), partition_by="p")
+    q2.awaitTermination(120)
+    assert list_versions(path) == versions  # no duplicate version
+    assert _rows(read_table(spark, path)) == got

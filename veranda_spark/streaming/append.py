@@ -164,3 +164,51 @@ def burn_in_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_stream(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+    available_now: bool = True,
+):
+    """CDC-style streaming upsert: every micro-batch MERGEs into a
+    versioned table (io/table.py) — the streaming half of §2.8 for keyed
+    tables, complementing burn_in_stream's tile sinks.
+
+    Exactly-once: the applied batch id is committed to ``_stream_batch``
+    (atomic rename) AFTER the merge commit, so a crash-replay of an
+    already-applied epoch is a no-op — no duplicate version, no double
+    upsert.  (The merge itself is also idempotent for identical batch
+    content; the marker just keeps the version history clean.)
+    """
+    import os
+
+    from veranda_spark.io.table import merge_into
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(path, "_stream_batch")
+        try:
+            with open(marker) as f:
+                last = int(f.read().strip())
+        except FileNotFoundError:
+            last = -1
+        if batch_id <= last:
+            return  # crash-replay of an applied epoch: no-op
+        merge_into(
+            batch_df.sparkSession, path, batch_df, keys,
+            partition_by=partition_by,
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
