@@ -150,3 +150,36 @@ def test_utm_zone_helpers():
     assert parse_sref(utm_epsg(-75.0, 40.0)) == {
         "kind": "utm", "zone": 18, "south": False,
     }
+
+
+def test_cross_crs_footprint_covers_bowed_edges(spark):
+    # review fix: a UTM footprint spanning the central meridian has its
+    # top edge peak in latitude BETWEEN the corners; the warped bbox
+    # must cover a dense boundary sample, not just the 4 corners
+    from veranda_spark.functions.crs import NP, transform as tx
+
+    src = RegularGrid(ul_x=200000.0, ul_y=5500000.0, psx=10.0, psy=10.0,
+                      sref="EPSG:32632")
+    dst = RegularGrid(ul_x=-180.0, ul_y=85.0, psx=0.001, psy=0.001,
+                      sref="EPSG:4326")
+    # 600km-wide footprint straddling easting 500000
+    df = spark.createDataFrame(
+        [(1, 0, 0, 60000, 1000)],
+        "image_id long, px_col0 long, px_row0 long, w long, h long",
+    )
+    r = reproject_footprints(df, src, dst).collect()[0]
+    wx0 = dst.ul_x + r["px_col0"] * dst.psx
+    wy0 = dst.ul_y - r["px_row0"] * dst.psy
+    wx1 = wx0 + r["w"] * dst.psx
+    wy1 = wy0 - r["h"] * dst.psy
+    # dense boundary sampling of the original footprint
+    t = np.linspace(0.0, 1.0, 201)
+    ex = 200000.0 + 600000.0 * t
+    top = tx(NP, "EPSG:32632", "EPSG:4326", ex, np.full_like(ex, 5500000.0))
+    bot = tx(NP, "EPSG:32632", "EPSG:4326", ex, np.full_like(ex, 5490000.0))
+    lons = np.concatenate([top[0], bot[0]])
+    lats = np.concatenate([top[1], bot[1]])
+    assert wx0 <= lons.min() and wx1 >= lons.max()
+    assert wy1 <= lats.min() and wy0 >= lats.max(), (
+        wy0, lats.max(), "top edge bows above the corners"
+    )

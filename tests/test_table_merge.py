@@ -129,19 +129,58 @@ def test_merge_stream_exactly_once(spark, tmp_path):
     )
     upd.write.mode("overwrite").parquet(src)
 
+    ckpt = str(tmp_path / "ckpt")
     stream = spark.readStream.schema("k long, p long, val string").parquet(src)
-    q = merge_stream(stream, path, keys=["k"],
-                     checkpoint_dir=str(tmp_path / "ckpt"), partition_by="p")
+    q = merge_stream(stream, path, keys=["k"], checkpoint_dir=ckpt,
+                     partition_by="p")
     q.awaitTermination(120)
+    q.stop()
     got = _rows(read_table(spark, path))
     assert (2, 2, "U2") in got and (50, 1, "new50") in got and len(got) == 11
     versions = list_versions(path)
 
-    # crash-replay simulation: fresh checkpoint, same source → batch 0
-    # replays with identical content; the marker makes it a no-op
-    stream2 = spark.readStream.schema("k long, p long, val string").parquet(src)
-    q2 = merge_stream(stream2, path, keys=["k"],
-                      checkpoint_dir=str(tmp_path / "ckpt2"), partition_by="p")
-    q2.awaitTermination(120)
+    # crash-replay (the foreachBatch contract: Spark may re-invoke the
+    # handler with an already-applied batch id after a crash between the
+    # sink commit and the checkpoint commit) — direct handler call with
+    # the SAME checkpoint identity must be a no-op
+    from veranda_spark.streaming.append import merge_batch_handler
+
+    replay = merge_batch_handler(path, ["k"], ckpt, partition_by="p")
+    replay(spark.read.parquet(src), 0)
     assert list_versions(path) == versions  # no duplicate version
     assert _rows(read_table(spark, path)) == got
+
+    # a genuinely NEW stream (its own checkpoint, new data) MUST apply
+    # even though its batch ids restart at 0
+    src2 = str(tmp_path / "updates2")
+    spark.createDataFrame([(60, 0, "new60")], "k long, p long, val string")\
+        .write.mode("overwrite").parquet(src2)
+    stream3 = spark.readStream.schema("k long, p long, val string").parquet(src2)
+    q3 = merge_stream(stream3, path, keys=["k"],
+                      checkpoint_dir=str(tmp_path / "ckpt3"), partition_by="p")
+    q3.awaitTermination(120)
+    q3.stop()
+    got3 = _rows(read_table(spark, path))
+    assert (60, 0, "new60") in got3 and len(got3) == 12
+
+
+def test_merge_escaped_and_null_partitions(spark, tmp_path):
+    # review fix: escaped chars and the NULL partition must not be both
+    # linked as untouched AND rewritten (row duplication)
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a:b", "v1"), (2, "plain", "v2"), (3, None, "v3")],
+        "k long, p string, val string",
+    )
+    create_table(df, path, partition_by="p")
+    upd = spark.createDataFrame(
+        [(1, "a:b", "U1"), (3, None, "U3"), (9, None, "new9")],
+        "k long, p string, val string",
+    )
+    merge_into(spark, path, upd, keys=["k"], partition_by="p")
+    got = sorted(
+        (r["k"], r["p"], r["val"]) for r in read_table(spark, path).collect()
+    )
+    assert got == [
+        (1, "a:b", "U1"), (2, "plain", "v2"), (3, None, "U3"), (9, None, "new9")
+    ]

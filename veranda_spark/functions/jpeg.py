@@ -180,6 +180,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # truncate drained bits: without this the accumulator grows by
+        # every bit ever written and each shift goes quadratic on large
+        # scans (a 512x512 noisy tile would take tens of seconds)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:

@@ -292,13 +292,18 @@ def reproject_footprints(
             F.lit(src.ul_y) - row_px * F.lit(src.psy),
         )
 
-    corners = [
-        world(F.col("px_col0"), F.col("px_row0")),
-        world(F.col("px_col0") + F.col("w"), F.col("px_row0")),
-        world(F.col("px_col0"), F.col("px_row0") + F.col("h")),
-        world(F.col("px_col0") + F.col("w"), F.col("px_row0") + F.col("h")),
+    # corners AND edge midpoints: projected edges bow outward between
+    # corners (e.g. a constant-northing UTM edge peaks in latitude at the
+    # central meridian), so a corner-only bbox can CLIP the original —
+    # the same reason warp_window samples edge midpoints
+    boundary = [
+        (F.col("px_col0") + dc, F.col("px_row0") + dr)
+        for dc in (F.lit(0), F.col("w") / 2, F.col("w"))
+        for dr in (F.lit(0), F.col("h") / 2, F.col("h"))
     ]
-    txy = [transform(SPARK, src.sref, dst.sref, x, y) for x, y in corners]
+    txy = [
+        transform(SPARK, src.sref, dst.sref, *world(c, r)) for c, r in boundary
+    ]
     xmin = F.least(*[x for x, _ in txy])
     xmax = F.greatest(*[x for x, _ in txy])
     ymin = F.least(*[y for _, y in txy])

@@ -31,6 +31,18 @@ def _strip_file_scheme(p: str) -> str:
     return p[len("file:"):] if p.startswith("file:") else p
 
 
+def _hadoop_path_exists(spark: SparkSession, p: str) -> bool:
+    """FS-scheme-aware existence check (local, hdfs://, s3a://, ...)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        # no JVM gateway (unit contexts) — local-path fallback
+        return os.path.exists(_strip_file_scheme(p))
+
+
 def read_lineage(spark: SparkSession, base: str) -> DataFrame | None:
     """None when the lineage table does not exist yet; any OTHER read
     failure (corrupt footer after a crash mid-append, FS errors) raises —
@@ -38,10 +50,14 @@ def read_lineage(spark: SparkSession, base: str) -> DataFrame | None:
     treating a broken lineage as absent would surface orphaned attempts
     as duplicate rows."""
     p = lineage_path(base)
-    # absent-vs-corrupt decided by the filesystem, not by matching
+    # absent-vs-corrupt decided by the FILESYSTEM, not by matching
     # exception text (which varies across Spark versions/locales): a
     # missing path is None, any read error on an EXISTING path raises.
-    if not os.path.exists(_strip_file_scheme(p)):
+    # The existence check goes through the Hadoop FileSystem API so
+    # hdfs://, s3a:// etc. resolve correctly — a driver-local
+    # os.path.exists would read every remote lineage as absent and
+    # surface orphaned attempts as duplicates on resume.
+    if not _hadoop_path_exists(spark, p):
         return None
     # mergeSchema: sinks written before the attempt_id upgrade mix
     # schemas; merged reads give the old rows attempt_id = NULL

@@ -89,6 +89,22 @@ def list_versions(path: str) -> list[int]:
     return out
 
 
+def _unescape_partition_dir(name: str, partition_by: str):
+    """Hive/Spark partition directory name → raw value string (or None
+    for the NULL partition).  Spark escapes special characters as %XX;
+    unescaping is well-defined regardless of which characters the writer
+    chose to escape, so matching DECODED values is robust where matching
+    raw ``str(value)`` against the escaped name is not."""
+    import re
+
+    raw = name.split("=", 1)[1]
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), raw
+    )
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Hard-link a partition directory into the new version (COW: bytes
     are shared, directories are new)."""
@@ -156,17 +172,31 @@ def merge_into(
         ]
         os.makedirs(new_dir, exist_ok=True)
         old_dir = _version_path(path, cur)
-        aff_set = {str(a) for a in affected}
+        # compare DECODED directory values against the affected set:
+        # escaped characters and the NULL partition would otherwise be
+        # linked as "untouched" AND rewritten → duplicated rows
+        aff_vals = [a for a in affected if a is not None]  # raw typed values
+        aff_set = {str(a) for a in aff_vals}  # strings, for dir-name compare
+        aff_null = any(a is None for a in affected)
         for name in os.listdir(old_dir):
             if name.startswith(f"{partition_by}="):
-                if name.split("=", 1)[1] not in aff_set:
+                val = _unescape_partition_dir(name, partition_by)
+                touched = (val is None and aff_null) or (
+                    val is not None and val in aff_set
+                )
+                if not touched:
                     _link_tree(
                         os.path.join(old_dir, name), os.path.join(new_dir, name)
                     )
-        tgt_aff = tgt.filter(F.col(partition_by).isin(affected))
+        # null-safe affected filter: isin() never matches NULL
+        aff_cond = F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
+        if aff_null:
+            aff_cond = aff_cond | F.col(partition_by).isNull()
+        tgt_aff = tgt.filter(aff_cond)
+        # every update row's partition is in `affected` by construction
         merged = tgt_aff.join(
             updates.select(keys).distinct(), keys, "left_anti"
-        ).unionByName(updates.filter(F.col(partition_by).isin(affected)))
+        ).unionByName(updates)
         (
             merged.write.mode("append")
             .partitionBy(partition_by)

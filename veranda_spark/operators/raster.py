@@ -793,7 +793,14 @@ def quicklook(
                     rows or None, columns=["image_id", "bytes", "h", "w", "fmt"]
                 )
 
-        return mid.mapInPandas(stretch, schema=ql_schema)
+        out = mid.mapInPandas(stretch, schema=ql_schema)
+        # hand the cache back to the caller: the intermediate must stay
+        # persisted until the output is consumed (the stretch re-reads
+        # it), so quicklook cannot unpersist it itself.  Call
+        # ``out._quicklook_mid.unpersist()`` after collecting/writing to
+        # release the downsampled corpus from the block manager.
+        out._quicklook_mid = mid
+        return out
 
     span = max(vmax - vmin, 1e-12)
 
@@ -971,9 +978,13 @@ def build_pyramid(
     input is the PREVIOUS level (4× smaller), never the originals —
     total bytes moved ≈ 4/3 of level 1, exactly how gdaladdo recurses.
     Output: union of levels 1..``levels`` (level 0 is the input).
+    Each level is persisted MEMORY_AND_DISK (the union shares it between
+    its own branch and the next level's lineage); call
+    ``.unpersist()`` on ``out._pyramid_levels`` after consuming.
     """
     out: DataFrame | None = None
     cur = tiles
+    level_frames: list[DataFrame] = []
 
     def shrink(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1049,16 +1060,26 @@ def build_pyramid(
         "tile_id string, tile_row long, tile_col long, var string, "
         "layer_id int, bytes binary, h int, w int, channels int, dtype string"
     )
+    from pyspark import StorageLevel
+
     n_parts = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     for level in range(1, levels + 1):
         quads = cur.mapInPandas(shrink, schema=quad_schema)
+        # persist each level: the returned union references level k from
+        # BOTH its own branch and level k+1's lineage — without the shared
+        # InMemoryRelation, evaluating the union would recompute every
+        # lower level (and re-read the originals) once per higher level
         nxt = quads.repartition(
             max(n_parts >> level, 4), "p_row", "p_col", "var", "layer_id"
-        ).mapInPandas(assemble, schema=lvl_schema)
+        ).mapInPandas(assemble, schema=lvl_schema).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         tagged = nxt.withColumn("level", F.lit(level)).select(
             "level", "tile_id", "tile_row", "tile_col", "var", "layer_id",
             "bytes", "h", "w", "channels", "dtype",
         )
         out = tagged if out is None else out.unionByName(tagged)
         cur = nxt
+        level_frames.append(nxt)
+    out._pyramid_levels = level_frames
     return out

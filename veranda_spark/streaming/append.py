@@ -166,30 +166,26 @@ def burn_in_stream(
     return writer.start()
 
 
-def merge_stream(
-    stream: DataFrame,
+def merge_batch_handler(
     path: str,
     keys: list[str],
     checkpoint_dir: str,
     partition_by: str | None = None,
-    available_now: bool = True,
 ):
-    """CDC-style streaming upsert: every micro-batch MERGEs into a
-    versioned table (io/table.py) — the streaming half of §2.8 for keyed
-    tables, complementing burn_in_stream's tile sinks.
-
-    Exactly-once: the applied batch id is committed to ``_stream_batch``
-    (atomic rename) AFTER the merge commit, so a crash-replay of an
-    already-applied epoch is a no-op — no duplicate version, no double
-    upsert.  (The merge itself is also idempotent for identical batch
-    content; the marker just keeps the version history clean.)
-    """
+    """The foreachBatch handler behind ``merge_stream``, exposed so the
+    replay semantics are directly testable: calling it twice with the
+    same batch id merges once."""
+    import hashlib
     import os
 
     from veranda_spark.io.table import merge_into
 
+    ckpt_tag = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(path, "_stream_batch")
+        marker = os.path.join(path, f"_stream_batch_{ckpt_tag}")
         try:
             with open(marker) as f:
                 last = int(f.read().strip())
@@ -205,6 +201,33 @@ def merge_stream(
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, marker)
+
+    return handle
+
+
+def merge_stream(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+    available_now: bool = True,
+):
+    """CDC-style streaming upsert: every micro-batch MERGEs into a
+    versioned table (io/table.py) — the streaming half of §2.8 for keyed
+    tables, complementing burn_in_stream's tile sinks.
+
+    Exactly-once: the applied batch id is committed to a marker file
+    (atomic rename) AFTER the merge commit, so a crash-replay of an
+    already-applied epoch is a no-op — no duplicate version, no double
+    upsert.  The marker is scoped to THIS stream's checkpoint (hash of
+    ``checkpoint_dir`` in the filename): batch ids restart at 0 for
+    every new query, so a table-global marker would silently swallow a
+    second stream's early batches.  (The merge itself is also idempotent
+    for identical batch content; the marker keeps the version history
+    clean.)
+    """
+    handle = merge_batch_handler(path, keys, checkpoint_dir, partition_by)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
