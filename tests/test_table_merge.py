@@ -184,3 +184,30 @@ def test_merge_escaped_and_null_partitions(spark, tmp_path):
     assert got == [
         (1, "a:b", "U1"), (2, "plain", "v2"), (3, None, "U3"), (9, None, "new9")
     ]
+
+
+def test_expire_versions_keeps_shared_bytes(spark, base):
+    import numpy as np
+
+    from veranda_spark.io.table import expire_versions
+
+    # three merges -> versions 1..4
+    for i, (k, p) in enumerate([(1, 1), (5, 1), (9, 1)]):
+        upd = spark.createDataFrame(
+            [(k, p, f"u{i}")], "k long, p long, val string"
+        )
+        merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    assert list_versions(base) == [1, 2, 3, 4]
+    latest = _rows(read_table(spark, base))
+
+    removed = expire_versions(base, keep=2)
+    assert removed == [1, 2]
+    assert list_versions(base) == [3, 4]
+    # untouched partitions were hard-linked from v1; expiry must not
+    # break the surviving versions' bytes
+    assert _rows(read_table(spark, base)) == latest
+    assert _rows(read_table(spark, base, version=3)) is not None
+    with pytest.raises(ValueError, match="does not exist"):
+        read_table(spark, base, version=1)
+    with pytest.raises(ValueError, match="keep"):
+        expire_versions(base, keep=0)

@@ -210,3 +210,26 @@ def merge_into(
 
     _commit(path, new_v)
     return {"version": new_v, "previous": cur}
+
+
+def expire_versions(path: str, keep: int = 2) -> list[int]:
+    """Iceberg ``expire_snapshots`` analog: delete all but the newest
+    ``keep`` committed versions.  Hard-linked files make this safe — a
+    partition directory shared with a surviving version keeps its bytes
+    (the link count drops, the inode survives); only bytes referenced
+    exclusively by expired versions are reclaimed.  The current version
+    is never expired.  Returns the versions removed."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (the current version survives)")
+    cur = current_version(path)
+    if cur is None:
+        return []
+    versions = list_versions(path)
+    cutoff = versions[-keep:] if keep < len(versions) else versions
+    removed = []
+    for v in versions:
+        if v in cutoff or v == cur:
+            continue
+        shutil.rmtree(_version_path(path, v), ignore_errors=True)
+        removed.append(v)
+    return removed
