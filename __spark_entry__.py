@@ -894,6 +894,26 @@ def q_pyramid(spark, sf_dir):
     )
 
 
+def q_composite_mosaic(spark, sf_dir):
+    # round-3: per-pixel overlap-resolution strategies (gdal_merge knob)
+    # — mean and max composites over the same overlapping register;
+    # rows-only (pixel payloads have no SQL analog; numpy goldens in
+    # test_composite.py)
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import burn_in
+
+    imgs = generate_images(spark, 300)
+    out = None
+    for mode in ("mean", "max"):
+        t = burn_in(imgs, GRID, per_layer=False, composite=mode).select(
+            F.lit(mode).alias("composite"), "tile_id",
+            F.crc32(F.col("bytes")).alias("canvas_crc"),
+            F.col("n_images").cast("long").alias("n_images"),
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
 def q_cog_roundtrip(spark, sf_dir):
     # S4: COG-shape export loop in-flight — burn-in canvases re-encode as
     # tiled multi-IFD TIFF with geo tags, then decode + geotransform
@@ -1193,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_crs": q_warp_crs,
         "audio_features": q_audio_features,
         "pyramid": q_pyramid,
+        "composite_mosaic": q_composite_mosaic,
         "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,

@@ -81,6 +81,7 @@ ROUND3 = [
     "audio_features",
     "merge_upsert",
     "pyramid",
+    "composite_mosaic",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000"))

@@ -235,6 +235,7 @@ def burn_in(
     per_layer: bool = True,
     out_dtype: str | None = None,
     encoder=None,
+    composite: str = "last",
 ) -> DataFrame:
     """Tile burn-in (EP3, S13/S14 semantics): assign every image to the
     tiles it covers, assemble each tile canvas in deterministic placement
@@ -250,7 +251,18 @@ def burn_in(
        — never move pixels you won't place, mosaic/geotiff.py:615-618).
     2. ``groupBy(tile).applyInPandas``: place raw patches into the canvas;
        no decode work after the shuffle.
+
+    ``composite`` resolves overlap per pixel (the gdal_merge / mosaic
+    strategy knob): ``last`` (default — last writer in ``order_col``
+    order wins, the reference's stack semantics), ``first``, ``max``,
+    ``min``, ``mean`` (count-weighted over non-nodata contributions,
+    rounded back to the storage dtype).  ``max``/``min``/``mean`` are
+    order-independent; all run in the same single assembly pass.
     """
+    if composite not in ("last", "first", "max", "min", "mean"):
+        raise ValueError(
+            f"composite must be last|first|max|min|mean, got {composite!r}"
+        )
     df = grid.sref_guard(df)
     group = ["tile_id", "tile_row", "tile_col"]
     if per_layer:
@@ -329,14 +341,41 @@ def burn_in(
             kd = dict(zip(group, key))
             dt = out_dtype or str(np.dtype(g.iloc[0]["dtype"]))
             ch = int(g.iloc[0]["channels"])
-            canvas = np.full((th, tw) if ch == 1 else (th, tw, ch), nodata, dtype=dt)
+            shape = (th, tw) if ch == 1 else (th, tw, ch)
+            canvas = np.full(shape, nodata, dtype=dt)
+            # nodata AS STORED: integer dtypes wrap (-9999 -> 241 for
+            # uint8); comparisons must use the stored value
+            nod = np.full((), nodata).astype(dt)[()]
+            if composite == "mean":
+                acc = np.zeros(shape, dtype="float64")
+                cnt = np.zeros(shape, dtype="int64")
             for row in g.itertuples(index=False):
                 dr, dc = int(row.dst_row0), int(row.dst_col0)
                 wh, ww = int(row.win_h), int(row.win_w)
                 pshape = (wh, ww) if row.channels == 1 else (wh, ww, int(row.channels))
-                canvas[dr : dr + wh, dc : dc + ww] = np.frombuffer(
-                    row.patch, dtype=row.dtype
-                ).reshape(pshape)
+                patch = np.frombuffer(row.patch, dtype=row.dtype).reshape(pshape)
+                region = (slice(dr, dr + wh), slice(dc, dc + ww))
+                if composite == "last":
+                    canvas[region] = patch
+                elif composite == "first":
+                    tgt = canvas[region]
+                    mask = tgt == nod
+                    tgt[mask] = patch.astype(dt, copy=False)[mask]
+                elif composite in ("max", "min"):
+                    tgt = canvas[region]
+                    p = patch.astype(dt, copy=False)
+                    fn = np.maximum if composite == "max" else np.minimum
+                    canvas[region] = np.where(tgt == nod, p, fn(tgt, p))
+                else:  # mean
+                    acc[region] += patch
+                    cnt[region] += 1
+            if composite == "mean":
+                seen = cnt > 0
+                mean = np.full(shape, float(nodata), dtype="float64")
+                mean[seen] = acc[seen] / cnt[seen]
+                if np.issubdtype(np.dtype(dt), np.integer):
+                    mean = np.round(mean)
+                canvas = mean.astype(dt)
             if encoder is not None:
                 # writer-side hook contract (§2.9: native/geotiff.py:389-398)
                 canvas = encoder(canvas, nodataval=nodata, dtype=dt)
