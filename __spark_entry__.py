@@ -707,6 +707,16 @@ def q_merge_upsert(spark, sf_dir):
     return read_table(spark, path).select("k", "p", "val")
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    # round-3 training-data op: deterministic negative sampling (md5-rank
+    # shuffle + stepped offsets), reproduced exactly in SQL — both
+    # engines agree on md5 of the id string, so the oracle re-derives the
+    # same ranks and negatives
+    from veranda_spark.operators.sample import contrastive_pairs
+
+    return contrastive_pairs(_t(spark, sf_dir, "documents"), k=4)
+
+
 def q_ann_topk(spark, sf_dir):
     from veranda_spark.operators.ann import brute_force_topk
 
@@ -1188,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_logprob": q_doc_logprob,
         "decontaminate": q_decontaminate,
         "merge_upsert": q_merge_upsert,
+        "contrastive_pairs": q_contrastive_pairs,
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
         "neardup_groups": q_neardup_groups,
@@ -1687,6 +1698,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_contaminated_grams
             FROM doc_grams JOIN bench_grams USING (gram)
             GROUP BY doc_id
+        """,
+        "contrastive_pairs": """
+            WITH ranked AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY md5(cast(doc_id as varchar)), doc_id
+                     ) AS r,
+                     count(*) OVER () AS n
+              FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS anchor_id, js.j, a.r,
+                     ((a.r - 1 + js.j * 7919) % a.n) + 1 AS neg_rank
+              FROM ranked a, (SELECT unnest([1,2,3,4]) AS j) js
+            )
+            SELECT p.anchor_id, p.j, b.doc_id AS negative_id
+            FROM pairs p JOIN ranked b ON b.r = p.neg_rank
+            WHERE p.neg_rank != p.r
         """,
         "merge_upsert": """
             WITH base AS (

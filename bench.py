@@ -82,6 +82,7 @@ ROUND3 = [
     "merge_upsert",
     "pyramid",
     "composite_mosaic",
+    "contrastive_pairs",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000"))

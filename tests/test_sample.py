@@ -97,3 +97,41 @@ def test_chunk_documents_matches_python(spark):
     assert got[(0, 0)][0].split()[-1] == got[(0, 1)][0].split()[0]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, window=4, overlap=4)
+
+
+def test_global_rank_matches_sorted_order(spark):
+    import hashlib
+
+    from veranda_spark.operators.sample import global_rank
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    keyed = df.withColumn("_mk", F.md5(F.col("doc_id").cast("string")))
+    got = {r["doc_id"]: r["rank"] for r in global_rank(keyed, ["_mk", "doc_id"]).collect()}
+    want_order = sorted(range(500), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    for rank0, i in enumerate(want_order):
+        assert got[i] == rank0 + 1, i
+    assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_contrastive_pairs_vs_reference(spark):
+    import hashlib
+
+    from veranda_spark.operators.sample import contrastive_pairs
+
+    n, k, step = 200, 3, 7919
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {(r["anchor_id"], r["j"]): r["negative_id"]
+           for r in contrastive_pairs(df, k=k, step=step).collect()}
+    order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    rank_of = {i: r + 1 for r, i in enumerate(order)}
+    by_rank = {r + 1: i for r, i in enumerate(order)}
+    for i in range(n):
+        r = rank_of[i]
+        for j in range(1, k + 1):
+            nr = ((r - 1 + j * step) % n) + 1
+            if nr == r:
+                assert (i, j) not in got
+            else:
+                assert got[(i, j)] == by_rank[nr], (i, j)
+    # negatives are "shuffled": no anchor should draw itself
+    assert all(a != neg for (a, _), neg in got.items())

@@ -112,3 +112,83 @@ def chunk_documents(
         )
     )
     return out
+
+
+def global_rank(
+    df: DataFrame, key_cols: list[str], rank_col: str = "rank"
+) -> DataFrame:
+    """Dense global rank 1..N in ``key_cols`` order WITHOUT a
+    single-partition window (the congruent_tile_ids lesson: an
+    unpartitioned Window funnels the whole table through one task).
+
+    Plan: range-partition on the keys (partition p's keys all sort
+    before partition p+1's), per-partition row_number, plus broadcast
+    cumulative partition offsets.  The partitioned frame is
+    localCheckpoint-pinned so the offset pass and the rank pass see the
+    SAME range boundaries (RangePartitioner samples per execution)."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in key_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
+    return part.withColumn(
+        rank_col, F.row_number().over(w) + omap[F.col("_pid")]
+    ).drop("_pid")
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    step: int = 7919,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs
+    (CLIP-style image↔caption training needs (anchor, negative) pairs
+    that are reproducible across runs and engines): rows rank 1..N in
+    md5(id) order — effectively a random but deterministic shuffle — and
+    anchor at rank r draws its j-th negative from rank
+    ((r-1 + j·step) mod N) + 1.  Self-pairs (possible when N divides
+    j·step) are dropped.  Output: (anchor_id, j, negative_id).
+
+    Scale: rank via ``global_rank`` (range partition + offsets, no
+    single-partition window); the negative lookup is an equi-join on the
+    integer rank — co-partitioned, never all-pairs."""
+    keyed = df.select(F.col(id_col)).withColumn(
+        "_mk", F.md5(F.col(id_col).cast("string"))
+    )
+    ranked = global_rank(keyed, ["_mk", id_col]).drop("_mk")
+    n = ranked.count()
+    if n == 0:
+        return ranked.select(
+            F.col(id_col).alias("anchor_id"),
+            F.lit(1).alias("j"),
+            F.col(id_col).alias("negative_id"),
+        ).limit(0)
+    anchors = (
+        ranked.select(F.col(id_col).alias("anchor_id"), "rank")
+        .withColumn("j", F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])))
+        .withColumn(
+            "neg_rank",
+            ((F.col("rank") - 1 + F.col("j") * F.lit(step)) % F.lit(n)) + 1,
+        )
+        .filter(F.col("neg_rank") != F.col("rank"))
+    )
+    negs = ranked.select(
+        F.col(id_col).alias("negative_id"), F.col("rank").alias("neg_rank")
+    )
+    return anchors.join(negs, "neg_rank").select("anchor_id", "j", "negative_id")
