@@ -167,3 +167,61 @@ def test_pigeonhole_block_share_property(base, bits):
     blocks_a = [(a >> (i * 16)) & 0xFFFF for i in range(4)]
     blocks_b = [(b >> (i * 16)) & 0xFFFF for i in range(4)]
     assert any(x == y for x, y in zip(blocks_a, blocks_b))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(60, 100),
+    gray=st.booleans(),
+)
+def test_jpeg_roundtrip_property(h, w, seed, quality, gray):
+    from veranda_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=quality))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # lossy but bounded: even pure noise at q60 stays within byte range
+    # and reasonable error energy
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err <= 64.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 3000),
+    ch=st.integers(1, 4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    from veranda_spark.functions.wav import wav_decode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (n,) if ch == 1 else (n, ch)
+    pcm = rng.integers(-32768, 32767, shape).astype(np.int16)
+    out, got_rate = wav_decode(wav_encode(pcm, rate))
+    assert got_rate == rate
+    if ch == 1:
+        np.testing.assert_array_equal(out, pcm)
+    else:
+        np.testing.assert_array_equal(out, pcm.reshape(-1, ch))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    lon=st.floats(-179.9, 179.9),
+    lat=st.floats(-84.9, 84.9),
+)
+def test_webmerc_roundtrip_property(lon, lat):
+    from veranda_spark.functions.crs import (
+        NP, lonlat_to_webmerc, webmerc_to_lonlat,
+    )
+
+    x, y = lonlat_to_webmerc(NP, np.array([lon]), np.array([lat]))
+    lo, la = webmerc_to_lonlat(NP, x, y)
+    assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
