@@ -707,6 +707,14 @@ def q_merge_upsert(spark, sf_dir):
     return read_table(spark, path).select("k", "p", "val")
 
 
+def q_doc_repetition(spark, sf_dir):
+    # round-3 curation: Gopher-style within-doc repetition signals
+    # (operators/curate.py), reproduced in SQL
+    from veranda_spark.operators.curate import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_contrastive_pairs(spark, sf_dir):
     # round-3 training-data op: deterministic negative sampling (md5-rank
     # shuffle + stepped offsets), reproduced exactly in SQL — both
@@ -1199,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "merge_upsert": q_merge_upsert,
         "contrastive_pairs": q_contrastive_pairs,
+        "doc_repetition": q_doc_repetition,
         "dedup_exact": q_dedup_exact,
         "phash_neardup": q_phash_neardup,
         "neardup_groups": q_neardup_groups,
@@ -1698,6 +1707,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_contaminated_grams
             FROM doc_grams JOIN bench_grams USING (gram)
             GROUP BY doc_id
+        """,
+        "doc_repetition": r"""
+            WITH norm AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                       '\s+', ' ', 'g')), '\s+') AS ts
+              FROM documents
+            ),
+            per_row AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                    i -> array_to_string(ts[i:i+2], ' ')) AS tgs,
+                     list_filter(regexp_split_to_array(text, '
+'),
+                                 l -> trim(l) <> '') AS lns,
+                     CASE WHEN len(ts) >= 2
+                          THEN list_transform(range(1, len(ts)),
+                                              i -> array_to_string(ts[i:i+1], ' '))
+                          ELSE [] END AS bgs
+              FROM norm
+            ),
+            bg AS (
+              SELECT doc_id, unnest(bgs) AS gram FROM per_row
+            ),
+            bgc AS (
+              SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY doc_id, gram
+            ),
+            bgs AS (
+              SELECT doc_id,
+                     round(cast(max(cnt) as double) / sum(cnt), 6) AS top_bigram_share
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CASE WHEN len(tgs) <= 0 THEN 0.0
+                        ELSE round(cast(len(tgs) - len(list_distinct(tgs)) as double)
+                                   / len(tgs), 6) END AS dup_trigram_frac,
+                   coalesce(b.top_bigram_share, 0.0) AS top_bigram_share,
+                   CASE WHEN len(lns) <= 0 THEN 0.0
+                        ELSE round(cast(len(lns) - len(list_distinct(lns)) as double)
+                                   / len(lns), 6) END AS dup_line_frac
+            FROM per_row p LEFT JOIN bgs b USING (doc_id)
         """,
         "contrastive_pairs": """
             WITH ranked AS (

@@ -83,6 +83,7 @@ ROUND3 = [
     "pyramid",
     "composite_mosaic",
     "contrastive_pairs",
+    "doc_repetition",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000"))

@@ -84,3 +84,33 @@ def test_contamination_plan_broadcasts_bench(spark):
     bench = docs.limit(2)
     plan = contamination_ngrams(docs, bench, n=3)._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_repetition_scores_vs_reference(spark):
+    from collections import Counter
+
+    from veranda_spark.operators.curate import repetition_scores
+
+    docs = [
+        (0, "spam spam spam spam spam spam"),
+        (1, "all unique words here today friend"),
+        (2, "line one\nline one\nline two\n\n  \nline one"),
+        (3, ""),
+    ]
+    got = {r["doc_id"]: r for r in
+           repetition_scores(spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+
+    for did, text in docs:
+        toks = _norm_toks(text)
+        tgs = [" ".join(toks[i:i+3]) for i in range(len(toks) - 2)]
+        bgs = [" ".join(toks[i:i+2]) for i in range(len(toks) - 1)]
+        lines = [l for l in text.split("\n") if l.strip() != ""]
+        want_tg = round(1 - len(set(tgs)) / len(tgs), 6) if tgs else 0.0
+        want_bg = round(Counter(bgs).most_common(1)[0][1] / len(bgs), 6) if bgs else 0.0
+        want_ln = round(1 - len(set(lines)) / len(lines), 6) if lines else 0.0
+        r = got[did]
+        assert abs(r["dup_trigram_frac"] - want_tg) < 1e-9, did
+        assert abs(r["top_bigram_share"] - want_bg) < 1e-9, did
+        assert abs(r["dup_line_frac"] - want_ln) < 1e-9, did
+    # the spam doc is maximally repetitive; the unique doc is clean
+    assert got[0]["dup_trigram_frac"] > 0.7 and got[1]["dup_trigram_frac"] == 0.0

@@ -116,3 +116,68 @@ def decontaminate(
         docs, bench, n=n, text_col=text_col, id_col=id_col
     ).select(id_col)
     return docs.join(flagged, id_col, "left_anti")
+
+
+def repetition_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition rules, Rae et al. 2021 — public): documents dominated by
+    repeated fragments are boilerplate/spam and get filtered before
+    pretraining.
+
+      - ``dup_trigram_frac``: fraction of word 3-grams that are repeats
+        of an earlier 3-gram in the same doc (1 - distinct/total);
+      - ``top_bigram_share``: share of all 2-gram occurrences taken by
+        the single most frequent 2-gram;
+      - ``dup_line_frac``: fraction of non-blank lines that duplicate an
+        earlier line.
+
+    Scale: trigram/line fractions are per-row array expressions (ZERO
+    shuffle); the bigram mode needs one explode + two partial-agg
+    groupBys keyed on (doc, gram) then doc — standard map-side-combine
+    shape, never all-pairs."""
+    tg = word_ngrams(F.col(text_col), 3)
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+
+    def _dup_frac(arr):
+        total = F.size(arr)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.round((total - F.size(F.array_distinct(arr))) / total, 6)
+        )
+
+    per_row = docs.select(
+        F.col(id_col),
+        _dup_frac(tg).alias("dup_trigram_frac"),
+        _dup_frac(lines).alias("dup_line_frac"),
+    )
+    # word_ngrams returns the WHOLE doc as one gram for docs shorter than
+    # n (minhash shingling semantics); a sub-bigram doc has no repetition
+    # signal, so gate on token count instead of inheriting that gram
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(_norm_tokens(text_col)) >= 2,
+                word_ngrams(F.col(text_col), 2),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    bg_stats = (
+        bg.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_share")
+        )
+    )
+    return per_row.join(bg_stats, id_col, "left").select(
+        id_col,
+        "dup_trigram_frac",
+        F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
+        "dup_line_frac",
+    )
