@@ -71,3 +71,36 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     for r in got:
         assert r["n_events"] == 3
         assert r["session_end"] - r["session_start"] == 60.0
+
+
+def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
+    import os
+
+    from veranda_spark.streaming.append import dedup_stream
+
+    src = str(tmp_path / "dups")
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:00:05", "a-dup"),
+        (2, "2024-01-01 00:00:10", "b"),
+        (1, "2024-01-01 00:01:00", "a-dup2"),
+        (3, "2024-01-01 00:00:20", "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, val string").withColumn(
+        "ingest_ts", F.col("ts").cast("timestamp")
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedup_stream(stream, ["k"], watermark_col="ingest_ts", delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["k"] for r in spark.sql("SELECT k FROM dedup_sink").collect()}
+    n = spark.sql("SELECT count(*) AS n FROM dedup_sink").collect()[0]["n"]
+    assert got == {1, 2, 3} and n == 3  # each key emitted exactly once

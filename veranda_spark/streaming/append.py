@@ -235,3 +235,21 @@ def merge_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ingest_ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): duplicate keys arriving within
+    ``delay`` of each other emit once; state for keys older than the
+    watermark is dropped, so a forever-running ingest never accumulates
+    unbounded dedup state — the streaming half of dedup.exact_duplicates
+    for the image ingest path (re-crawled images carry the same
+    image_id/phash within a bounded window)."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )
