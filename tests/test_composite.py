@@ -63,3 +63,26 @@ def test_composite_mean_float_and_guard(spark):
     assert np.allclose(mean[0:8, 4:8], 105.0)
     with pytest.raises(ValueError, match="composite"):
         burn_in(df, GRID, composite="median")
+
+
+def test_composite_ignores_patch_side_nodata(spark):
+    # review fix: a nodata pixel INSIDE an image payload must not destroy
+    # valid data under min/mean (min(100, -9999) is not a composite)
+    a = np.full((8, 8), 100, np.int16)
+    b = np.full((8, 8), -9999, np.int16)  # fully-nodata payload
+    b[0, 0] = 7  # one real pixel
+    rows = [
+        (1, a.tobytes(), 8, 8, "raw", "int16", 0, 0),
+        (2, b.tobytes(), 8, 8, "raw", "int16", 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    for mode, at00, elsewhere in (
+        ("min", 7, 100), ("max", 100, 100), ("mean", 54, 100)  # round(53.5) half-even
+    ):
+        t = _tile00(df, composite=mode, out_dtype="int16").astype(int)
+        assert t[0, 0] == at00, mode
+        assert (t[0:8, 1:8] == elsewhere).all(), mode

@@ -162,9 +162,11 @@ def test_cross_crs_footprint_covers_bowed_edges(spark):
                       sref="EPSG:32632")
     dst = RegularGrid(ul_x=-180.0, ul_y=85.0, psx=0.001, psy=0.001,
                       sref="EPSG:4326")
-    # 600km-wide footprint straddling easting 500000
+    # 600km-wide footprint straddling easting 500000 ASYMMETRICALLY
+    # (350km..950km: the latitude peak at the CM is NOT at any midpoint
+    # or quarter point — only the exact CM crossing covers it)
     df = spark.createDataFrame(
-        [(1, 0, 0, 60000, 1000)],
+        [(1, 15000, 0, 60000, 1000)],
         "image_id long, px_col0 long, px_row0 long, w long, h long",
     )
     r = reproject_footprints(df, src, dst).collect()[0]
@@ -174,7 +176,7 @@ def test_cross_crs_footprint_covers_bowed_edges(spark):
     wy1 = wy0 - r["h"] * dst.psy
     # dense boundary sampling of the original footprint
     t = np.linspace(0.0, 1.0, 201)
-    ex = 200000.0 + 600000.0 * t
+    ex = 350000.0 + 600000.0 * t
     top = tx(NP, "EPSG:32632", "EPSG:4326", ex, np.full_like(ex, 5500000.0))
     bot = tx(NP, "EPSG:32632", "EPSG:4326", ex, np.full_like(ex, 5490000.0))
     lons = np.concatenate([top[0], bot[0]])

@@ -211,3 +211,25 @@ def test_expire_versions_keeps_shared_bytes(spark, base):
         read_table(spark, base, version=1)
     with pytest.raises(ValueError, match="keep"):
         expire_versions(base, keep=0)
+
+
+def test_merge_boolean_partition_values(spark, tmp_path):
+    # review fix: Spark renders bool partitions as 'true'/'false' in dir
+    # names but Python str() gives 'True' — matching must use Spark's own
+    # cast-to-string or the partition is linked AND rewritten (dup rows)
+    path = str(tmp_path / "boolpart")
+    df = spark.createDataFrame(
+        [(1, True, "a"), (2, False, "b"), (3, True, "c")],
+        "k long, p boolean, val string",
+    )
+    create_table(df, path, partition_by="p")
+    upd = spark.createDataFrame([(1, True, "A")], "k long, p boolean, val string")
+    merge_into(spark, path, upd, keys=["k"], partition_by="p")
+    # parquet partition-dir inference reads bool partitions back as the
+    # strings 'true'/'false'; the invariant under test is NO duplicated
+    # rows and the matched row updated
+    got = sorted(
+        (r["k"], str(r["p"]).lower(), r["val"])
+        for r in read_table(spark, path).collect()
+    )
+    assert got == [(1, "true", "A"), (2, "false", "b"), (3, "true", "c")]

@@ -292,15 +292,38 @@ def reproject_footprints(
             F.lit(src.ul_y) - row_px * F.lit(src.psy),
         )
 
-    # corners AND edge midpoints: projected edges bow outward between
-    # corners (e.g. a constant-northing UTM edge peaks in latitude at the
-    # central meridian), so a corner-only bbox can CLIP the original —
-    # the same reason warp_window samples edge midpoints
-    boundary = [
-        (F.col("px_col0") + dc, F.col("px_row0") + dr)
-        for dc in (F.lit(0), F.col("w") / 2, F.col("w"))
-        for dr in (F.lit(0), F.col("h") / 2, F.col("h"))
-    ]
+    # Projected edges bow outward between corners (a constant-northing
+    # UTM edge peaks in latitude at the central meridian), so a
+    # corner-only bbox can CLIP the original.  Boundary sample: corners
+    # + quarter/half/three-quarter points of every edge, PLUS — when the
+    # source is UTM — the exact central-meridian crossing of the top and
+    # bottom edges (clamped into the edge), where the latitude extremum
+    # actually sits.  Residual bow between samples for exotic cross-zone
+    # pairs is bounded by the quarter-spacing curvature; the CM points
+    # make the dominant UTM→geographic case exact.
+    from veranda_spark.functions.crs import (
+        UTM_FALSE_EASTING,
+        parse_sref,
+    )
+
+    c0, r0 = F.col("px_col0"), F.col("px_row0")
+    zero, w_, h_ = F.lit(0), F.col("w"), F.col("h")
+    fracs = (0.25, 0.5, 0.75)
+    offs = [(zero, zero), (w_, zero), (zero, h_), (w_, h_)]
+    offs += [(w_ * f, dr) for f in fracs for dr in (zero, h_)]
+    offs += [(dc, h_ * f) for f in fracs for dc in (zero, w_)]
+    src_kind = parse_sref(src.sref)
+    if src_kind and src_kind["kind"] == "utm":
+        cm_dc = F.greatest(
+            F.lit(0.0),
+            F.least(
+                (F.lit((UTM_FALSE_EASTING - src.ul_x) / src.psx)
+                 - c0).cast("double"),
+                w_.cast("double"),
+            ),
+        )
+        offs += [(cm_dc, zero), (cm_dc, h_)]
+    boundary = [(c0 + dc, r0 + dr) for dc, dr in offs]
     txy = [
         transform(SPARK, src.sref, dst.sref, *world(c, r)) for c, r in boundary
     ]
@@ -310,22 +333,27 @@ def reproject_footprints(
     ymax = F.greatest(*[y for _, y in txy])
     new_col0 = F.floor((xmin - F.lit(dst.ul_x)) / F.lit(dst.psx)).cast("long")
     new_row0 = F.floor((F.lit(dst.ul_y) - ymax) / F.lit(dst.psy)).cast("long")
+    # ALL four outputs are computed into temp columns while the ORIGINAL
+    # w/h/px_* columns are still intact: xmin/ymax/... reference
+    # F.col("w")/F.col("h"), so replacing w before computing h would make
+    # ymin silently evaluate against the new dst-frame width (a column
+    # self-reference bug the UTM coverage test caught)
     return (
         df.withColumn("_new_col0", new_col0)
         .withColumn("_new_row0", new_row0)
         .withColumn(
-            "w",
-            (F.ceil((xmax - F.lit(dst.ul_x)) / F.lit(dst.psx)) - F.col("_new_col0"))
-            .cast(dict(df.dtypes)["w"]),
+            "_new_w",
+            F.ceil((xmax - F.lit(dst.ul_x)) / F.lit(dst.psx)) - F.col("_new_col0"),
         )
         .withColumn(
-            "h",
-            (F.ceil((F.lit(dst.ul_y) - ymin) / F.lit(dst.psy)) - F.col("_new_row0"))
-            .cast(dict(df.dtypes)["h"]),
+            "_new_h",
+            F.ceil((F.lit(dst.ul_y) - ymin) / F.lit(dst.psy)) - F.col("_new_row0"),
         )
+        .withColumn("w", F.col("_new_w").cast(dict(df.dtypes)["w"]))
+        .withColumn("h", F.col("_new_h").cast(dict(df.dtypes)["h"]))
         .withColumn("px_col0", F.col("_new_col0"))
         .withColumn("px_row0", F.col("_new_row0"))
-        .drop("_new_col0", "_new_row0")
+        .drop("_new_col0", "_new_row0", "_new_w", "_new_h")
     )
 
 

@@ -32,15 +32,18 @@ def _strip_file_scheme(p: str) -> str:
 
 
 def _hadoop_path_exists(spark: SparkSession, p: str) -> bool:
-    """FS-scheme-aware existence check (local, hdfs://, s3a://, ...)."""
-    try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
-    except Exception:
-        # no JVM gateway (unit contexts) — local-path fallback
+    """FS-scheme-aware existence check (local, hdfs://, s3a://, ...).
+
+    Only the NO-JVM case falls back to a local check; filesystem errors
+    (auth, connectivity) RAISE — swallowing them would read an existing
+    remote lineage as absent and surface orphaned attempts as duplicates
+    on resume, the exact failure this function exists to prevent."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
         return os.path.exists(_strip_file_scheme(p))
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def read_lineage(spark: SparkSession, base: str) -> DataFrame | None:

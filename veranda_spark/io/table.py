@@ -89,20 +89,18 @@ def list_versions(path: str) -> list[int]:
     return out
 
 
-def _unescape_partition_dir(name: str, partition_by: str):
+def _unescape_partition_dir(name: str):
     """Hive/Spark partition directory name → raw value string (or None
-    for the NULL partition).  Spark escapes special characters as %XX;
-    unescaping is well-defined regardless of which characters the writer
-    chose to escape, so matching DECODED values is robust where matching
-    raw ``str(value)`` against the escaped name is not."""
-    import re
+    for the NULL partition).  Spark escapes special characters as %XX
+    ('%' itself included), so standard percent-decoding inverts it;
+    matching DECODED values is robust where matching raw value strings
+    against the escaped name is not."""
+    from urllib.parse import unquote
 
     raw = name.split("=", 1)[1]
     if raw == "__HIVE_DEFAULT_PARTITION__":
         return None
-    return re.sub(
-        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), raw
-    )
+    return unquote(raw)
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -166,21 +164,33 @@ def merge_into(
             .select(partition_by)
             .distinct()
         )
-        affected = [
-            r[partition_by]
-            for r in upd_parts.union(moved_parts).distinct().collect()
-        ]
+        # collect each value twice: raw (for the typed isin filter) and
+        # SPARK's cast-to-string (for directory-name matching — the
+        # partition writer names directories with Spark's own string
+        # rendering, which differs from Python str() for bool
+        # ('true' vs 'True') and some floats)
+        aff_rows = (
+            upd_parts.union(moved_parts)
+            .distinct()
+            .select(
+                F.col(partition_by).alias("_v"),
+                F.col(partition_by).cast("string").alias("_s"),
+            )
+            .collect()
+        )
+        affected = [r["_v"] for r in aff_rows]
+        affected_strs = [r["_s"] for r in aff_rows]
         os.makedirs(new_dir, exist_ok=True)
         old_dir = _version_path(path, cur)
         # compare DECODED directory values against the affected set:
         # escaped characters and the NULL partition would otherwise be
         # linked as "untouched" AND rewritten → duplicated rows
         aff_vals = [a for a in affected if a is not None]  # raw typed values
-        aff_set = {str(a) for a in aff_vals}  # strings, for dir-name compare
+        aff_set = {s for s in affected_strs if s is not None}  # Spark-rendered
         aff_null = any(a is None for a in affected)
         for name in os.listdir(old_dir):
             if name.startswith(f"{partition_by}="):
-                val = _unescape_partition_dir(name, partition_by)
+                val = _unescape_partition_dir(name)
                 touched = (val is None and aff_null) or (
                     val is not None and val in aff_set
                 )
@@ -230,6 +240,13 @@ def expire_versions(path: str, keep: int = 2) -> list[int]:
     for v in versions:
         if v in cutoff or v == cur:
             continue
-        shutil.rmtree(_version_path(path, v), ignore_errors=True)
+        vdir = _version_path(path, v)
+        # rename-then-delete: the rename either fully hides the version
+        # (list_versions only matches digit names) or fails cleanly with
+        # the version intact — a partial rmtree would leave a corrupt but
+        # still-listed snapshot that read_table serves silently truncated
+        trash = vdir + ".trash"
+        os.rename(vdir, trash)
+        shutil.rmtree(trash, ignore_errors=True)
         removed.append(v)
     return removed

@@ -362,20 +362,30 @@ def burn_in(
                     mask = tgt == nod
                     tgt[mask] = patch.astype(dt, copy=False)[mask]
                 elif composite in ("max", "min"):
+                    # nodata is MISSING on both sides: a nodata patch
+                    # pixel must not destroy valid canvas data (and vice
+                    # versa) — min(100, -9999) is not a composite
                     tgt = canvas[region]
                     p = patch.astype(dt, copy=False)
+                    p_nod = p == nod
                     fn = np.maximum if composite == "max" else np.minimum
-                    canvas[region] = np.where(tgt == nod, p, fn(tgt, p))
-                else:  # mean
-                    acc[region] += patch
-                    cnt[region] += 1
+                    combined = np.where(tgt == nod, p, fn(tgt, p))
+                    canvas[region] = np.where(p_nod, tgt, combined)
+                else:  # mean — nodata patch pixels contribute nothing
+                    p = patch.astype("float64")
+                    valid = patch != np.full((), nodata).astype(patch.dtype)[()]
+                    acc[region] += np.where(valid, p, 0.0)
+                    cnt[region] += valid.astype("int64")
             if composite == "mean":
                 seen = cnt > 0
-                mean = np.full(shape, float(nodata), dtype="float64")
-                mean[seen] = acc[seen] / cnt[seen]
+                vals = acc[seen] / cnt[seen]
                 if np.issubdtype(np.dtype(dt), np.integer):
-                    mean = np.round(mean)
-                canvas = mean.astype(dt)
+                    vals = np.round(vals)
+                # uncovered pixels get the stored nodata via int→int wrap
+                # (deterministic), never a float→int out-of-range cast
+                # (platform-dependent C behavior)
+                canvas = np.full(shape, nod, dtype=dt)
+                canvas[seen] = vals.astype(dt)
             if encoder is not None:
                 # writer-side hook contract (§2.9: native/geotiff.py:389-398)
                 canvas = encoder(canvas, nodataval=nodata, dtype=dt)
@@ -1018,8 +1028,9 @@ def build_pyramid(
     total bytes moved ≈ 4/3 of level 1, exactly how gdaladdo recurses.
     Output: union of levels 1..``levels`` (level 0 is the input).
     Each level is persisted MEMORY_AND_DISK (the union shares it between
-    its own branch and the next level's lineage); call
-    ``.unpersist()`` on ``out._pyramid_levels`` after consuming.
+    its own branch and the next level's lineage); after consuming, call
+    ``.unpersist()`` on each frame in the ``out._pyramid_levels`` list
+    to release the caches.
     """
     out: DataFrame | None = None
     cur = tiles
