@@ -72,3 +72,45 @@ def test_pyramid_all_nodata_block_stays_nodata(spark):
     # image occupied [0:8, 0:8] of the 16x16 tile -> level1 quadrant [0:4, 0:4]
     assert (c[0:4, 0:4] == 5).all()
     assert (c[0:4, 4:8] == -9999.0).all()  # all-nodata blocks stay nodata
+
+
+def test_pyramid_integer_nodata_and_rounding(spark):
+    # ADVICE r3: integer tiles store nodata wrapped (-9999 -> 241 for
+    # uint8) — block means must EXCLUDE those pixels; and integer casts
+    # must round (not truncate) to match burn_in's mean semantics
+    imgs = generate_images(spark, 60, seed=11)
+    tiles = burn_in(imgs, GRID, per_layer=False, out_dtype="uint8").cache()
+    nod8 = np.full((), -9999.0).astype(np.uint8)[()]
+    base = {
+        (r["tile_row"], r["tile_col"]): np.frombuffer(
+            r["bytes"], dtype=r["dtype"]
+        ).reshape(r["h"], r["w"])
+        for r in tiles.collect()
+    }
+    pyr = {
+        (r["tile_row"], r["tile_col"]): np.frombuffer(
+            r["bytes"], dtype=r["dtype"]
+        ).reshape(r["h"], r["w"])
+        for r in build_pyramid(tiles, levels=1).collect()
+    }
+    assert pyr, "no level-1 tiles"
+    for (pr, pc), got in pyr.items():
+        assert got.dtype == np.uint8
+        want = np.full((64, 64), nod8, np.float64)
+        for qr in (0, 1):
+            for qc in (0, 1):
+                child = base.get((2 * pr + qr, 2 * pc + qc))
+                if child is None:
+                    continue
+                v = child.astype("float64")
+                v[child == nod8] = np.nan
+                b = v.reshape(32, 2, 32, 2)
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    m = np.nanmean(b, axis=(1, 3))
+                m = np.where(np.isnan(m), float(nod8), np.round(m))
+                want[qr * 32:(qr + 1) * 32, qc * 32:(qc + 1) * 32] = m
+        np.testing.assert_array_equal(got, want.astype(np.uint8),
+                                      err_msg=f"L1 {pr}_{pc}")

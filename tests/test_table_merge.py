@@ -32,7 +32,8 @@ def test_merge_upsert_semantics(spark, base):
         [(3, 3, "updated3"), (100, 0, "new100")], "k long, p long, val string"
     )
     res = merge_into(spark, base, upd, keys=["k"], partition_by="p")
-    assert res == {"version": 2, "previous": 1}
+    assert res["version"] == 2 and res["previous"] == 1
+    assert res["commit_mode"] in ("link", "manifest")
     got = _rows(read_table(spark, base))
     assert (3, 3, "updated3") in got and (3, 3, "v3") not in got
     assert (100, 0, "new100") in got
@@ -84,6 +85,8 @@ def test_partition_move_rewrites_both_sides(spark, base):
 
 
 def test_crashed_merge_is_invisible(spark, base):
+    from veranda_spark.io.table import recover_orphans
+
     # simulate a crash: orphan version dir exists but _current not bumped
     orphan = os.path.join(base, "_versions", "000002")
     os.makedirs(orphan)
@@ -91,8 +94,12 @@ def test_crashed_merge_is_invisible(spark, base):
         f.write("partial")
     assert current_version(base) == 1
     assert _rows(read_table(spark, base)) == _rows(read_table(spark, base, 1))
-    # the next merge discards the orphan and commits cleanly
+    # a merge must NOT silently clobber the claim (concurrent-writer
+    # protection): it fails loudly; recover_orphans clears the crash debris
     upd = spark.createDataFrame([(0, 0, "Z")], "k long, p long, val string")
+    with pytest.raises(FileExistsError):
+        merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    assert recover_orphans(base) == [2]
     res = merge_into(spark, base, upd, keys=["k"], partition_by="p")
     assert res["version"] == 2
     assert (0, 0, "Z") in _rows(read_table(spark, base))
@@ -233,3 +240,71 @@ def test_merge_boolean_partition_values(spark, tmp_path):
         for r in read_table(spark, path).collect()
     )
     assert got == [(1, "true", "A"), (2, "false", "b"), (3, "true", "c")]
+
+
+def _no_links(monkeypatch):
+    import errno
+
+    def _exdev(*a, **k):
+        raise OSError(errno.EXDEV, "Invalid cross-device link")
+
+    monkeypatch.setattr(os, "link", _exdev)
+
+
+def test_manifest_mode_merge_no_links(spark, base, monkeypatch):
+    # object-store path: hard links unavailable -> auto falls back to
+    # manifest commits; semantics identical, NO full-table rewrite
+    _no_links(monkeypatch)
+    upd = spark.createDataFrame([(1, 1, "Y")], "k long, p long, val string")
+    res = merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    assert res["commit_mode"] == "manifest"
+    got = _rows(read_table(spark, base))
+    assert (1, 1, "Y") in got and (1, 1, "v1") not in got
+    assert len(got) == 20
+    v1 = os.path.join(base, "_versions", "000001")
+    v2 = os.path.join(base, "_versions", "000002")
+    # no full rewrite: only the affected partition is physically in v2
+    phys = sorted(d for d in os.listdir(v2) if d.startswith("p="))
+    assert phys == ["p=1"]
+    import json as _json
+
+    with open(os.path.join(v2, "_manifest.json")) as f:
+        entries = {e["name"]: e["root"] for e in _json.load(f)["entries"]}
+    assert set(entries) == {"p=0", "p=2", "p=3"}
+    assert all(root == v1 for root in entries.values())
+
+
+def test_manifest_chain_flattens_and_expire_retains(spark, base, monkeypatch):
+    from veranda_spark.io.table import expire_versions
+
+    _no_links(monkeypatch)
+    up1 = spark.createDataFrame([(1, 1, "Y")], "k long, p long, val string")
+    merge_into(spark, base, up1, keys=["k"], partition_by="p")
+    up2 = spark.createDataFrame([(0, 0, "Z")], "k long, p long, val string")
+    merge_into(spark, base, up2, keys=["k"], partition_by="p")
+    v1 = os.path.join(base, "_versions", "000001")
+    v2 = os.path.join(base, "_versions", "000002")
+    v3 = os.path.join(base, "_versions", "000003")
+    import json as _json
+
+    with open(os.path.join(v3, "_manifest.json")) as f:
+        entries = {e["name"]: e["root"] for e in _json.load(f)["entries"]}
+    # chain flattened at write time: p=2/p=3 point at v1 (where the bytes
+    # live), p=1 at v2 — never v3 -> v2 -> v1 hops
+    assert entries == {"p=1": v2, "p=2": v1, "p=3": v1}
+    got = _rows(read_table(spark, base))
+    assert (0, 0, "Z") in got and (1, 1, "Y") in got and len(got) == 20
+    # expiry must RETAIN v1 and v2: the surviving v3 manifest references both
+    removed = expire_versions(base, keep=1)
+    assert removed == []
+    assert _rows(read_table(spark, base)) == got
+
+
+def test_manifest_mode_explicit(spark, base):
+    upd = spark.createDataFrame([(5, 1, "E")], "k long, p long, val string")
+    res = merge_into(
+        spark, base, upd, keys=["k"], partition_by="p", commit_mode="manifest"
+    )
+    assert res["commit_mode"] == "manifest"
+    got = _rows(read_table(spark, base))
+    assert (5, 1, "E") in got and len(got) == 20

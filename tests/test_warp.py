@@ -105,3 +105,25 @@ def test_bilinear_matches_manual_blend(spark, pattern):
              + pattern[r0 + 1, c0] * wr * (1 - wc)
              + pattern[r0 + 1, c0 + 1] * wr * wc)
         assert abs(out[i, j] - v) < 1e-9, (i, j)
+
+
+def test_bilinear_integer_nodata_excluded(spark):
+    # uint8 tiles store nodata WRAPPED (-9999 -> 241): bilinear must
+    # exclude those pixels, not blend 241 into neighbours (ADVICE r3)
+    nod8 = np.full((), -9999.0).astype(np.uint8)[()]  # 241
+    arr = np.full((64, 64), 100, np.uint8)
+    arr[0:8, 0:8] = nod8  # a nodata hole
+    g = RegularGrid(ul_x=0, ul_y=0, psx=1.0, psy=1.0,
+                    tile_cols=32, tile_rows=32, n_tile_cols=4, n_tile_rows=4)
+    # half-pixel-shifted dst grid forces a genuine 4-neighbour blend
+    dst = RegularGrid(ul_x=0.5, ul_y=-0.5, psx=1.0, psy=1.0,
+                      tile_cols=32, tile_rows=32, n_tile_cols=4, n_tile_rows=4)
+    df = _reg(spark, arr)
+    out = _canvas(
+        warp_window(df, g, dst, 0, 0, 32, 32, method="bilinear").collect()[0]
+    )
+    # blends adjacent to the hole: all-valid neighbours -> exactly 100;
+    # any blend touching the hole -> nodata (never a 241-contaminated mix)
+    assert set(np.unique(out)) <= {100.0, -9999.0}
+    assert out[20, 20] == 100.0
+    assert out[3, 3] == -9999.0  # inside the hole: all four corners nodata

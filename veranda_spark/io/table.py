@@ -13,15 +13,27 @@ The ``_current`` pointer is written LAST via an atomic rename, so a
 crash mid-write leaves an orphan (invisible) version directory, never a
 half-visible table — the same commit-point discipline as
 write_tiles_checkpointed.  ``merge_into`` rewrites only the partitions
-an update batch touches; untouched partition directories are hard-linked
-into the new version (on object stores this would be a manifest re-list
-instead of links — same O(changed), documented here for the local FS).
+an update batch touches; untouched partitions are carried into the new
+version either by hard links (local/POSIX FS) or by a per-version
+``_manifest.json`` listing the version directory where each untouched
+partition's bytes physically live (object stores have no inodes —
+manifests are how Iceberg/Delta commit there).  ``commit_mode="auto"``
+probes link support and falls back to manifests, so the same code path
+is O(changed partitions) on both storage classes.
+
+Concurrency: SINGLE WRITER per table.  The new version directory is
+claimed with an exclusive ``os.mkdir`` — a second concurrent merge fails
+loudly (FileExistsError) instead of silently discarding the first
+writer's commit.  A crashed merge leaves an orphan claim; run
+``recover_orphans`` to clear it before retrying.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,19 +75,83 @@ def create_table(
     return 1
 
 
+def _manifest_path(vdir: str) -> str:
+    return os.path.join(vdir, "_manifest.json")
+
+
+def _read_manifest(vdir: str) -> list[dict]:
+    """Manifest entries ``{"name": <partition dirname>, "root": <version
+    dir holding the bytes>}`` — empty when the version is fully physical
+    (link-mode or v1)."""
+    try:
+        with open(_manifest_path(vdir)) as f:
+            return json.load(f)["entries"]
+    except FileNotFoundError:
+        return []
+
+
+def _has_parquet(vdir: str) -> bool:
+    for root, _dirs, files in os.walk(vdir):
+        if any(fn.endswith(".parquet") for fn in files):
+            return True
+    return False
+
+
+def _links_supported(path: str) -> bool:
+    """Probe hard-link support where the table lives (object-store
+    mounts and some containers refuse links — that's the manifest
+    case)."""
+    probe = os.path.join(path, f"_linkprobe_{uuid.uuid4().hex}")
+    link = probe + ".l"
+    try:
+        with open(probe, "w") as f:
+            f.write("x")
+        os.link(probe, link)
+        return True
+    except OSError:
+        return False
+    finally:
+        for p in (probe, link):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a committed snapshot (the current one, or ``version`` for
     time travel).  Orphan (uncommitted) versions are unreadable by
-    construction — nothing points at them."""
+    construction — nothing points at them.  Manifest-committed versions
+    are assembled as a union of partition-directory scans grouped by the
+    version directory that physically holds the bytes (one scan per
+    group, basePath-anchored so partition columns resolve)."""
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no committed table at {path}")
     v = version or cur
-    if v > cur or not os.path.isdir(_version_path(path, v)):
+    vdir = _version_path(path, v)
+    if v > cur or not os.path.isdir(vdir):
         raise ValueError(f"version {v} does not exist (current={cur})")
-    return spark.read.parquet(_version_path(path, v))
+    entries = _read_manifest(vdir)
+    if not entries:
+        return spark.read.parquet(vdir)
+    by_root: dict[str, list[str]] = {}
+    for e in entries:
+        by_root.setdefault(e["root"], []).append(
+            os.path.join(e["root"], e["name"])
+        )
+    parts = [
+        spark.read.option("basePath", root).parquet(*paths)
+        for root, paths in sorted(by_root.items())
+    ]
+    if _has_parquet(vdir):
+        parts.append(spark.read.option("basePath", vdir).parquet(vdir))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def list_versions(path: str) -> list[int]:
@@ -118,12 +194,29 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def recover_orphans(path: str) -> list[int]:
+    """Delete uncommitted (orphan) version directories left by crashed
+    merges.  Run this before retrying a merge that failed its exclusive
+    claim — merge_into itself never removes an existing claim directory
+    (doing so is exactly the lost-update race)."""
+    cur = current_version(path)
+    if cur is None:
+        return []
+    removed = []
+    for name in sorted(os.listdir(_versions_dir(path))):
+        if name.isdigit() and int(name) > cur:
+            shutil.rmtree(os.path.join(_versions_dir(path), name))
+            removed.append(int(name))
+    return removed
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     keys: list[str],
     partition_by: str | None = None,
+    commit_mode: str = "auto",
 ) -> dict:
     """Upsert (MERGE INTO): matched target rows are replaced by the
     update row, unmatched update rows are inserted, unmatched target
@@ -131,15 +224,27 @@ def merge_into(
     versions are unaffected (snapshot isolation).
 
     Copy-on-write granularity: with ``partition_by``, only partitions
-    present in the update batch are rewritten — every other partition
-    directory is hard-linked from the previous version.  An update that
-    MOVES a row across partitions must carry the new partition value;
-    the row's old partition is rewritten too (both sides are affected).
+    present in the update batch are rewritten — every other partition is
+    carried over by hard link (``commit_mode="link"``) or by a manifest
+    entry pointing at the version directory that physically holds its
+    bytes (``"manifest"`` — the object-store path: no inode sharing
+    assumed, manifest chains are flattened at write time so reads never
+    chase more than one hop).  ``"auto"`` probes link support.  An
+    update that MOVES a row across partitions must carry the new
+    partition value; the row's old partition is rewritten too (both
+    sides are affected).
+
+    Concurrency: single writer.  The new version directory is claimed
+    with exclusive ``os.mkdir`` — a concurrent merge (or a leftover
+    orphan from a crash; see ``recover_orphans``) raises
+    FileExistsError instead of silently clobbering the other writer.
 
     Scale: the per-partition rewrite is `target_partition ⊕ updates` —
     a broadcast-able anti-join when the update batch is small; the
     untouched bulk of a 100 TB table is never read, moved, or decoded.
     """
+    if commit_mode not in ("auto", "link", "manifest"):
+        raise ValueError(f"commit_mode must be auto|link|manifest, got {commit_mode!r}")
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no committed table at {path}")
@@ -149,10 +254,13 @@ def merge_into(
             f"merge_into schema mismatch: target {sorted(tgt.columns)} vs "
             f"updates {sorted(updates.columns)}"
         )
+    if commit_mode == "auto":
+        commit_mode = "link" if _links_supported(path) else "manifest"
     new_v = cur + 1
     new_dir = _version_path(path, new_v)
-    if os.path.exists(new_dir):  # orphan from a crashed merge — discard
-        shutil.rmtree(new_dir)
+    # exclusive claim: fails loudly on a concurrent writer or a crashed
+    # orphan (recover_orphans clears the latter) — never rmtree here
+    os.mkdir(new_dir)
 
     if partition_by:
         # partitions touched by the update batch: the updates' own
@@ -180,24 +288,35 @@ def merge_into(
         )
         affected = [r["_v"] for r in aff_rows]
         affected_strs = [r["_s"] for r in aff_rows]
-        os.makedirs(new_dir, exist_ok=True)
         old_dir = _version_path(path, cur)
+        # the old version's partitions: physical dirs plus (manifest
+        # commits) entries pointing at older versions — resolving the
+        # entry's root HERE flattens manifest chains to one hop
+        part_roots: dict[str, str] = {
+            e["name"]: e["root"] for e in _read_manifest(old_dir)
+        }
+        for name in os.listdir(old_dir):
+            if name.startswith(f"{partition_by}="):
+                part_roots[name] = old_dir
         # compare DECODED directory values against the affected set:
         # escaped characters and the NULL partition would otherwise be
         # linked as "untouched" AND rewritten → duplicated rows
         aff_vals = [a for a in affected if a is not None]  # raw typed values
         aff_set = {s for s in affected_strs if s is not None}  # Spark-rendered
         aff_null = any(a is None for a in affected)
-        for name in os.listdir(old_dir):
-            if name.startswith(f"{partition_by}="):
-                val = _unescape_partition_dir(name)
-                touched = (val is None and aff_null) or (
-                    val is not None and val in aff_set
-                )
-                if not touched:
+        manifest_entries: list[dict] = []
+        for name, root in sorted(part_roots.items()):
+            val = _unescape_partition_dir(name)
+            touched = (val is None and aff_null) or (
+                val is not None and val in aff_set
+            )
+            if not touched:
+                if commit_mode == "link":
                     _link_tree(
-                        os.path.join(old_dir, name), os.path.join(new_dir, name)
+                        os.path.join(root, name), os.path.join(new_dir, name)
                     )
+                else:
+                    manifest_entries.append({"name": name, "root": root})
         # null-safe affected filter: isin() never matches NULL
         aff_cond = F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
         if aff_null:
@@ -212,6 +331,11 @@ def merge_into(
             .partitionBy(partition_by)
             .parquet(new_dir)
         )
+        if manifest_entries:
+            tmp = _manifest_path(new_dir) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"entries": manifest_entries}, f)
+            os.replace(tmp, _manifest_path(new_dir))
     else:
         merged = tgt.join(
             updates.select(keys).distinct(), keys, "left_anti"
@@ -219,7 +343,7 @@ def merge_into(
         merged.write.mode("overwrite").parquet(new_dir)
 
     _commit(path, new_v)
-    return {"version": new_v, "previous": cur}
+    return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
 
 def expire_versions(path: str, keep: int = 2) -> list[int]:
@@ -227,8 +351,12 @@ def expire_versions(path: str, keep: int = 2) -> list[int]:
     ``keep`` committed versions.  Hard-linked files make this safe — a
     partition directory shared with a surviving version keeps its bytes
     (the link count drops, the inode survives); only bytes referenced
-    exclusively by expired versions are reclaimed.  The current version
-    is never expired.  Returns the versions removed."""
+    exclusively by expired versions are reclaimed.  Manifest-committed
+    survivors instead REFERENCE older version directories by path, so a
+    version still named by any surviving manifest is retained whole
+    (deleting or pruning it would corrupt the survivor) — the same
+    still-referenced-files rule Iceberg applies.  The current version is
+    never expired.  Returns the versions removed."""
     if keep < 1:
         raise ValueError("keep must be >= 1 (the current version survives)")
     cur = current_version(path)
@@ -236,10 +364,18 @@ def expire_versions(path: str, keep: int = 2) -> list[int]:
         return []
     versions = list_versions(path)
     cutoff = versions[-keep:] if keep < len(versions) else versions
+    survivors = set(cutoff) | {cur}
+    referenced = {
+        os.path.realpath(e["root"])
+        for v in survivors
+        for e in _read_manifest(_version_path(path, v))
+    }
     removed = []
     for v in versions:
-        if v in cutoff or v == cur:
+        if v in survivors:
             continue
+        if os.path.realpath(_version_path(path, v)) in referenced:
+            continue  # a surviving manifest still points here
         vdir = _version_path(path, v)
         # rename-then-delete: the rename either fully hides the version
         # (list_versions only matches digit names) or fails cleanly with

@@ -78,17 +78,26 @@ def contamination_ngrams(
     is fixed-width instead of an arbitrarily long string; the corpus
     side streams through map-side with no shuffle before the final
     per-doc count."""
+    # word_ngrams emits the WHOLE doc as one gram for sub-n-token docs
+    # (minhash shingling semantics); the decontamination rule emits NO
+    # grams there — gate on token count on BOTH sides so a tiny doc is
+    # never flagged just for equalling a tiny benchmark doc
+    def _gated_grams(col):
+        return F.when(
+            F.size(tokens(normalize_text(col))) >= n, word_ngrams(col, n)
+        ).otherwise(F.array())
+
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))
+            F.array_distinct(_gated_grams(F.col(text_col)))
         ).alias("gram"),
     )
     bench_grams = (
         bench.select(
             F.explode(
                 F.array_distinct(
-                    word_ngrams(F.col(bench_text_col or text_col), n)
+                    _gated_grams(F.col(bench_text_col or text_col))
                 )
             ).alias("gram")
         )

@@ -963,8 +963,12 @@ def warp_window(
                     out[ok] = src[ir[ok], ic[ok]]
                     dt = str(src.dtype)
                 elif method == "bilinear":
+                    # nodata AS STORED: integer dtypes wrap (-9999 -> 241
+                    # for uint8) — compare against the wrapped value, not
+                    # the raw float, or integer nodata blends as data
+                    nod = np.full((), nodata).astype(src.dtype)[()]
                     vals = src.astype("float64")
-                    vals[vals == nodata] = np.nan
+                    vals[src == nod] = np.nan
                     r0f = np.floor(frow).astype("int64")
                     c0f = np.floor(fcol).astype("int64")
                     wr = frow - r0f
@@ -1043,8 +1047,11 @@ def build_pyramid(
                 ch = int(getattr(row, "channels", 1) or 1)
                 shape = (row.h, row.w) if ch == 1 else (row.h, row.w, ch)
                 arr = np.frombuffer(row.bytes, dtype=row.dtype).reshape(shape)
+                # nodata AS STORED (wrapped for integer dtypes), matching
+                # burn_in's convention — else integer nodata pollutes means
+                nod = np.full((), nodata).astype(arr.dtype)[()]
                 v = arr.astype("float64")
-                v[v == nodata] = np.nan
+                v[arr == nod] = np.nan
                 th, tw = row.h // 2 * 2, row.w // 2 * 2
                 blocks = (
                     v[:th, :tw].reshape(th // 2, 2, tw // 2, 2)
@@ -1057,9 +1064,12 @@ def build_pyramid(
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore")  # all-NaN blocks
                     small = np.nanmean(blocks, axis=axes)
-                small = np.where(np.isnan(small), nodata, small).astype(
-                    row.dtype
-                )
+                small = np.where(np.isnan(small), nodata, small)
+                if np.issubdtype(np.dtype(row.dtype), np.integer):
+                    # round-half-away like burn_in's mean composite —
+                    # plain astype truncates toward zero (off-by-one)
+                    small = np.round(small)
+                small = small.astype(row.dtype)
                 rows.append((
                     int(row.tile_row) // 2, int(row.tile_col) // 2,
                     int(row.tile_row) % 2, int(row.tile_col) % 2,

@@ -178,7 +178,7 @@ def merge_batch_handler(
     import hashlib
     import os
 
-    from veranda_spark.io.table import merge_into
+    from veranda_spark.io.table import merge_into, recover_orphans
 
     ckpt_tag = hashlib.md5(
         os.path.abspath(checkpoint_dir).encode()
@@ -193,6 +193,10 @@ def merge_batch_handler(
             last = -1
         if batch_id <= last:
             return  # crash-replay of an applied epoch: no-op
+        # a crash between the version-dir claim and its commit leaves an
+        # orphan that would fail merge_into's exclusive claim forever;
+        # the stream is the table's single writer, so clearing is safe
+        recover_orphans(path)
         merge_into(
             batch_df.sparkSession, path, batch_df, keys,
             partition_by=partition_by,
