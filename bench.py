@@ -86,6 +86,31 @@ ROUND3 = [
     "doc_repetition",
 ]
 
+#: round-4 additions (filled in as round 4 lands operators)
+ROUND4: list[str] = []
+
+#: row-preserving projections: under ``count()`` Catalyst prunes the
+#: projected expressions entirely, so the r3 walls for these measured
+#: session overhead, not operator cost (VERDICT r3 #1).  These get a
+#: value-dependent action (sum of xxhash64 over every output column)
+#: that forces full evaluation.  ACTION CHANGE vs r1-r3: their walls are
+#: larger this round because they now do their work — not a regression.
+FULL_EVAL = {"reproject", "reproject_crs", "doc_tokens", "hash_split",
+             "zorder_cells"}
+
+
+def _timed_action(df, name: str) -> None:
+    if name in FULL_EVAL:
+        from pyspark.sql import functions as F
+
+        # pmod keeps the ANSI sum from overflowing long
+        df.agg(
+            F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(1_000_003)))
+        ).collect()
+    else:
+        df.count()
+
+
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000"))
 SCALE_PARTITIONS = 128
 # finer grid than the query GRID: parallelism must come from tiles at scale
@@ -394,6 +419,22 @@ def write_bench_md(result: dict) -> None:
                 else ""
             )
             + (
+                f"\nRound-4 operators at sf={result['sf']}: "
+                f"{json.dumps(result['round4_queries'])}\n"
+                if result.get("round4_queries")
+                else ""
+            )
+            + (
+                f"\nACTION CHANGE (round 4): {json.dumps(result['full_eval_queries'])} "
+                "are timed under a\nfull-evaluation action (sum of xxhash64 over "
+                "all output columns) —\ncount() let Catalyst prune these "
+                "row-preserving projections to\nscan-only no-ops in r1-r3, so "
+                "their earlier walls measured session\noverhead.  Larger walls "
+                "here are the fix working, not a regression.\n"
+                if result.get("full_eval_queries")
+                else ""
+            )
+            + (
                 "\n## MinHash signature micro-bench\n\n"
                 f"{json.dumps(result['minhash_micro'])}\n\n"
                 "Same session, same cached web-page-length shingle arrays,\n"
@@ -424,9 +465,9 @@ def headline_pass(sf_dir: str, cpus: int, with_micro: bool) -> None:
     ).count()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE + NEWOP + ROUND3:
+    for name in HEADLINE + NEWOP + ROUND3 + ROUND4:
         t0 = time.monotonic()
-        qs[name](spark, sf_dir).count()
+        _timed_action(qs[name](spark, sf_dir), name)
         timings[name] = round(time.monotonic() - t0, 3)
     mh = minhash_micro(spark, sf_dir) if with_micro else None
     spark.stop()
@@ -476,6 +517,7 @@ def main() -> None:
     timings = {k: best[k] for k in HEADLINE}
     newop_timings = {k: best[k] for k in NEWOP}
     round3_timings = {k: best[k] for k in ROUND3}
+    round4_timings = {k: best[k] for k in ROUND4}
 
     result = {
         "metric": "headline_query_wall_sec_total",
@@ -492,7 +534,12 @@ def main() -> None:
         "value_r2_comparable": round(sum(timings.values()), 3),
         "newop_queries": newop_timings,
         "round3_queries": round3_timings,
+        "round4_queries": round4_timings,
         "minhash_micro": hl["minhash_micro"],
+        # r4 action change: these queries are now timed under a
+        # full-evaluation hash-agg action instead of count() (VERDICT r3
+        # #1) — their walls are NOT comparable to r1-r3
+        "full_eval_queries": sorted(FULL_EVAL),
     }
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         result["scaling"] = run_scaling()
