@@ -87,7 +87,12 @@ ROUND3 = [
 ]
 
 #: round-4 additions (filled in as round 4 lands operators)
-ROUND4: list[str] = []
+ROUND4: list[str] = [
+    "reproject_aeqd",
+    "warp_cubic",
+    "resample_average",
+    "doc_text_profile",
+]
 
 #: row-preserving projections: under ``count()`` Catalyst prunes the
 #: projected expressions entirely, so the r3 walls for these measured
@@ -95,8 +100,8 @@ ROUND4: list[str] = []
 #: value-dependent action (sum of xxhash64 over every output column)
 #: that forces full evaluation.  ACTION CHANGE vs r1-r3: their walls are
 #: larger this round because they now do their work — not a regression.
-FULL_EVAL = {"reproject", "reproject_crs", "doc_tokens", "hash_split",
-             "zorder_cells"}
+FULL_EVAL = {"reproject", "reproject_crs", "reproject_aeqd", "doc_tokens",
+             "doc_text_profile", "hash_split", "zorder_cells"}
 
 
 def _timed_action(df, name: str) -> None:

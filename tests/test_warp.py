@@ -127,3 +127,105 @@ def test_bilinear_integer_nodata_excluded(spark):
     assert set(np.unique(out)) <= {100.0, -9999.0}
     assert out[20, 20] == 100.0
     assert out[3, 3] == -9999.0  # inside the hole: all four corners nodata
+
+
+def test_cubic_reproduces_linear_ramp(spark):
+    # Catmull-Rom interpolates degree-<=1 exactly: warping a linear ramp
+    # through a half-pixel shift must return the shifted ramp (interior)
+    y, x = np.mgrid[0:64, 0:64]
+    ramp = (2.0 * x + 3.0 * y).astype(np.float64)
+    rows = [(1, ramp.tobytes(), 64, 64, "raw", "float64", 0, 0)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    g = RegularGrid(ul_x=0, ul_y=0, psx=1.0, psy=1.0,
+                    tile_cols=32, tile_rows=32, n_tile_cols=4, n_tile_rows=4)
+    dst = RegularGrid(ul_x=0.5, ul_y=-0.5, psx=1.0, psy=1.0,
+                      tile_cols=32, tile_rows=32, n_tile_cols=4, n_tile_rows=4)
+    out = _canvas(warp_window(df, g, dst, 0, 0, 32, 32, method="cubic").collect()[0])
+    # dst pixel (i,j) center = src (j+0.5, i+0.5): value 2(j+0.5)+3(i+0.5)
+    yi, xi = np.mgrid[0:32, 0:32]
+    want = 2.0 * (xi + 0.5) + 3.0 * (yi + 0.5)
+    np.testing.assert_allclose(out[1:-1, 1:-1], want[1:-1, 1:-1], rtol=1e-12)
+
+
+def test_cubic_integer_nodata_stays_nodata(spark):
+    nod8 = np.full((), -9999.0).astype(np.uint8)[()]
+    arr = np.full((64, 64), 100, np.uint8)
+    arr[10:14, 10:14] = nod8
+    g = RegularGrid(ul_x=0, ul_y=0, psx=1.0, psy=1.0,
+                    tile_cols=32, tile_rows=32, n_tile_cols=4, n_tile_rows=4)
+    dst = RegularGrid(ul_x=0.5, ul_y=-0.5, psx=1.0, psy=1.0,
+                      tile_cols=32, tile_rows=32, n_tile_cols=4, n_tile_rows=4)
+    df = _reg(spark, arr)
+    out = _canvas(
+        warp_window(df, g, dst, 0, 0, 32, 32, method="cubic").collect()[0]
+    )
+    # constant field with a nodata hole: every valid output is exactly 100
+    # (renormalized weights), hole centers stay nodata, never 241-mixed
+    valid = out != -9999.0
+    np.testing.assert_allclose(out[valid], 100.0, rtol=1e-9)
+    assert (out == -9999.0).any()
+
+
+def test_average_matches_exact_box_mean(spark):
+    # 4x integer downscale: each dst pixel's box is exactly a 4x4 src
+    # block -> average must equal the plain block mean
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 200, (64, 64)).astype(np.float64)
+    rows = [(1, arr.tobytes(), 64, 64, "raw", "float64", 0, 0)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    src = RegularGrid(ul_x=0, ul_y=0, psx=1.0, psy=1.0,
+                      tile_cols=32, tile_rows=32, n_tile_cols=4, n_tile_rows=4)
+    dst = RegularGrid(ul_x=0, ul_y=0, psx=4.0, psy=4.0,
+                      tile_cols=16, tile_rows=16, n_tile_cols=1, n_tile_rows=1)
+    out = _canvas(
+        warp_window(df, src, dst, 0, 0, 16, 16, method="average").collect()[0]
+    )
+    want = arr.reshape(16, 4, 16, 4).mean(axis=(1, 3))
+    np.testing.assert_allclose(out, want, rtol=1e-12)
+
+
+def test_average_fractional_box_and_nodata(spark):
+    # 2.5x downscale: fractional boxes exercise the integral-image
+    # interpolation; golden = direct fractional-overlap integration
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 200, (40, 40)).astype(np.float64)
+    arr[0:5, 0:5] = -9999.0  # nodata region must be excluded from means
+    rows = [(1, arr.tobytes(), 40, 40, "raw", "float64", 0, 0)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    src = RegularGrid(ul_x=0, ul_y=0, psx=1.0, psy=1.0,
+                      tile_cols=40, tile_rows=40, n_tile_cols=1, n_tile_rows=1)
+    dst = RegularGrid(ul_x=0, ul_y=0, psx=2.5, psy=2.5,
+                      tile_cols=16, tile_rows=16, n_tile_cols=1, n_tile_rows=1)
+    out = _canvas(
+        warp_window(df, src, dst, 0, 0, 16, 16, method="average").collect()[0]
+    )
+    v = arr.copy()
+    v[v == -9999.0] = np.nan
+
+    def frac_mean(r0, r1, c0, c1):
+        num = den = 0.0
+        for r in range(int(np.floor(r0)), int(np.ceil(r1))):
+            for c in range(int(np.floor(c0)), int(np.ceil(c1))):
+                w = (min(r + 1, r1) - max(r, r0)) * (min(c + 1, c1) - max(c, c0))
+                if w > 0 and not np.isnan(v[r, c]):
+                    num += w * v[r, c]
+                    den += w
+        return num / den if den > 1e-9 else -9999.0
+
+    for i in (0, 1, 7, 15):
+        for j in (0, 1, 7, 15):
+            want = frac_mean(2.5 * i, 2.5 * (i + 1), 2.5 * j, 2.5 * (j + 1))
+            np.testing.assert_allclose(out[i, j], want, rtol=1e-10,
+                                       err_msg=f"px {i},{j}")

@@ -39,11 +39,15 @@ class _NumpyBackend:
     cos = staticmethod(np.cos)
     tan = staticmethod(np.tan)
     atan = staticmethod(np.arctan)
+    asin = staticmethod(np.arcsin)
+    atan2 = staticmethod(np.arctan2)
     sqrt = staticmethod(np.sqrt)
     log = staticmethod(np.log)
     exp = staticmethod(np.exp)
     radians = staticmethod(np.radians)
     degrees = staticmethod(np.degrees)
+    where = staticmethod(np.where)
+    abs = staticmethod(np.abs)
 
 
 class _SparkBackend:
@@ -51,6 +55,12 @@ class _SparkBackend:
         from pyspark.sql import functions as F
 
         return getattr(F, {"atan": "atan"}.get(name, name))
+
+    @staticmethod
+    def where(cond, a, b):
+        from pyspark.sql import functions as F
+
+        return F.when(cond, a).otherwise(b)
 
 
 NP = _NumpyBackend()
@@ -166,13 +176,106 @@ def utm_to_lonlat(mt: Any, x, y, zone: int, south: bool = False):
     return lon, lat
 
 
+# ---- Azimuthal equidistant (Equi7-class; Snyder 1987 §25, spherical) -------
+
+#: sphere radius for AEQD — the WGS84 semi-major axis, matching the
+#: spherical reduction of the Equi7 PROJCS (reference pins its GDAL/osr
+#: round-trip in tests/raster/test_gdal.py:7-18; this engine implements
+#: the projection as math, not a GDAL shell-out)
+AEQD_R = WGS84_A
+
+
+def lonlat_to_aeqd(mt: Any, lon, lat, lat0: float, lon0: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """(lon°, lat°) → azimuthal-equidistant (x, y) meters about the
+    center (lat0°, lon0°).  Distances from the center are true — the
+    property Equi7 is built around."""
+    phi0, phi = math.radians(lat0), mt.radians(lat)
+    dlam = mt.radians(lon - lon0)
+    sp0, cp0 = math.sin(phi0), math.cos(phi0)
+    sp, cp = mt.sin(phi), mt.cos(phi)
+    cos_c = sp0 * sp + cp0 * cp * mt.cos(dlam)
+    # clamp rounding excursions outside [-1, 1] before acos-via-atan2
+    cos_c = mt.where(cos_c > 1.0, 1.0, cos_c)
+    cos_c = mt.where(cos_c < -1.0, -1.0, cos_c)
+    sin_c = mt.sqrt(mt.where(cos_c * cos_c > 1.0, 0.0, 1.0 - cos_c * cos_c))
+    c = mt.atan2(sin_c, cos_c)
+    near0 = mt.abs(sin_c) < 1e-12
+    kp = mt.where(near0, 1.0, c / mt.where(near0, 1.0, sin_c))
+    x = AEQD_R * kp * cp * mt.sin(dlam) + fe
+    y = AEQD_R * kp * (cp0 * sp - sp0 * cp * mt.cos(dlam)) + fn
+    return x, y
+
+
+def aeqd_to_lonlat(mt: Any, x, y, lat0: float, lon0: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    phi0 = math.radians(lat0)
+    sp0, cp0 = math.sin(phi0), math.cos(phi0)
+    x_, y_ = x - fe, y - fn
+    rho = mt.sqrt(x_ * x_ + y_ * y_)
+    c = rho / AEQD_R
+    sc, cc = mt.sin(c), mt.cos(c)
+    at_center = mt.abs(rho) < 1e-12
+    rho_safe = mt.where(at_center, 1.0, rho)
+    sin_phi = cc * sp0 + y_ * sc * cp0 / rho_safe
+    sin_phi = mt.where(sin_phi > 1.0, 1.0, sin_phi)
+    sin_phi = mt.where(sin_phi < -1.0, -1.0, sin_phi)
+    phi = mt.asin(sin_phi)
+    lam = mt.atan2(x_ * sc, rho_safe * cp0 * cc - y_ * sp0 * sc)
+    # at the exact center rho=0: (lon0, lat0)
+    lon = mt.where(at_center, lon0, lon0 + mt.degrees(lam))
+    lat = mt.where(at_center, lat0, mt.degrees(phi))
+    return lon, lat
+
+
+def parse_wkt_projcs(wkt: str) -> dict | None:
+    """Minimal WKT1 PROJCS reader for the projections this engine owns.
+    Extracts PROJECTION + PARAMETER values; currently understands
+    Azimuthal_Equidistant (the Equi7 family — reference
+    tests/raster/test_gdal.py:7-18).  Returns a parse_sref-style dict or
+    None."""
+    import re
+
+    if not wkt or not wkt.lstrip().upper().startswith("PROJCS"):
+        return None
+    proj = re.search(r'PROJECTION\["([^"]+)"\]', wkt)
+    if proj is None:
+        return None
+    params = {
+        k.lower(): float(v)
+        for k, v in re.findall(
+            r'PARAMETER\["([^"]+)",\s*([-+0-9.eE]+)\]', wkt
+        )
+    }
+    name = proj.group(1).lower()
+    if name in ("azimuthal_equidistant", "aeqd"):
+        return {
+            "kind": "aeqd",
+            "lat0": params.get("latitude_of_center", 0.0),
+            "lon0": params.get("longitude_of_center", 0.0),
+            "fe": params.get("false_easting", 0.0),
+            "fn": params.get("false_northing", 0.0),
+        }
+    return None
+
+
 # ---- sref parsing + lon/lat hub --------------------------------------------
 
 
 def parse_sref(sref: str) -> dict | None:
-    """'EPSG:4326' / 'EPSG:3857' / 'EPSG:326xx' / 'EPSG:327xx' →
-    {'kind': ..., 'zone': ..., 'south': ...}; None when unknown."""
-    if not sref or not sref.upper().startswith("EPSG:"):
+    """'EPSG:4326' / 'EPSG:3857' / 'EPSG:326xx' / 'EPSG:327xx', an
+    AEQD PROJCS WKT, or the shorthand 'AEQD:lat0,lon0[,fe,fn]' →
+    {'kind': ..., ...}; None when unknown."""
+    if not sref:
+        return None
+    if sref.lstrip().upper().startswith("PROJCS"):
+        return parse_wkt_projcs(sref)
+    if sref.upper().startswith("AEQD:"):
+        vals = [float(v) for v in sref.split(":", 1)[1].split(",")]
+        vals += [0.0] * (4 - len(vals))
+        return {"kind": "aeqd", "lat0": vals[0], "lon0": vals[1],
+                "fe": vals[2], "fn": vals[3]}
+    if not sref.upper().startswith("EPSG:"):
         return None
     try:
         code = int(sref.split(":", 1)[1])
@@ -196,6 +299,10 @@ def to_lonlat(mt: Any, sref: dict, x, y):
         return webmerc_to_lonlat(mt, x, y)
     if sref["kind"] == "utm":
         return utm_to_lonlat(mt, x, y, sref["zone"], sref["south"])
+    if sref["kind"] == "aeqd":
+        return aeqd_to_lonlat(
+            mt, x, y, sref["lat0"], sref["lon0"], sref["fe"], sref["fn"]
+        )
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -206,6 +313,10 @@ def from_lonlat(mt: Any, sref: dict, lon, lat):
         return lonlat_to_webmerc(mt, lon, lat)
     if sref["kind"] == "utm":
         return lonlat_to_utm(mt, lon, lat, sref["zone"], sref["south"])
+    if sref["kind"] == "aeqd":
+        return lonlat_to_aeqd(
+            mt, lon, lat, sref["lat0"], sref["lon0"], sref["fe"], sref["fn"]
+        )
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -216,7 +327,8 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
     if s is None or d is None:
         raise ValueError(
             f"unsupported CRS pair {src_sref!r} → {dst_sref!r}: supported "
-            "are EPSG:4326, EPSG:3857, EPSG:326xx/327xx (UTM)"
+            "are EPSG:4326, EPSG:3857, EPSG:326xx/327xx (UTM), and "
+            "azimuthal-equidistant via PROJCS WKT or 'AEQD:lat0,lon0[,fe,fn]'"
         )
     lon, lat = to_lonlat(mt, s, x, y)
     return from_lonlat(mt, d, lon, lat)

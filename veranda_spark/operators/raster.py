@@ -868,6 +868,61 @@ def quicklook(
     return df.mapInPandas(decimate, schema=ql_schema)
 
 
+def _cubic_w(t: "np.ndarray") -> "np.ndarray":
+    """Catmull-Rom / GDAL cubic convolution weights (a = -0.5)."""
+    a = -0.5
+    x = np.abs(t)
+    return np.where(
+        x < 1,
+        (a + 2) * x**3 - (a + 3) * x**2 + 1,
+        np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0),
+    )
+
+
+def _integral_pair(v: "np.ndarray"):
+    """(value, valid-count) integral images of a NaN-masked array, with a
+    zero top row / left column so box sums index cleanly."""
+    val = np.where(np.isnan(v), 0.0, v)
+    cnt = (~np.isnan(v)).astype("float64")
+
+    def ii(a):
+        s = np.cumsum(np.cumsum(a, axis=0), axis=1)
+        out = np.zeros((a.shape[0] + 1, a.shape[1] + 1) + a.shape[2:])
+        out[1:, 1:] = s
+        return out
+
+    return ii(val), ii(cnt)
+
+
+def _sample_ii(S: "np.ndarray", r: "np.ndarray", c: "np.ndarray"):
+    """Bilinear sample of an integral image at continuous coords — EXACT
+    for a piecewise-constant integrand (the integral of a constant cell
+    is bilinear in (r, c)), which is what makes fractional box means
+    exact."""
+    r = np.clip(r, 0.0, S.shape[0] - 1.0)
+    c = np.clip(c, 0.0, S.shape[1] - 1.0)
+    r0 = np.minimum(np.floor(r).astype("int64"), S.shape[0] - 2)
+    c0 = np.minimum(np.floor(c).astype("int64"), S.shape[1] - 2)
+    fr, fc = r - r0, c - c0
+    if S.ndim == 3:
+        fr, fc = fr[..., None], fc[..., None]
+    return (
+        S[r0, c0] * (1 - fr) * (1 - fc)
+        + S[r0, c0 + 1] * (1 - fr) * fc
+        + S[r0 + 1, c0] * fr * (1 - fc)
+        + S[r0 + 1, c0 + 1] * fr * fc
+    )
+
+
+def _box_sum(S, rmin, rmax, cmin, cmax):
+    return (
+        _sample_ii(S, rmax, cmax)
+        - _sample_ii(S, rmin, cmax)
+        - _sample_ii(S, rmax, cmin)
+        + _sample_ii(S, rmin, cmin)
+    )
+
+
 def warp_window(
     df: DataFrame,
     src_grid: RegularGrid,
@@ -895,8 +950,15 @@ def warp_window(
          slicing do the heavy lifting);
       2. one numpy gather per assembled (var, layer) canvas maps every
          dst pixel center through the transform to a src pixel
-         (``nearest``) or a bilinear blend (``bilinear``, float64 out,
-         nodata-aware).  Out-of-source pixels come back as ``nodata``.
+         (``nearest``), a bilinear blend (``bilinear``), a 4x4
+         Catmull-Rom convolution (``cubic``, GDAL's a=-0.5 kernel), or
+         an area-weighted box mean (``average`` — the anti-aliasing
+         choice for >2x downscales; reference resample set:
+         gdalport.py:30-41).  All but nearest emit float64 and are
+         nodata-aware (cubic renormalizes over valid taps; average
+         integrates value and valid-count integral images, exact for
+         axis-aligned footprints, bbox-approximate under rotation).
+         Out-of-source pixels come back as ``nodata``.
     """
     from veranda_spark.functions.crs import NP, transform
 
@@ -944,6 +1006,23 @@ def warp_window(
     fcol = (sx - src_grid.ul_x) / src_grid.psx - 0.5 - src_c0
     frow = (src_grid.ul_y - sy) / src_grid.psy - 0.5 - src_r0
 
+    box_rmin = box_rmax = box_cmin = box_cmax = None
+    if method == "average":
+        # per-dst-pixel src footprint boxes from the PIXEL CORNER grid
+        # (continuous src coords: src pixel k spans [k, k+1))
+        ej, ei = np.meshgrid(
+            np.arange(col0, col0 + width + 1, dtype="float64"),
+            np.arange(row0, row0 + height + 1, dtype="float64"),
+        )
+        ex, ey = dst_world(ej - 0.5, ei - 0.5)  # corner world coords
+        esx, esy = to_src(ex, ey)
+        ec = (esx - src_grid.ul_x) / src_grid.psx - src_c0
+        er = (src_grid.ul_y - esy) / src_grid.psy - src_r0
+        corners_c = np.stack([ec[:-1, :-1], ec[:-1, 1:], ec[1:, :-1], ec[1:, 1:]])
+        corners_r = np.stack([er[:-1, :-1], er[:-1, 1:], er[1:, :-1], er[1:, 1:]])
+        box_cmin, box_cmax = corners_c.min(0), corners_c.max(0)
+        box_rmin, box_rmax = corners_r.min(0), corners_r.max(0)
+
     def _warp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -990,8 +1069,66 @@ def warp_window(
                     out = np.where(ok if ch == 1 else ok[..., None], v, np.nan)
                     out = np.where(np.isnan(out), nodata, out)
                     dt = "float64"
+                elif method == "cubic":
+                    nod = np.full((), nodata).astype(src.dtype)[()]
+                    vals = src.astype("float64")
+                    vals[src == nod] = np.nan
+                    valid = ~np.isnan(vals)
+                    r0f = np.floor(frow).astype("int64")
+                    c0f = np.floor(fcol).astype("int64")
+                    tshape = (height, width) if ch == 1 else (height, width, ch)
+                    num = np.zeros(tshape)
+                    den = np.zeros(tshape)
+                    for kr in range(-1, 3):
+                        wr = _cubic_w(frow - (r0f + kr))
+                        rr = r0f + kr
+                        rin = (rr >= 0) & (rr < row.h)
+                        rrc = np.clip(rr, 0, row.h - 1)
+                        for kc in range(-1, 3):
+                            wc = _cubic_w(fcol - (c0f + kc))
+                            cc = c0f + kc
+                            cin = rin & (cc >= 0) & (cc < row.w)
+                            ccc = np.clip(cc, 0, row.w - 1)
+                            v = vals[rrc, ccc]
+                            w = wr * wc
+                            if ch == 1:
+                                tap_ok = cin & ~np.isnan(v)
+                                num += np.where(tap_ok, w * np.nan_to_num(v), 0.0)
+                                den += np.where(tap_ok, w, 0.0)
+                            else:
+                                tap_ok = cin[..., None] & ~np.isnan(v)
+                                num += np.where(tap_ok, w[..., None] * np.nan_to_num(v), 0.0)
+                                den += np.where(tap_ok, w[..., None], 0.0)
+                    out = np.where(np.abs(den) > 1e-6, num / np.where(den == 0, 1, den), np.nan)
+                    # a dst pixel whose NEAREST src pixel is out of range
+                    # or nodata stays nodata (no negative-lobe ghosts)
+                    irn = np.rint(frow).astype("int64")
+                    icn = np.rint(fcol).astype("int64")
+                    cen_ok = (irn >= 0) & (irn < row.h) & (icn >= 0) & (icn < row.w)
+                    cv = valid[np.clip(irn, 0, row.h - 1), np.clip(icn, 0, row.w - 1)]
+                    cen_val = cv if ch == 1 else cv.all(axis=-1)
+                    cen = cen_ok & cen_val
+                    out = np.where(cen if ch == 1 else cen[..., None], out, np.nan)
+                    out = np.where(np.isnan(out), nodata, out)
+                    dt = "float64"
+                elif method == "average":
+                    nod = np.full((), nodata).astype(src.dtype)[()]
+                    vals = src.astype("float64")
+                    vals[src == nod] = np.nan
+                    Sv, Sc = _integral_pair(vals)
+                    rmin = np.clip(box_rmin, 0.0, float(row.h))
+                    rmax = np.clip(box_rmax, 0.0, float(row.h))
+                    cmin = np.clip(box_cmin, 0.0, float(row.w))
+                    cmax = np.clip(box_cmax, 0.0, float(row.w))
+                    s = _box_sum(Sv, rmin, rmax, cmin, cmax)
+                    n = _box_sum(Sc, rmin, rmax, cmin, cmax)
+                    out = np.where(n > 1e-9, s / np.where(n == 0, 1, n), nodata)
+                    dt = "float64"
                 else:
-                    raise ValueError(f"method must be nearest|bilinear, got {method!r}")
+                    raise ValueError(
+                        "method must be nearest|bilinear|cubic|average, "
+                        f"got {method!r}"
+                    )
                 rows.append((
                     row.var, int(row.layer_id),
                     np.ascontiguousarray(out).tobytes(),
