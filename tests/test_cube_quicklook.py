@@ -83,3 +83,39 @@ def test_quicklook_color_table(spark):
         assert (c[..., 2] == 0).all()
     with pytest.raises(ValueError, match="color table"):
         quicklook(imgs, ct=np.zeros((16, 3), np.uint8))
+
+
+def test_quicklook_checkpointed_matches_and_skips_pass1(spark, tmp_path):
+    # VERDICT r3 #7: pass-1 blocks land in a parquet temp table (no cache
+    # handles); a rerun with the _pass1_done marker never re-decodes
+    import os
+
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import quicklook, release_caches
+
+    imgs = generate_images(spark, 50, seed=9)
+    ckpt = str(tmp_path / "ql_ckpt")
+
+    plain = quicklook(imgs, factor=4)
+    want = {r["image_id"]: r["bytes"] for r in plain.collect()}
+    release_caches(plain)
+
+    ck = quicklook(imgs, factor=4, checkpoint_dir=ckpt)
+    got = {r["image_id"]: r["bytes"] for r in ck.collect()}
+    assert got == want
+    assert not hasattr(ck, "_quicklook_mid")  # no leaked cache handle
+
+    mid = os.path.join(ckpt, "quicklook_mid")
+    assert os.path.exists(os.path.join(mid, "_pass1_done"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(mid, f))
+        for f in os.listdir(mid) if f.endswith(".parquet")
+    }
+    got2 = {r["image_id"]: r["bytes"]
+            for r in quicklook(imgs, factor=4, checkpoint_dir=ckpt).collect()}
+    assert got2 == want
+    mtimes2 = {
+        f: os.path.getmtime(os.path.join(mid, f))
+        for f in os.listdir(mid) if f.endswith(".parquet")
+    }
+    assert mtimes2 == mtimes  # pass-1 parquet untouched on resume

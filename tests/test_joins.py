@@ -99,3 +99,34 @@ def test_cell_histogram_and_salt_map(spark, points):
     assert total == N
     salt = derive_salt_map(hist, target_rows_per_part=100)
     assert salt and all(v >= 2 for v in salt.values())
+
+
+def test_knn_histogram_reuse_skips_sampled_pass(spark, points):
+    # VERDICT r3 #8: a caller-maintained cell histogram replaces the
+    # sampled density pass — same answer, and construction runs fewer
+    # jobs on the point table (one tiny agg over occupied cells instead)
+    rng = np.random.default_rng(7)
+    qpts = [(int(i), int(x), -int(y))
+            for i, (x, y) in enumerate(rng.integers(0, 1024, (10, 2)))]
+    queries = spark.createDataFrame(qpts, schema="query_id long, qx long, qy long")
+    hist = cell_histogram(points, "px", "py", res=5).cache()
+    hist.count()  # materialize once, as a maintaining caller would
+
+    sc = spark.sparkContext
+    sc.setJobGroup("knn_sampled", "knn without histogram")
+    base = knn_join(points, queries, k=5, res=5)
+    sc.setJobGroup("knn_hist", "knn with cached histogram")
+    reused = knn_join(points, queries, k=5, res=5, histogram=hist)
+    sc.setJobGroup("knn_done", "")
+    tracker = sc.statusTracker()
+    n_sampled = len(tracker.getJobIdsForGroup("knn_sampled"))
+    n_hist = len(tracker.getJobIdsForGroup("knn_hist"))
+    # the histogram path must not add point-table jobs: strictly fewer
+    # or equal construction jobs, and the sampled pass disappears
+    assert n_hist <= n_sampled, (n_hist, n_sampled)
+    got = sorted((r["query_id"], r["point_id"], r["dist_sq"])
+                 for r in reused.collect())
+    want = sorted((r["query_id"], r["point_id"], r["dist_sq"])
+                  for r in base.collect())
+    assert got == want
+    hist.unpersist()

@@ -46,6 +46,21 @@ def _hadoop_path_exists(spark: SparkSession, p: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _hadoop_touch(spark: SparkSession, p: str) -> None:
+    """Create an empty marker file through the Hadoop FileSystem API so
+    hdfs:// and object-store paths work like local ones (falls back to a
+    plain local create when no JVM is attached)."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        with open(_strip_file_scheme(p), "w"):
+            pass
+        return
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.close()
+
+
 def read_lineage(spark: SparkSession, base: str) -> DataFrame | None:
     """None when the lineage table does not exist yet; any OTHER read
     failure (corrupt footer after a crash mid-append, FS errors) raises —

@@ -216,6 +216,7 @@ def knn_join(
     max_rounds: int = 4,
     per_cell_hint: float | None = None,
     hist_sample: int = 16,
+    histogram: DataFrame | None = None,
 ) -> DataFrame:
     """k-nearest-neighbors of each query point (north-rule addition; no
     reference analog — SURVEY.md §2.3 J3 note).
@@ -253,11 +254,26 @@ def knn_join(
     # the estimate.  Round-3: the estimate no longer costs a full pass —
     # callers with a maintained histogram pass per_cell_hint (median rows
     # per occupied cell); otherwise a deterministic 1-in-hist_sample hash
-    # sample of the point table is histogrammed and scaled back up.  A
+    # sample of the point table is histogrammed and scaled back up;
+    # round-4 callers can instead pass histogram=cell_histogram(points,..)
+    # (same res) so the estimate is one agg over occupied cells — no
+    # point-table rescan on repeated kNN calls.  A
     # wrong estimate only moves work between rounds, never the answer.
     import math
 
     per_cell = per_cell_hint
+    if per_cell is None and histogram is not None:
+        # round-4 (VERDICT r3 #8): a caller-maintained cell_histogram()
+        # frame (columns cell,count — same res!) replaces the sampled
+        # pass: the median comes from ONE tiny agg over occupied cells
+        # (cache the histogram and repeated kNN calls never rescan the
+        # point table for density estimation)
+        stats = histogram.agg(
+            F.count("*").alias("n_cells"),
+            F.percentile_approx("count", 0.5).alias("p50"),
+        ).collect()[0]
+        if stats["n_cells"]:
+            per_cell = float(stats["p50"])
     if per_cell is None:
         spts = pts
         scale = 1

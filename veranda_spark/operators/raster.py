@@ -17,6 +17,7 @@ Every pixel kernel is whole-array NumPy inside Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -760,6 +761,7 @@ def quicklook(
     vmin: float | None = None,
     vmax: float | None = None,
     ct: "np.ndarray | None" = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Quicklook decimation + linear stretch (gen_qlook analog,
     reference gdalport.py:283-360): block-mean downsample by ``factor``,
@@ -773,8 +775,12 @@ def quicklook(
     blocks + per-image min/max of the FULL-res pixels); the global
     stretch aggregates over those stats and pass 2 re-reads only the
     small blocks (1/factor² of the bytes) — originals are never decoded
-    twice.  The intermediate is persisted MEMORY_AND_DISK (at cluster
-    scale it is the natural temp table between the two jobs).
+    twice.  The intermediate is persisted MEMORY_AND_DISK (release with
+    ``release_caches``) — or, with ``checkpoint_dir``, WRITTEN to a
+    parquet temp table and read back (VERDICT r3 #7): executor loss
+    during the stretch re-reads the table instead of re-decoding the
+    corpus, a rerun whose pass-1 completed (``_done`` marker) skips the
+    decode entirely, and no cache handles leak.
     """
     from veranda_spark.functions.codec import png_encode
 
@@ -819,11 +825,29 @@ def quicklook(
                     columns=["image_id", "small", "h", "w", "mn", "mx"],
                 )
 
-        from pyspark import StorageLevel
+        if checkpoint_dir is not None:
+            from veranda_spark.io.lineage import (
+                _hadoop_path_exists,
+                _hadoop_touch,
+            )
 
-        mid = df.mapInPandas(pass1, schema=mid_schema).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+            spark = df.sparkSession
+            mid_path = os.path.join(checkpoint_dir, "quicklook_mid")
+            marker = os.path.join(mid_path, "_pass1_done")
+            if not _hadoop_path_exists(spark, marker):
+                # overwrite clears any half-written previous attempt;
+                # the marker lands only after a complete pass-1
+                df.mapInPandas(pass1, schema=mid_schema).write.mode(
+                    "overwrite"
+                ).parquet(mid_path)
+                _hadoop_touch(spark, marker)
+            mid = spark.read.parquet(mid_path)
+        else:
+            from pyspark import StorageLevel
+
+            mid = df.mapInPandas(pass1, schema=mid_schema).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         stats = mid.agg(F.min("mn").alias("mn"), F.max("mx").alias("mx")).collect()[0]
         vmin = stats["mn"] if vmin is None else vmin
         vmax = stats["mx"] if vmax is None else vmax
@@ -843,12 +867,13 @@ def quicklook(
                 )
 
         out = mid.mapInPandas(stretch, schema=ql_schema)
-        # hand the cache back to the caller: the intermediate must stay
-        # persisted until the output is consumed (the stretch re-reads
-        # it), so quicklook cannot unpersist it itself.  Call
-        # ``out._quicklook_mid.unpersist()`` after collecting/writing to
-        # release the downsampled corpus from the block manager.
-        out._quicklook_mid = mid
+        if checkpoint_dir is None:
+            # hand the cache back to the caller: the intermediate must
+            # stay persisted until the output is consumed (the stretch
+            # re-reads it), so quicklook cannot unpersist it itself.
+            # Call ``release_caches(out)`` after collecting/writing to
+            # release the downsampled corpus from the block manager.
+            out._quicklook_mid = mid
         return out
 
     span = max(vmax - vmin, 1e-12)
@@ -1148,34 +1173,11 @@ PYRAMID_SCHEMA = (
 )
 
 
-def build_pyramid(
-    tiles: DataFrame,
-    levels: int = 2,
-    nodata: float = -9999.0,
-) -> DataFrame:
-    """Distributed overview pyramid over burn-in tiles (the gdaladdo /
-    COG-overview analog, computed ACROSS tiles instead of inside one
-    file — tiff_encode_cog builds per-payload overviews; this op builds
-    the mosaic-level ones).
-
-    Level k+1 tile (r, c) assembles from the 2×2 level-k tiles
-    (2r..2r+1, 2c..2c+1), each 2× block-mean downsampled into its
-    quadrant; missing children leave nodata.  Nodata pixels are excluded
-    from block means (all-nodata blocks stay nodata) — the standard
-    overview convention.
-
-    Scale: each level is ONE shuffle keyed on the parent tile, and its
-    input is the PREVIOUS level (4× smaller), never the originals —
-    total bytes moved ≈ 4/3 of level 1, exactly how gdaladdo recurses.
-    Output: union of levels 1..``levels`` (level 0 is the input).
-    Each level is persisted MEMORY_AND_DISK (the union shares it between
-    its own branch and the next level's lineage); after consuming, call
-    ``.unpersist()`` on each frame in the ``out._pyramid_levels`` list
-    to release the caches.
-    """
-    out: DataFrame | None = None
-    cur = tiles
-    level_frames: list[DataFrame] = []
+def _pyramid_level_df(cur: DataFrame, nodata: float, parts: int) -> DataFrame:
+    """ONE pyramid level: 2× block-mean shrink of every tile into its
+    parent quadrant, then one parent-keyed shuffle assembling 2×2
+    children into each parent tile.  Shared by build_pyramid (in-memory
+    chain) and build_pyramid_checkpointed (sink-committed chain)."""
 
     def shrink(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1257,18 +1259,51 @@ def build_pyramid(
         "tile_id string, tile_row long, tile_col long, var string, "
         "layer_id int, bytes binary, h int, w int, channels int, dtype string"
     )
+    quads = cur.mapInPandas(shrink, schema=quad_schema)
+    return quads.repartition(
+        max(parts, 4), "p_row", "p_col", "var", "layer_id"
+    ).mapInPandas(assemble, schema=lvl_schema)
+
+
+def build_pyramid(
+    tiles: DataFrame,
+    levels: int = 2,
+    nodata: float = -9999.0,
+) -> DataFrame:
+    """Distributed overview pyramid over burn-in tiles (the gdaladdo /
+    COG-overview analog, computed ACROSS tiles instead of inside one
+    file — tiff_encode_cog builds per-payload overviews; this op builds
+    the mosaic-level ones).
+
+    Level k+1 tile (r, c) assembles from the 2×2 level-k tiles
+    (2r..2r+1, 2c..2c+1), each 2× block-mean downsampled into its
+    quadrant; missing children leave nodata.  Nodata pixels are excluded
+    from block means (all-nodata blocks stay nodata) — the standard
+    overview convention.
+
+    Scale: each level is ONE shuffle keyed on the parent tile, and its
+    input is the PREVIOUS level (4× smaller), never the originals —
+    total bytes moved ≈ 4/3 of level 1, exactly how gdaladdo recurses.
+    Output: union of levels 1..``levels`` (level 0 is the input).
+    Each level is persisted MEMORY_AND_DISK (the union shares it between
+    its own branch and the next level's lineage); after consuming, call
+    ``release_caches(out)`` (or ``.unpersist()`` each frame in
+    ``out._pyramid_levels``) to release the caches.  For long jobs that
+    must survive executor loss without recompute-from-source, use
+    ``build_pyramid_checkpointed``.
+    """
     from pyspark import StorageLevel
 
+    out: DataFrame | None = None
+    cur = tiles
+    level_frames: list[DataFrame] = []
     n_parts = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     for level in range(1, levels + 1):
-        quads = cur.mapInPandas(shrink, schema=quad_schema)
         # persist each level: the returned union references level k from
         # BOTH its own branch and level k+1's lineage — without the shared
         # InMemoryRelation, evaluating the union would recompute every
         # lower level (and re-read the originals) once per higher level
-        nxt = quads.repartition(
-            max(n_parts >> level, 4), "p_row", "p_col", "var", "layer_id"
-        ).mapInPandas(assemble, schema=lvl_schema).persist(
+        nxt = _pyramid_level_df(cur, nodata, n_parts >> level).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         tagged = nxt.withColumn("level", F.lit(level)).select(
@@ -1279,4 +1314,85 @@ def build_pyramid(
         cur = nxt
         level_frames.append(nxt)
     out._pyramid_levels = level_frames
+    return out
+
+
+def release_caches(df: DataFrame) -> int:
+    """Unpersist the intermediate caches quicklook/build_pyramid hand
+    back on their result frames (``_quicklook_mid`` /
+    ``_pyramid_levels``).  Returns how many frames were released — the
+    discoverable release path for the session-lifetime caches those
+    operators need while their output is being consumed."""
+    n = 0
+    mid = getattr(df, "_quicklook_mid", None)
+    if mid is not None:
+        mid.unpersist()
+        n += 1
+    for frame in getattr(df, "_pyramid_levels", None) or []:
+        frame.unpersist()
+        n += 1
+    return n
+
+
+def build_pyramid_checkpointed(
+    tiles: DataFrame,
+    base: str,
+    levels: int = 2,
+    nodata: float = -9999.0,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Resumable pyramid build (VERDICT r3 #7): every level is COMMITTED
+    through the lineage sink (io/lineage.write_tiles_checkpointed) under
+    ``base/level_k`` before the next level starts, and level k+1 reads
+    level k's committed table — never an in-memory cache, never the
+    originals.  A crashed build resumes where it stopped:
+
+      - a fully-committed level (``_level_done`` marker) is read back,
+        zero recompute;
+      - a partially-committed level keeps its finished tiles (the sink's
+        per-tile lineage anti-join) and recomputes only the rest, with
+        the SHRINK input being the previous level's committed table
+        (4× smaller than source) rather than the original imagery.
+
+    tile_ids are namespaced ``var/layer/r_c`` so multi-variable levels
+    don't collide in the per-tile lineage.  Returns the same
+    (level, tile…) union build_pyramid returns, read entirely from the
+    committed tables.
+    """
+    from veranda_spark.io.lineage import (
+        _hadoop_path_exists,
+        _hadoop_touch,
+        read_tiles,
+        write_tiles_checkpointed,
+    )
+
+    spark = tiles.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = ["tile_id", "tile_row", "tile_col", "var", "layer_id",
+            "bytes", "h", "w", "channels", "dtype"]
+    out: DataFrame | None = None
+    cur = tiles
+    for level in range(1, levels + 1):
+        lvl_base = os.path.join(base, f"level_{level}")
+        marker = os.path.join(lvl_base, "_level_done")
+        if not _hadoop_path_exists(spark, marker):
+            lvl = _pyramid_level_df(cur, nodata, n_parts >> level)
+            sink_ready = lvl.withColumn(
+                "tile_id",
+                F.concat_ws(
+                    "/", F.col("var"), F.col("layer_id").cast("string"),
+                    F.col("tile_id"),
+                ),
+            ).withColumn("n_images", F.lit(0).cast("long"))
+            write_tiles_checkpointed(sink_ready, lvl_base, run_id=run_id)
+            _hadoop_touch(spark, marker)
+        committed = read_tiles(spark, lvl_base).select(*[
+            c for c in cols if c != "tile_id"
+        ] + [F.element_at(F.split("tile_id", "/"), -1).alias("tile_id")])
+        committed = committed.select(*cols)
+        tagged = committed.withColumn("level", F.lit(level)).select(
+            "level", *cols
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        cur = committed
     return out
