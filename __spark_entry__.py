@@ -956,6 +956,23 @@ def q_warp_cubic(spark, sf_dir):
     )
 
 
+def q_media_metadata(spark, sf_dir):
+    # round-4: compressed-media metadata probe — MP3 frame-header walk +
+    # MP4 box parse (functions/media.py, real byte parsing, no codec
+    # lib) over deterministic structurally-valid containers.  The
+    # curation stage a 100 TB crawl runs before any decode.  Rows-only
+    # (byte-level container parsing has no SQL analog; parity is
+    # probe-golden pytest in test_media.py).
+    from veranda_spark.fixtures import generate_media
+    from veranda_spark.sources.multimodal import extract_media_metadata
+
+    media = generate_media(spark, 400)
+    return extract_media_metadata(media).select(
+        "media_id", "container", "valid", "duration_sec", "bitrate",
+        "samplerate", "n_tracks", "video_codec", "width", "height",
+    )
+
+
 def q_audio_features(spark, sf_dir):
     # round-3 multimodal audio leg: REAL WAV decode (functions/wav.py, no
     # codec lib needed) → per-clip features; rows-only (FFT features have
@@ -1304,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cog_roundtrip": q_cog_roundtrip,
         "warp_crs": q_warp_crs,
         "warp_cubic": q_warp_cubic,
+        "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
         "pyramid": q_pyramid,
         "composite_mosaic": q_composite_mosaic,

@@ -92,6 +92,7 @@ ROUND4: list[str] = [
     "warp_cubic",
     "resample_average",
     "doc_text_profile",
+    "media_metadata",
 ]
 
 #: row-preserving projections: under ``count()`` Catalyst prunes the

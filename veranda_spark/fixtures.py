@@ -220,3 +220,49 @@ def generate_audio(spark: SparkSession, n: int, rate: int = 16_000,
             )
 
     return spark.range(n).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+MEDIA_SCHEMA = "media_id string, bytes binary, fmt string"
+
+
+def generate_media(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic compressed-media container table (round 4): item i
+    alternates between a structurally valid MPEG-1 Layer III stream and
+    a minimal MP4, with header parameters keyed on i — the fixture side
+    of sources/multimodal.extract_media_metadata (payload decode stays
+    gated; the STRUCTURE is real and probe-verifiable)."""
+
+    def gen(it):
+        import pandas as pd
+
+        from veranda_spark.functions.media import (
+            build_mp3_bytes,
+            build_mp4_bytes,
+        )
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                if i % 2 == 0:
+                    b = build_mp3_bytes(
+                        n_frames=5 + i % 7,
+                        bitrate_idx=1 + (i // 2) % 14,
+                        sr_idx=i % 3,
+                        mode_idx=(0, 3)[i % 4 // 2],
+                        with_id3=i % 3 == 0,
+                        with_xing=i % 5 == 0,
+                    )
+                    rows.append((f"media_{i:08d}", b, "mp3"))
+                else:
+                    b = build_mp4_bytes(
+                        duration_sec=1.0 + (i % 60),
+                        timescale=(600, 1000, 90000)[i % 3],
+                        width=160 + 16 * (i % 50),
+                        height=90 + 9 * (i % 50),
+                        video_codec=("avc1", "hev1", "av01")[i % 3],
+                    )
+                    rows.append((f"media_{i:08d}", b, "mp4"))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -42,7 +42,15 @@ def _decode_any(row, fake: bool) -> np.ndarray:
         rng = np.random.default_rng(int(seed))
         return rng.integers(0, 256, (int(row.h), int(row.w)), dtype=np.uint8)
     raise NotImplementedError(
-        f"decode for fmt={fmt!r} requires a media codec library (not in this env)"
+        f"decode for fmt={fmt!r} requires a media codec library (not in this "
+        "env).  Deliberately NOT hand-implemented: MP3/H.264 payload decode "
+        "depends on thousands of tabulated spec constants (ISO 11172-3 "
+        "Huffman tables B.7 + synthesis window B.3, CABAC tables) that this "
+        "environment offers no reference decoder or ground-truth fixture to "
+        "validate against — an unverifiable decoder would be worse than a "
+        "loud gate.  Container METADATA (duration, bitrate, codec, "
+        "dimensions) IS parsed for real: functions/media.py / "
+        "extract_media_metadata."
     )
 
 
@@ -163,3 +171,59 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+MEDIA_METADATA_SCHEMA = (
+    "media_id string, container string, valid boolean, duration_sec double, "
+    "bitrate int, samplerate int, mode string, layer int, n_frames long, "
+    "vbr boolean, brand string, n_tracks int, video_codec string, "
+    "audio_codec string, width int, height int"
+)
+
+
+def extract_media_metadata(df: DataFrame) -> DataFrame:
+    """Compressed-media metadata probe (round 4): MP3 frame-header walk
+    and MP4 box-structure parse over opaque binary payloads — the
+    curation stage a 100 TB crawl runs BEFORE deciding what to decode
+    (duration/bitrate/codec/dimension stats, corrupt-stream detection).
+    Real byte parsing (functions/media.py), no codec lib; PAYLOAD decode
+    stays gated.  Input rows: (media_id, bytes, fmt in {'mp3','mp4'}).
+    Arrow-batched, one parse per payload, bytes never leave the
+    executor."""
+    from veranda_spark.functions.media import probe_mp3, probe_mp4
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                b = bytes(row.bytes)
+                if row.fmt == "mp3":
+                    m = probe_mp3(b)
+                    rows.append((
+                        row.media_id, "mp3", m["valid"], m["duration_sec"],
+                        m["bitrate"], m["samplerate"], m["mode"], m["layer"],
+                        m["n_frames"], m["vbr"], None, None, None, None,
+                        None, None,
+                    ))
+                elif row.fmt == "mp4":
+                    m = probe_mp4(b)
+                    rows.append((
+                        row.media_id, "mp4", m["valid"], m["duration_sec"],
+                        None, None, None, None, None, None, m["brand"],
+                        m["n_tracks"], m["video_codec"], m["audio_codec"],
+                        m["width"], m["height"],
+                    ))
+                else:
+                    raise ValueError(
+                        f"extract_media_metadata: fmt must be mp3|mp4, "
+                        f"got {row.fmt!r}"
+                    )
+            yield pd.DataFrame(
+                rows or None,
+                columns=["media_id", "container", "valid", "duration_sec",
+                         "bitrate", "samplerate", "mode", "layer",
+                         "n_frames", "vbr", "brand", "n_tracks",
+                         "video_codec", "audio_codec", "width", "height"],
+            )
+
+    return df.mapInPandas(kernel, schema=MEDIA_METADATA_SCHEMA)
