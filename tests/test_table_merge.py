@@ -269,9 +269,9 @@ def test_manifest_mode_merge_no_links(spark, base, monkeypatch):
     import json as _json
 
     with open(os.path.join(v2, "_manifest.json")) as f:
-        entries = {e["name"]: e["root"] for e in _json.load(f)["entries"]}
-    assert set(entries) == {"p=0", "p=2", "p=3"}
-    assert all(root == v1 for root in entries.values())
+        entries = {e["name"]: e["v"] for e in _json.load(f)["entries"]}
+    assert entries == {"p=0": 1, "p=2": 1, "p=3": 1}
+    assert os.path.isdir(v1)  # referenced bytes live in v1
 
 
 def test_manifest_chain_flattens_and_expire_retains(spark, base, monkeypatch):
@@ -288,10 +288,12 @@ def test_manifest_chain_flattens_and_expire_retains(spark, base, monkeypatch):
     import json as _json
 
     with open(os.path.join(v3, "_manifest.json")) as f:
-        entries = {e["name"]: e["root"] for e in _json.load(f)["entries"]}
+        entries = {e["name"]: e["v"] for e in _json.load(f)["entries"]}
     # chain flattened at write time: p=2/p=3 point at v1 (where the bytes
-    # live), p=1 at v2 — never v3 -> v2 -> v1 hops
-    assert entries == {"p=1": v2, "p=2": v1, "p=3": v1}
+    # live), p=1 at v2 — never v3 -> v2 -> v1 hops; version NUMBERS so a
+    # relocated table keeps reading
+    assert entries == {"p=1": 2, "p=2": 1, "p=3": 1}
+    assert os.path.isdir(v1) and os.path.isdir(v2)
     got = _rows(read_table(spark, base))
     assert (0, 0, "Z") in got and (1, 1, "Y") in got and len(got) == 20
     # expiry must RETAIN v1 and v2: the surviving v3 manifest references both
@@ -308,3 +310,23 @@ def test_manifest_mode_explicit(spark, base):
     assert res["commit_mode"] == "manifest"
     got = _rows(read_table(spark, base))
     assert (5, 1, "E") in got and len(got) == 20
+
+
+def test_manifest_table_survives_relocation(spark, tmp_path, monkeypatch):
+    # manifests store version NUMBERS, not paths: moving the whole table
+    # directory must not break reads
+    import shutil
+
+    _no_links(monkeypatch)
+    src = str(tmp_path / "orig")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(20)], "k long, p long, val string"
+    )
+    create_table(df, src, partition_by="p")
+    upd = spark.createDataFrame([(1, 1, "Y")], "k long, p long, val string")
+    res = merge_into(spark, src, upd, keys=["k"], partition_by="p")
+    assert res["commit_mode"] == "manifest"
+    dst = str(tmp_path / "moved")
+    shutil.move(src, dst)
+    got = _rows(read_table(spark, dst))
+    assert (1, 1, "Y") in got and len(got) == 20

@@ -80,9 +80,10 @@ def _manifest_path(vdir: str) -> str:
 
 
 def _read_manifest(vdir: str) -> list[dict]:
-    """Manifest entries ``{"name": <partition dirname>, "root": <version
-    dir holding the bytes>}`` — empty when the version is fully physical
-    (link-mode or v1)."""
+    """Manifest entries ``{"name": <partition dirname>, "v": <version
+    number holding the bytes>}`` — empty when the version is fully
+    physical (link-mode or v1).  Versions are stored as NUMBERS, not
+    paths, so a relocated table keeps working."""
     try:
         with open(_manifest_path(vdir)) as f:
             return json.load(f)["entries"]
@@ -137,14 +138,14 @@ def read_table(
     entries = _read_manifest(vdir)
     if not entries:
         return spark.read.parquet(vdir)
-    by_root: dict[str, list[str]] = {}
+    by_v: dict[int, list[str]] = {}
     for e in entries:
-        by_root.setdefault(e["root"], []).append(
-            os.path.join(e["root"], e["name"])
+        by_v.setdefault(int(e["v"]), []).append(
+            os.path.join(_version_path(path, int(e["v"])), e["name"])
         )
     parts = [
-        spark.read.option("basePath", root).parquet(*paths)
-        for root, paths in sorted(by_root.items())
+        spark.read.option("basePath", _version_path(path, v2)).parquet(*paths)
+        for v2, paths in sorted(by_v.items())
     ]
     if _has_parquet(vdir):
         parts.append(spark.read.option("basePath", vdir).parquet(vdir))
@@ -291,13 +292,13 @@ def merge_into(
         old_dir = _version_path(path, cur)
         # the old version's partitions: physical dirs plus (manifest
         # commits) entries pointing at older versions — resolving the
-        # entry's root HERE flattens manifest chains to one hop
-        part_roots: dict[str, str] = {
-            e["name"]: e["root"] for e in _read_manifest(old_dir)
+        # entry's version HERE flattens manifest chains to one hop
+        part_vers: dict[str, int] = {
+            e["name"]: int(e["v"]) for e in _read_manifest(old_dir)
         }
         for name in os.listdir(old_dir):
             if name.startswith(f"{partition_by}="):
-                part_roots[name] = old_dir
+                part_vers[name] = cur
         # compare DECODED directory values against the affected set:
         # escaped characters and the NULL partition would otherwise be
         # linked as "untouched" AND rewritten → duplicated rows
@@ -305,7 +306,7 @@ def merge_into(
         aff_set = {s for s in affected_strs if s is not None}  # Spark-rendered
         aff_null = any(a is None for a in affected)
         manifest_entries: list[dict] = []
-        for name, root in sorted(part_roots.items()):
+        for name, src_v in sorted(part_vers.items()):
             val = _unescape_partition_dir(name)
             touched = (val is None and aff_null) or (
                 val is not None and val in aff_set
@@ -313,10 +314,11 @@ def merge_into(
             if not touched:
                 if commit_mode == "link":
                     _link_tree(
-                        os.path.join(root, name), os.path.join(new_dir, name)
+                        os.path.join(_version_path(path, src_v), name),
+                        os.path.join(new_dir, name),
                     )
                 else:
-                    manifest_entries.append({"name": name, "root": root})
+                    manifest_entries.append({"name": name, "v": src_v})
         # null-safe affected filter: isin() never matches NULL
         aff_cond = F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
         if aff_null:
@@ -366,7 +368,7 @@ def expire_versions(path: str, keep: int = 2) -> list[int]:
     cutoff = versions[-keep:] if keep < len(versions) else versions
     survivors = set(cutoff) | {cur}
     referenced = {
-        os.path.realpath(e["root"])
+        int(e["v"])
         for v in survivors
         for e in _read_manifest(_version_path(path, v))
     }
@@ -374,7 +376,7 @@ def expire_versions(path: str, keep: int = 2) -> list[int]:
     for v in versions:
         if v in survivors:
             continue
-        if os.path.realpath(_version_path(path, v)) in referenced:
+        if v in referenced:
             continue  # a surviving manifest still points here
         vdir = _version_path(path, v)
         # rename-then-delete: the rename either fully hides the version
