@@ -101,7 +101,7 @@ ROUND4: list[str] = [
 #: value-dependent action (sum of xxhash64 over every output column)
 #: that forces full evaluation.  ACTION CHANGE vs r1-r3: their walls are
 #: larger this round because they now do their work — not a regression.
-FULL_EVAL = {"reproject", "reproject_crs", "reproject_aeqd", "doc_tokens",
+FULL_EVAL = {"reproject_crs", "reproject_aeqd", "doc_tokens",
              "doc_text_profile", "hash_split", "zorder_cells"}
 
 
@@ -475,6 +475,12 @@ def headline_pass(sf_dir: str, cpus: int, with_micro: bool) -> None:
         t0 = time.monotonic()
         _timed_action(qs[name](spark, sf_dir), name)
         timings[name] = round(time.monotonic() - t0, 3)
+    # doc_tokens is both a HEADLINE member and action-changed; time it
+    # ALSO under the legacy count() action so value_r2_comparable keeps
+    # summing like-for-like numbers across rounds
+    t0 = time.monotonic()
+    qs["doc_tokens"](spark, sf_dir).count()
+    timings["doc_tokens_legacy_count"] = round(time.monotonic() - t0, 3)
     mh = minhash_micro(spark, sf_dir) if with_micro else None
     spark.stop()
     print("HEADLINE_RESULT " + json.dumps({"timings": timings, "minhash_micro": mh}))
@@ -536,8 +542,13 @@ def main() -> None:
         "cpus": cpus,
         "headline_passes": passes,
         # r1/r2 printed a single shared-session pass over these 14; this is
-        # the same query set under the clean methodology
-        "value_r2_comparable": round(sum(timings.values()), 3),
+        # the same query set under the clean methodology.  doc_tokens uses
+        # its LEGACY count()-action timing here (its headline wall is now
+        # full-eval and thus not comparable)
+        "value_r2_comparable": round(
+            sum(timings.values()) - timings["doc_tokens"]
+            + best["doc_tokens_legacy_count"], 3
+        ),
         "newop_queries": newop_timings,
         "round3_queries": round3_timings,
         "round4_queries": round4_timings,

@@ -248,3 +248,22 @@ def test_aeqd_shorthand_and_column_backend(spark):
     got = df.select(xc.alias("x"), yc.alias("y")).collect()
     np.testing.assert_allclose([r["x"] for r in got], xr, rtol=1e-12)
     np.testing.assert_allclose([r["y"] for r in got], yr, rtol=1e-12)
+
+
+def test_aeqd_antipode_is_nan_and_parse_contract():
+    # review r4: the antipode's azimuth is undefined — it must NOT alias
+    # onto the projection center; malformed AEQD srefs return None
+    from veranda_spark.functions.crs import NP, parse_sref, transform
+
+    x, y = transform(NP, "EPSG:4326", "AEQD:53,24",
+                     np.array([24.0 - 180.0]), np.array([-53.0]))
+    assert np.isnan(x[0]) and np.isnan(y[0])
+    # the center itself still maps to (fe, fn)
+    xc, yc = transform(NP, "EPSG:4326", "AEQD:53,24,10,20",
+                       np.array([24.0]), np.array([53.0]))
+    np.testing.assert_allclose([xc[0], yc[0]], [10.0, 20.0], atol=1e-9)
+    assert parse_sref("AEQD:not,a,number") is None
+    assert parse_sref("AEQD:53") is None  # lon0 is required
+    assert parse_sref("AEQD:1,2,3,4,5") is None
+    assert parse_sref("AEQD:53,24") == {
+        "kind": "aeqd", "lat0": 53.0, "lon0": 24.0, "fe": 0.0, "fn": 0.0}

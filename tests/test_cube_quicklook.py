@@ -119,3 +119,18 @@ def test_quicklook_checkpointed_matches_and_skips_pass1(spark, tmp_path):
         for f in os.listdir(mid) if f.endswith(".parquet")
     }
     assert mtimes2 == mtimes  # pass-1 parquet untouched on resume
+
+
+def test_quicklook_checkpoint_param_mismatch_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import quicklook
+
+    imgs = generate_images(spark, 20, seed=2)
+    ckpt = str(tmp_path / "ql")
+    quicklook(imgs, factor=4, checkpoint_dir=ckpt).count()
+    # resuming the same dir with a DIFFERENT factor must fail loudly,
+    # never stretch stale factor-4 blocks (review r4)
+    with _pytest.raises(ValueError, match="different parameters"):
+        quicklook(imgs, factor=8, checkpoint_dir=ckpt).count()

@@ -123,3 +123,36 @@ def test_media_metadata_spark_leg(spark):
     assert got["duration_sec"] == want["duration_sec"]
     assert got["video_codec"] == want["video_codec"]
     assert (got["width"], got["height"]) == (want["width"], want["height"])
+
+
+def test_truncated_streams_never_raise():
+    # review r4: corrupt-stream detection is the probe's job — truncation
+    # anywhere must degrade, never raise
+    mp3 = build_mp3_bytes(n_frames=3, with_xing=True)
+    for cut in range(0, len(mp3), 7):
+        m = probe_mp3(mp3[:cut])
+        assert isinstance(m, dict)
+    mp4 = build_mp4_bytes()
+    for cut in range(0, len(mp4), 5):
+        m = probe_mp4(mp4[:cut])
+        assert isinstance(m, dict)
+
+
+def test_mvhd_version1_bounds_and_no_cross_box_read():
+    # a version-1 mvhd needs 32 payload bytes; a short one followed by
+    # another box must NOT read the next box's bytes as timescale
+    short_mvhd = b"\x01" + b"\x00" * 23  # v1, payload 24 < 32
+    from veranda_spark.functions.media import _box as box
+
+    trak_junk = box(b"trak", b"\xde\xad\xbe\xef" * 8)
+    moov = box(b"moov", box(b"mvhd", short_mvhd) + trak_junk)
+    m = probe_mp4(box(b"ftyp", b"isom\x00\x00\x02\x00") + moov)
+    assert m["valid"] is True
+    assert m["duration_sec"] is None and m["timescale"] is None
+    # a WELL-FORMED v1 mvhd parses
+    import struct as _s
+
+    v1 = b"\x01" + b"\x00\x00\x00" + b"\x00" * 16 + _s.pack(">I", 1000) \
+        + _s.pack(">Q", 2500) + b"\x00" * 76
+    m2 = probe_mp4(box(b"moov", box(b"mvhd", v1)))
+    assert m2["timescale"] == 1000 and m2["duration_sec"] == 2.5

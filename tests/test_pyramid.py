@@ -174,3 +174,16 @@ def test_release_caches_helper(spark):
     pyr = build_pyramid(tiles, levels=2)
     pyr.count()
     assert release_caches(pyr) == 2  # one cached frame per level
+
+
+def test_pyramid_checkpoint_param_mismatch_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from veranda_spark.operators.raster import build_pyramid_checkpointed
+
+    imgs = generate_images(spark, 40, seed=13)
+    tiles = burn_in(imgs, GRID, per_layer=False, out_dtype="float64")
+    base = str(tmp_path / "pyrfp")
+    build_pyramid_checkpointed(tiles, base, levels=1).count()
+    with _pytest.raises(ValueError, match="different parameters"):
+        build_pyramid_checkpointed(tiles, base, levels=1, nodata=0.0).count()

@@ -330,3 +330,25 @@ def test_manifest_table_survives_relocation(spark, tmp_path, monkeypatch):
     shutil.move(src, dst)
     got = _rows(read_table(spark, dst))
     assert (1, 1, "Y") in got and len(got) == 20
+
+
+def test_expire_retains_transitively_referenced(spark, base, monkeypatch):
+    # review r4: v3's manifest names v2 AND v1; keep=1 must retain the
+    # whole chain — a retained version with a dangling manifest would
+    # fail its read mid-scan
+    from veranda_spark.io.table import expire_versions, list_versions
+
+    _no_links(monkeypatch)
+    merge_into(spark, base, spark.createDataFrame(
+        [(1, 1, "a")], "k long, p long, val string"), keys=["k"],
+        partition_by="p")                      # v2: manifest -> v1
+    merge_into(spark, base, spark.createDataFrame(
+        [(0, 0, "b")], "k long, p long, val string"), keys=["k"],
+        partition_by="p")                      # v3: manifest -> v2, v1
+    assert expire_versions(base, keep=1) == []
+    assert list_versions(base) == [1, 2, 3]
+    got = _rows(read_table(spark, base))
+    assert (1, 1, "a") in got and (0, 0, "b") in got and len(got) == 20
+    # every retained version must still read cleanly end-to-end
+    for v in (1, 2, 3):
+        assert len(_rows(read_table(spark, base, version=v))) == 20

@@ -201,7 +201,16 @@ def lonlat_to_aeqd(mt: Any, lon, lat, lat0: float, lon0: float,
     sin_c = mt.sqrt(mt.where(cos_c * cos_c > 1.0, 0.0, 1.0 - cos_c * cos_c))
     c = mt.atan2(sin_c, cos_c)
     near0 = mt.abs(sin_c) < 1e-12
-    kp = mt.where(near0, 1.0, c / mt.where(near0, 1.0, sin_c))
+    # sin_c→0 happens at BOTH poles of the projection: the center (c=0,
+    # k'→1) and the antipode (c=π, k'→∞, direction undefined — every
+    # azimuth is equally true).  Forcing k'=1 there would alias the
+    # antipode ONTO the center; emit NaN instead, matching proj's
+    # undefined-point behavior.
+    kp = mt.where(
+        near0,
+        mt.where(cos_c > 0.0, 1.0, float("nan")),
+        c / mt.where(near0, 1.0, sin_c),
+    )
     x = AEQD_R * kp * cp * mt.sin(dlam) + fe
     y = AEQD_R * kp * (cp0 * sp - sp0 * cp * mt.cos(dlam)) + fn
     return x, y
@@ -271,7 +280,14 @@ def parse_sref(sref: str) -> dict | None:
     if sref.lstrip().upper().startswith("PROJCS"):
         return parse_wkt_projcs(sref)
     if sref.upper().startswith("AEQD:"):
-        vals = [float(v) for v in sref.split(":", 1)[1].split(",")]
+        # contract: None when unknown/malformed (like the EPSG branch),
+        # never a raw conversion error; lat0 AND lon0 are required
+        try:
+            vals = [float(v) for v in sref.split(":", 1)[1].split(",")]
+        except ValueError:
+            return None
+        if len(vals) < 2 or len(vals) > 4:
+            return None
         vals += [0.0] * (4 - len(vals))
         return {"kind": "aeqd", "lat0": vals[0], "lon0": vals[1],
                 "fe": vals[2], "fn": vals[3]}

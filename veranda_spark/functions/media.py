@@ -124,10 +124,12 @@ def probe_mp3(b: bytes, max_frames: int = 1_000_000) -> dict:
     xing_frames = None
     vbr = None
     tag = b[tag_off:tag_off + 4]
-    if tag in (b"Xing", b"Info"):
+    # truncated streams (the walk deliberately accepts a cut-off final
+    # frame) must degrade to metadata-absent, never raise
+    if tag in (b"Xing", b"Info") and tag_off + 8 <= len(b):
         vbr = tag == b"Xing"
         flags = struct.unpack(">I", b[tag_off + 4:tag_off + 8])[0]
-        if flags & 1:
+        if flags & 1 and tag_off + 12 <= len(b):
             xing_frames = struct.unpack(">I", b[tag_off + 8:tag_off + 12])[0]
     # frame walk
     n_frames = 0
@@ -197,14 +199,20 @@ def probe_mp4(b: bytes) -> dict:
         elif btype == b"moov":
             have_struct = True
             for t2, p2, e2 in _walk_boxes(b, p, e):
-                if t2 == b"mvhd" and e2 - p2 >= 20:
-                    ver = b[p2]
-                    if ver == 1:
+                if t2 == b"mvhd":
+                    # bounds are per-VERSION (v1 reads to p2+32) and must
+                    # stay inside THIS box — a truncated/corrupt mvhd
+                    # degrades to no-duration, and must never read the
+                    # following box's bytes as timescale/duration
+                    ver = b[p2] if e2 > p2 else 0
+                    if ver == 1 and e2 - p2 >= 32:
                         ts = struct.unpack(">I", b[p2 + 20:p2 + 24])[0]
                         dur = struct.unpack(">Q", b[p2 + 24:p2 + 32])[0]
-                    else:
+                    elif ver == 0 and e2 - p2 >= 20:
                         ts = struct.unpack(">I", b[p2 + 12:p2 + 16])[0]
                         dur = struct.unpack(">I", b[p2 + 16:p2 + 20])[0]
+                    else:
+                        continue
                     out["timescale"] = ts
                     if ts:
                         out["duration_sec"] = round(dur / ts, 6)

@@ -46,19 +46,36 @@ def _hadoop_path_exists(spark: SparkSession, p: str) -> bool:
     return bool(fs.exists(jpath))
 
 
-def _hadoop_touch(spark: SparkSession, p: str) -> None:
-    """Create an empty marker file through the Hadoop FileSystem API so
-    hdfs:// and object-store paths work like local ones (falls back to a
-    plain local create when no JVM is attached)."""
+def _hadoop_touch(spark: SparkSession, p: str, content: str = "") -> None:
+    """Create a marker file (optionally with content) through the Hadoop
+    FileSystem API so hdfs:// and object-store paths work like local
+    ones (falls back to plain local IO when no JVM is attached)."""
     jvm = getattr(spark, "_jvm", None)
     if jvm is None:
-        with open(_strip_file_scheme(p), "w"):
-            pass
+        with open(_strip_file_scheme(p), "w") as f:
+            f.write(content)
         return
     jpath = jvm.org.apache.hadoop.fs.Path(p)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     out = fs.create(jpath, True)
+    if content:
+        out.write(bytearray(content.encode()))
     out.close()
+
+
+def _hadoop_read_text(spark: SparkSession, p: str) -> str:
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        with open(_strip_file_scheme(p)) as f:
+            return f.read()
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    # NOTE: py4j does not copy mutated byte[] buffers back, so
+    # stream.read(buf) cannot work from Python — copy JVM-side instead
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode()
 
 
 def read_lineage(spark: SparkSession, base: str) -> DataFrame | None:

@@ -342,7 +342,10 @@ def merge_into(
         merged = tgt.join(
             updates.select(keys).distinct(), keys, "left_anti"
         ).unionByName(updates)
-        merged.write.mode("overwrite").parquet(new_dir)
+        # append INTO the claimed (empty) dir — mode("overwrite") would
+        # delete the directory first, voiding the exclusive-mkdir claim
+        # and reopening the concurrent-writer lost-update window
+        merged.write.mode("append").parquet(new_dir)
 
     _commit(path, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
@@ -367,17 +370,24 @@ def expire_versions(path: str, keep: int = 2) -> list[int]:
     versions = list_versions(path)
     cutoff = versions[-keep:] if keep < len(versions) else versions
     survivors = set(cutoff) | {cur}
-    referenced = {
-        int(e["v"])
-        for v in survivors
-        for e in _read_manifest(_version_path(path, v))
-    }
+    # transitive retention: anything a RETAINED version's manifest names
+    # must itself be retained (a retained version with a dangling
+    # manifest would fail its time-travel read mid-scan) — expand to a
+    # fixpoint; chains are write-time-flattened so this converges fast
+    retained = set(survivors)
+    while True:
+        referenced = {
+            int(e["v"])
+            for v in retained
+            for e in _read_manifest(_version_path(path, v))
+        }
+        if referenced <= retained:
+            break
+        retained |= referenced
     removed = []
     for v in versions:
-        if v in survivors:
-            continue
-        if v in referenced:
-            continue  # a surviving manifest still points here
+        if v in retained:
+            continue  # survivor, or still pointed at by a retained manifest
         vdir = _version_path(path, v)
         # rename-then-delete: the rename either fully hides the version
         # (list_versions only matches digit names) or fails cleanly with

@@ -826,21 +826,41 @@ def quicklook(
                 )
 
         if checkpoint_dir is not None:
+            import json as _json
+
             from veranda_spark.io.lineage import (
                 _hadoop_path_exists,
+                _hadoop_read_text,
                 _hadoop_touch,
             )
 
             spark = df.sparkSession
             mid_path = os.path.join(checkpoint_dir, "quicklook_mid")
             marker = os.path.join(mid_path, "_pass1_done")
-            if not _hadoop_path_exists(spark, marker):
+            # the marker carries a parameter fingerprint: resuming the
+            # same dir with different params must fail loudly, not
+            # silently stretch stale blocks.  (Input identity is the
+            # caller's contract — one checkpoint_dir per input, the same
+            # ownership rule as any streaming checkpoint.)
+            fp = _json.dumps(
+                {"factor": factor, "columns": sorted(df.columns)},
+                sort_keys=True,
+            )
+            if _hadoop_path_exists(spark, marker):
+                prev = _hadoop_read_text(spark, marker)
+                if prev != fp:
+                    raise ValueError(
+                        f"quicklook checkpoint {mid_path} was written with "
+                        f"different parameters ({prev}); use a fresh "
+                        f"checkpoint_dir for {fp}"
+                    )
+            else:
                 # overwrite clears any half-written previous attempt;
                 # the marker lands only after a complete pass-1
                 df.mapInPandas(pass1, schema=mid_schema).write.mode(
                     "overwrite"
                 ).parquet(mid_path)
-                _hadoop_touch(spark, marker)
+                _hadoop_touch(spark, marker, fp)
             mid = spark.read.parquet(mid_path)
         else:
             from pyspark import StorageLevel
@@ -1359,8 +1379,11 @@ def build_pyramid_checkpointed(
     (level, tile…) union build_pyramid returns, read entirely from the
     committed tables.
     """
+    import json as _json
+
     from veranda_spark.io.lineage import (
         _hadoop_path_exists,
+        _hadoop_read_text,
         _hadoop_touch,
         read_tiles,
         write_tiles_checkpointed,
@@ -1370,12 +1393,25 @@ def build_pyramid_checkpointed(
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = ["tile_id", "tile_row", "tile_col", "var", "layer_id",
             "bytes", "h", "w", "channels", "dtype"]
+    # parameter fingerprint in every level marker: resuming with a
+    # different nodata (or over a different input — the caller owns one
+    # base per input, like any checkpoint) must fail loudly, never reuse
+    # stale levels silently
+    fp = _json.dumps({"nodata": nodata}, sort_keys=True)
     out: DataFrame | None = None
     cur = tiles
     for level in range(1, levels + 1):
         lvl_base = os.path.join(base, f"level_{level}")
         marker = os.path.join(lvl_base, "_level_done")
-        if not _hadoop_path_exists(spark, marker):
+        if _hadoop_path_exists(spark, marker):
+            prev = _hadoop_read_text(spark, marker)
+            if prev != fp:
+                raise ValueError(
+                    f"pyramid checkpoint {lvl_base} was written with "
+                    f"different parameters ({prev}); use a fresh base "
+                    f"for {fp}"
+                )
+        else:
             lvl = _pyramid_level_df(cur, nodata, n_parts >> level)
             sink_ready = lvl.withColumn(
                 "tile_id",
@@ -1385,7 +1421,7 @@ def build_pyramid_checkpointed(
                 ),
             ).withColumn("n_images", F.lit(0).cast("long"))
             write_tiles_checkpointed(sink_ready, lvl_base, run_id=run_id)
-            _hadoop_touch(spark, marker)
+            _hadoop_touch(spark, marker, fp)
         committed = read_tiles(spark, lvl_base).select(*[
             c for c in cols if c != "tile_id"
         ] + [F.element_at(F.split("tile_id", "/"), -1).alias("tile_id")])
