@@ -352,3 +352,74 @@ def test_expire_retains_transitively_referenced(spark, base, monkeypatch):
     # every retained version must still read cleanly end-to-end
     for v in (1, 2, 3):
         assert len(_rows(read_table(spark, base, version=v))) == 20
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    from veranda_spark.io.table import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "k long, p long, val string"
+    ).repartition(10)
+    create_table(df, path, partition_by="p")
+    v1 = os.path.join(path, "_versions", "000001")
+
+    def files_in(vdir, part):
+        d = os.path.join(vdir, part)
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in(v1, "p=0")) > 1  # fragmented input
+    res = compact_table(spark, path, partition_by="p")
+    assert res["version"] == 2 and res["compacted"] == 3
+    assert res["files_after"] == 3  # one file per partition
+    v2 = os.path.join(path, "_versions", "000002")
+    for part in ("p=0", "p=1", "p=2"):
+        assert len(files_in(v2, part)) == 1
+    got = _rows(read_table(spark, path))
+    assert got == _rows(read_table(spark, path, version=1))
+    assert len(got) == 30
+    # idempotent: nothing left to compact -> NO new version
+    res2 = compact_table(spark, path, partition_by="p")
+    assert res2 == {"version": 2, "compacted": 0,
+                    "files_before": 3, "files_after": 3}
+
+
+def test_compact_table_manifest_partial(spark, tmp_path, monkeypatch):
+    # only the fragmented partition is rewritten; the rest carry over as
+    # manifest entries (no links, no byte copies)
+    from veranda_spark.io.table import compact_table
+
+    _no_links(monkeypatch)
+    path = str(tmp_path / "frag2")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "k long, p long, val string"
+    ).coalesce(1)
+    create_table(df, path, partition_by="p")
+    # fragment ONLY p=1 via a merge that rewrites it in many tasks
+    upd = spark.createDataFrame(
+        [(100 + j, 1, f"u{j}") for j in range(8)], "k long, p long, val string"
+    ).repartition(8)
+    merge_into(spark, path, upd, keys=["k"], partition_by="p")
+    res = compact_table(spark, path, partition_by="p")
+    assert res["compacted"] == 1
+    v3 = os.path.join(path, "_versions", "000003")
+    import json as _json
+
+    with open(os.path.join(v3, "_manifest.json")) as f:
+        entries = {e["name"]: e["v"] for e in _json.load(f)["entries"]}
+    assert set(entries) == {"p=0", "p=2"}  # untouched partitions carried
+    got = _rows(read_table(spark, path))
+    assert len(got) == 38 and (101, 1, "u1") in got
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    from veranda_spark.io.table import compact_table
+
+    path = str(tmp_path / "flatfrag")
+    df = spark.createDataFrame(
+        [(i, 0, f"v{i}") for i in range(40)], "k long, p long, val string"
+    ).repartition(16)
+    create_table(df, path)
+    res = compact_table(spark, path)
+    assert res["compacted"] == 1 and res["files_after"] == 1
+    assert len(_rows(read_table(spark, path))) == 40

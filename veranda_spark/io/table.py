@@ -195,6 +195,52 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def _old_partitions(path: str, cur: int, partition_by: str) -> dict[str, int]:
+    """The current version's partitions as {dir name: version holding the
+    bytes}: physical dirs plus manifest entries pointing at older
+    versions — resolving the entry's version HERE flattens manifest
+    chains to one hop."""
+    old_dir = _version_path(path, cur)
+    part_vers: dict[str, int] = {
+        e["name"]: int(e["v"]) for e in _read_manifest(old_dir)
+    }
+    for name in os.listdir(old_dir):
+        if name.startswith(f"{partition_by}="):
+            part_vers[name] = cur
+    return part_vers
+
+
+def _carry_untouched(
+    path: str,
+    new_dir: str,
+    part_vers: dict[str, int],
+    touched_names: set[str],
+    commit_mode: str,
+) -> list[dict]:
+    """Carry every partition NOT in ``touched_names`` into the new
+    version — hard links (link mode) or manifest entries (returned; the
+    caller writes them after its data append)."""
+    manifest_entries: list[dict] = []
+    for name, src_v in sorted(part_vers.items()):
+        if name in touched_names:
+            continue
+        if commit_mode == "link":
+            _link_tree(
+                os.path.join(_version_path(path, src_v), name),
+                os.path.join(new_dir, name),
+            )
+        else:
+            manifest_entries.append({"name": name, "v": src_v})
+    return manifest_entries
+
+
+def _write_manifest(new_dir: str, entries: list[dict]) -> None:
+    tmp = _manifest_path(new_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"entries": entries}, f)
+    os.replace(tmp, _manifest_path(new_dir))
+
+
 def recover_orphans(path: str) -> list[int]:
     """Delete uncommitted (orphan) version directories left by crashed
     merges.  Run this before retrying a merge that failed its exclusive
@@ -289,36 +335,22 @@ def merge_into(
         )
         affected = [r["_v"] for r in aff_rows]
         affected_strs = [r["_s"] for r in aff_rows]
-        old_dir = _version_path(path, cur)
-        # the old version's partitions: physical dirs plus (manifest
-        # commits) entries pointing at older versions — resolving the
-        # entry's version HERE flattens manifest chains to one hop
-        part_vers: dict[str, int] = {
-            e["name"]: int(e["v"]) for e in _read_manifest(old_dir)
-        }
-        for name in os.listdir(old_dir):
-            if name.startswith(f"{partition_by}="):
-                part_vers[name] = cur
+        part_vers = _old_partitions(path, cur, partition_by)
         # compare DECODED directory values against the affected set:
         # escaped characters and the NULL partition would otherwise be
         # linked as "untouched" AND rewritten → duplicated rows
         aff_vals = [a for a in affected if a is not None]  # raw typed values
         aff_set = {s for s in affected_strs if s is not None}  # Spark-rendered
         aff_null = any(a is None for a in affected)
-        manifest_entries: list[dict] = []
-        for name, src_v in sorted(part_vers.items()):
-            val = _unescape_partition_dir(name)
-            touched = (val is None and aff_null) or (
-                val is not None and val in aff_set
-            )
-            if not touched:
-                if commit_mode == "link":
-                    _link_tree(
-                        os.path.join(_version_path(path, src_v), name),
-                        os.path.join(new_dir, name),
-                    )
-                else:
-                    manifest_entries.append({"name": name, "v": src_v})
+        touched_names = {
+            name for name in part_vers
+            if (
+                (v := _unescape_partition_dir(name)) is None and aff_null
+            ) or (v is not None and v in aff_set)
+        }
+        manifest_entries = _carry_untouched(
+            path, new_dir, part_vers, touched_names, commit_mode
+        )
         # null-safe affected filter: isin() never matches NULL
         aff_cond = F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
         if aff_null:
@@ -334,10 +366,7 @@ def merge_into(
             .parquet(new_dir)
         )
         if manifest_entries:
-            tmp = _manifest_path(new_dir) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"entries": manifest_entries}, f)
-            os.replace(tmp, _manifest_path(new_dir))
+            _write_manifest(new_dir, manifest_entries)
     else:
         merged = tgt.join(
             updates.select(keys).distinct(), keys, "left_anti"
@@ -349,6 +378,109 @@ def merge_into(
 
     _commit(path, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_by: str | None = None,
+    max_files: int = 1,
+    commit_mode: str = "auto",
+) -> dict:
+    """Small-file compaction (Iceberg OPTIMIZE / bin-packing analog) for
+    versioned tables: partitions of the CURRENT version holding more
+    than ``max_files`` parquet files are rewritten coalesced into a NEW
+    committed version; every other partition carries over by link or
+    manifest exactly like ``merge_into`` — O(compacted partitions), the
+    rest of a 100 TB table is never read.  Readers of older versions are
+    unaffected (snapshot isolation); reclaim old bytes later with
+    ``expire_versions``.
+
+    Returns {version, compacted, files_before, files_after}; when no
+    partition exceeds the threshold, NO new version is created
+    (version=current, compacted=0).
+
+    Streaming CDC tables are the motivating case: merge_stream commits a
+    version per micro-batch, each appending one small file per touched
+    partition — compaction folds them back to one file per partition.
+    """
+    if commit_mode not in ("auto", "link", "manifest"):
+        raise ValueError(f"commit_mode must be auto|link|manifest, got {commit_mode!r}")
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {path}")
+    if commit_mode == "auto":
+        commit_mode = "link" if _links_supported(path) else "manifest"
+
+    def _count_parquet(d: str) -> int:
+        n = 0
+        for _root, _dirs, files in os.walk(d):
+            n += sum(1 for fn in files if fn.endswith(".parquet"))
+        return n
+
+    if partition_by is None:
+        vdir = _version_path(path, cur)
+        before = _count_parquet(vdir)
+        if before <= max_files:
+            return {"version": cur, "compacted": 0,
+                    "files_before": before, "files_after": before}
+        new_v = cur + 1
+        new_dir = _version_path(path, new_v)
+        os.mkdir(new_dir)  # exclusive claim, same protocol as merge_into
+        read_table(spark, path).coalesce(max_files).write.mode(
+            "append"
+        ).parquet(new_dir)
+        _commit(path, new_v)
+        return {"version": new_v, "compacted": 1, "files_before": before,
+                "files_after": _count_parquet(new_dir)}
+
+    part_vers = _old_partitions(path, cur, partition_by)
+    counts = {
+        name: _count_parquet(os.path.join(_version_path(path, v), name))
+        for name, v in part_vers.items()
+    }
+    touched = {n for n, c in counts.items() if c > max_files}
+    before = sum(counts.values())
+    if not touched:
+        return {"version": cur, "compacted": 0,
+                "files_before": before, "files_after": before}
+    new_v = cur + 1
+    new_dir = _version_path(path, new_v)
+    os.mkdir(new_dir)
+    manifest_entries = _carry_untouched(
+        path, new_dir, part_vers, touched, commit_mode
+    )
+    # rewrite each oversized partition coalesced; reading the partition
+    # DIRECTORY directly keeps the job scoped to its bytes (the value is
+    # re-attached by the partitioned write from the decoded dir name via
+    # the full-table read filtered on decoded values — but a filter would
+    # scan all partitions, so read per-dir with basePath for pruning)
+    tgt = read_table(spark, path)
+    touched_vals = [_unescape_partition_dir(n) for n in touched]
+    has_null = any(v is None for v in touched_vals)
+    vals = [v for v in touched_vals if v is not None]
+    cond = (
+        F.col(partition_by).cast("string").isin(vals)
+        if vals else F.lit(False)
+    )
+    if has_null:
+        cond = cond | F.col(partition_by).isNull()
+    (
+        tgt.filter(cond)
+        .repartition(max_files * len(touched), partition_by)
+        .write.mode("append")
+        .partitionBy(partition_by)
+        .parquet(new_dir)
+    )
+    if manifest_entries:
+        _write_manifest(new_dir, manifest_entries)
+    _commit(path, new_v)
+    after = sum(
+        _count_parquet(os.path.join(_version_path(path, v), name))
+        for name, v in _old_partitions(path, new_v, partition_by).items()
+    )
+    return {"version": new_v, "compacted": len(touched),
+            "files_before": before, "files_after": after}
 
 
 def expire_versions(path: str, keep: int = 2) -> list[int]:
