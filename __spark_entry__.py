@@ -956,6 +956,36 @@ def q_warp_cubic(spark, sf_dir):
     )
 
 
+def q_compact_roundtrip(spark, sf_dir):
+    # round-4: versioned-table small-file compaction (io/table.py
+    # compact_table — Iceberg OPTIMIZE analog).  A fragmented partitioned
+    # table (one-small-file-per-batch CDC shape) compacts to one file per
+    # partition in a NEW version; the query returns per-partition row
+    # counts + value hash AFTER compaction (must equal the fragmented
+    # version's content — pytest asserts that; rows-only here because the
+    # op is side-effectful on a temp dir).
+    import tempfile
+
+    from veranda_spark.io.table import compact_table, create_table, read_table
+
+    tmp = tempfile.mkdtemp(prefix="veranda_compact_q_")
+    path = os.path.join(tmp, "tbl")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartition(16)
+    create_table(o, path, partition_by="o_orderstatus")
+    compact_table(spark, path, partition_by="o_orderstatus")
+    t = read_table(spark, path)
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.pmod(F.xxhash64("o_orderkey", "o_totalprice"),
+                         F.lit(1_000_003))).alias("content_hash"),
+        )
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     # round-4: compressed-media metadata probe — MP3 frame-header walk +
     # MP4 box parse (functions/media.py, real byte parsing, no codec
@@ -1322,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_crs": q_warp_crs,
         "warp_cubic": q_warp_cubic,
         "media_metadata": q_media_metadata,
+        "compact_roundtrip": q_compact_roundtrip,
         "audio_features": q_audio_features,
         "pyramid": q_pyramid,
         "composite_mosaic": q_composite_mosaic,

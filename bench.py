@@ -93,6 +93,7 @@ ROUND4: list[str] = [
     "resample_average",
     "doc_text_profile",
     "media_metadata",
+    "compact_roundtrip",
 ]
 
 #: row-preserving projections: under ``count()`` Catalyst prunes the

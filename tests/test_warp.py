@@ -229,3 +229,36 @@ def test_average_fractional_box_and_nodata(spark):
             want = frac_mean(2.5 * i, 2.5 * (i + 1), 2.5 * j, 2.5 * (j + 1))
             np.testing.assert_allclose(out[i, j], want, rtol=1e-10,
                                        err_msg=f"px {i},{j}")
+
+
+def test_cross_crs_warp_4326_to_aeqd(spark, pattern):
+    # round-4 e2e: warping into an azimuthal-equidistant frame goes
+    # through the same lon/lat hub — golden vs the numpy-side gather
+    from veranda_spark.functions.crs import NP, transform
+
+    sref = "AEQD:50.2,10.2"
+    src = RegularGrid(ul_x=10.0, ul_y=50.3, psx=0.01, psy=0.01,
+                      tile_cols=32, tile_rows=32, n_tile_cols=2, n_tile_rows=2,
+                      sref="EPSG:4326")
+    x0, y1 = transform(NP, "EPSG:4326", sref,
+                       np.array([10.0]), np.array([50.3]))
+    dst = RegularGrid(ul_x=float(x0[0]), ul_y=float(y1[0]), psx=800.0,
+                      psy=800.0, tile_cols=32, tile_rows=32,
+                      n_tile_cols=2, n_tile_rows=2, sref=sref)
+    df = _reg(spark, pattern)
+    out = _canvas(warp_window(df, src, dst, 0, 0, 48, 48).collect()[0])
+    # numpy golden: same gather math driver-side
+    jj, ii = np.meshgrid(np.arange(48, dtype="float64"),
+                         np.arange(48, dtype="float64"))
+    gx = dst.ul_x + (jj + 0.5) * dst.psx
+    gy = dst.ul_y - (ii + 0.5) * dst.psy
+    sx, sy = transform(NP, sref, "EPSG:4326", gx, gy)
+    fc = (sx - src.ul_x) / src.psx - 0.5
+    fr = (src.ul_y - sy) / src.psy - 0.5
+    ir = np.rint(fr).astype("int64")
+    ic = np.rint(fc).astype("int64")
+    ok = (ir >= 0) & (ir < 64) & (ic >= 0) & (ic < 64)
+    want = np.full((48, 48), np.float64(-9999).astype(np.uint8), np.uint8)
+    want[ok] = pattern[ir[ok], ic[ok]]
+    np.testing.assert_array_equal(out, want)
+    assert ok.sum() > 500  # the window genuinely overlaps the source
