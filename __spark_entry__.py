@@ -681,6 +681,10 @@ def q_merge_upsert(spark, sf_dir):
         (F.col("o_totalprice") * 2).alias("val"),
     )
     path = tempfile.mkdtemp(prefix="merge_q_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     create_table(base, path, partition_by="p")
     merge_into(spark, path, upd, keys=["k"], partition_by="p")
     return read_table(spark, path).select("k", "p", "val")
@@ -964,11 +968,16 @@ def q_compact_roundtrip(spark, sf_dir):
     # counts + value hash AFTER compaction (must equal the fragmented
     # version's content — pytest asserts that; rows-only here because the
     # op is side-effectful on a temp dir).
+    import atexit
+    import shutil
     import tempfile
 
     from veranda_spark.io.table import compact_table, create_table, read_table
 
     tmp = tempfile.mkdtemp(prefix="veranda_compact_q_")
+    # the returned DataFrame reads lazily from tmp, so clean up at
+    # process exit (after any collect), not here
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     path = os.path.join(tmp, "tbl")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

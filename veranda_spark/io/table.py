@@ -389,8 +389,10 @@ def compact_table(
 ) -> dict:
     """Small-file compaction (Iceberg OPTIMIZE / bin-packing analog) for
     versioned tables: partitions of the CURRENT version holding more
-    than ``max_files`` parquet files are rewritten coalesced into a NEW
-    committed version; every other partition carries over by link or
+    than ``max_files`` parquet files are rewritten into a NEW committed
+    version (ONE output file per compacted partition — ``max_files`` is
+    the trigger threshold, not an output count; the unpartitioned path
+    coalesces to ``max_files`` files); every other partition carries over by link or
     manifest exactly like ``merge_into`` — O(compacted partitions), the
     rest of a 100 TB table is never read.  Readers of older versions are
     unaffected (snapshot isolation); reclaim old bytes later with
@@ -417,6 +419,25 @@ def compact_table(
         for _root, _dirs, files in os.walk(d):
             n += sum(1 for fn in files if fn.endswith(".parquet"))
         return n
+
+    # layout guard: compacting a partitioned table without partition_by
+    # would FLATTEN it (and the next partitioned merge would then carry
+    # nothing and silently drop untouched rows); the reverse mismatch
+    # would silently no-op.  Fail loudly on either.
+    cur_dir = _version_path(path, cur)
+    is_partitioned = bool(_read_manifest(cur_dir)) or any(
+        "=" in name and os.path.isdir(os.path.join(cur_dir, name))
+        for name in os.listdir(cur_dir)
+    )
+    if is_partitioned and partition_by is None:
+        raise ValueError(
+            f"table at {path} is partitioned — pass partition_by to "
+            "compact_table (compacting flat would drop the layout)"
+        )
+    if not is_partitioned and partition_by is not None:
+        raise ValueError(
+            f"table at {path} is not partitioned by {partition_by!r}"
+        )
 
     if partition_by is None:
         vdir = _version_path(path, cur)
@@ -450,11 +471,13 @@ def compact_table(
     manifest_entries = _carry_untouched(
         path, new_dir, part_vers, touched, commit_mode
     )
-    # rewrite each oversized partition coalesced; reading the partition
-    # DIRECTORY directly keeps the job scoped to its bytes (the value is
-    # re-attached by the partitioned write from the decoded dir name via
-    # the full-table read filtered on decoded values — but a filter would
-    # scan all partitions, so read per-dir with basePath for pruning)
+    # rewrite the oversized partitions: the predicate is over the
+    # partition column only, so Catalyst PRUNES the scan to exactly the
+    # touched partition directories (O(compacted bytes), not O(table)).
+    # The hash repartition on the partition column lands each value in
+    # one task, so the partitioned write emits ONE file per compacted
+    # partition (max_files is the trigger threshold, not an output
+    # count — documented above).
     tgt = read_table(spark, path)
     touched_vals = [_unescape_partition_dir(n) for n in touched]
     has_null = any(v is None for v in touched_vals)
@@ -467,7 +490,7 @@ def compact_table(
         cond = cond | F.col(partition_by).isNull()
     (
         tgt.filter(cond)
-        .repartition(max_files * len(touched), partition_by)
+        .repartition(len(touched), partition_by)
         .write.mode("append")
         .partitionBy(partition_by)
         .parquet(new_dir)

@@ -848,7 +848,11 @@ def quicklook(
             )
             if _hadoop_path_exists(spark, marker):
                 prev = _hadoop_read_text(spark, marker)
-                if prev != fp:
+                # empty marker = written before fingerprints existed:
+                # accept it (the data is valid) and stamp it now
+                if prev == "":
+                    _hadoop_touch(spark, marker, fp)
+                elif prev != fp:
                     raise ValueError(
                         f"quicklook checkpoint {mid_path} was written with "
                         f"different parameters ({prev}); use a fresh "
@@ -1405,7 +1409,10 @@ def build_pyramid_checkpointed(
         marker = os.path.join(lvl_base, "_level_done")
         if _hadoop_path_exists(spark, marker):
             prev = _hadoop_read_text(spark, marker)
-            if prev != fp:
+            # empty marker = pre-fingerprint checkpoint: accept + stamp
+            if prev == "":
+                _hadoop_touch(spark, marker, fp)
+            elif prev != fp:
                 raise ValueError(
                     f"pyramid checkpoint {lvl_base} was written with "
                     f"different parameters ({prev}); use a fresh base "
