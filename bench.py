@@ -479,6 +479,13 @@ def headline_pass(
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     if legacy_doc_tokens:
+        # untimed catalyst/parquet-path warmup on a DIFFERENT table
+        # (tpch_q1 runs exactly once in this JVM, so the no-repeat rule
+        # holds): without it the lone timed query absorbs the
+        # first-SQL-of-the-JVM overhead that the regular passes amortize
+        # over their earlier queries, and the legacy number stops being
+        # comparable to r2's mid-pass measurement
+        qs["tpch_q1"](spark, sf_dir).count()
         t0 = time.monotonic()
         qs["doc_tokens"](spark, sf_dir).count()
         timings["doc_tokens_legacy_count"] = round(time.monotonic() - t0, 3)
