@@ -1601,15 +1601,22 @@ def oracle_sql() -> dict[str, str]:
                      radians(lon - 24.0) AS dlam
               FROM pts
             ), cc AS (
+              -- clamp + center/antipode guards mirror the engine
+              -- (crs.py lonlat_to_aeqd): kp=1 at the center, NaN at the
+              -- antipode; without them a generator change that lands a
+              -- point on either pole would 0/0 the oracle
               SELECT point_id, phi, dlam,
-                     sin(radians(53.0))*sin(phi)
-                       + cos(radians(53.0))*cos(phi)*cos(dlam) AS cosc
+                     greatest(-1.0, least(1.0,
+                       sin(radians(53.0))*sin(phi)
+                         + cos(radians(53.0))*cos(phi)*cos(dlam))) AS cosc
               FROM tr
             ), kk AS (
               SELECT point_id, phi, dlam, cosc,
-                     sqrt(1.0 - cosc*cosc) AS sinc,
-                     atan2(sqrt(1.0 - cosc*cosc), cosc)
-                       / sqrt(1.0 - cosc*cosc) AS kp
+                     CASE WHEN sqrt(1.0 - cosc*cosc) < 1e-12 THEN
+                            CASE WHEN cosc > 0.0 THEN 1.0
+                                 ELSE cast('NaN' AS double) END
+                          ELSE atan2(sqrt(1.0 - cosc*cosc), cosc)
+                               / sqrt(1.0 - cosc*cosc) END AS kp
               FROM cc
             )
             SELECT point_id,

@@ -423,3 +423,58 @@ def test_compact_table_unpartitioned(spark, tmp_path):
     res = compact_table(spark, path)
     assert res["compacted"] == 1 and res["files_after"] == 1
     assert len(_rows(read_table(spark, path))) == 40
+
+
+def test_owner_scoped_orphan_recovery(spark, base):
+    # ADVICE r4 (medium): the CDC stream's automated orphan recovery must
+    # never delete a claim held by a concurrent compact_table / manual
+    # merge — only claims the stream itself stamped.
+    import json
+
+    from veranda_spark.io.table import recover_orphans
+    from veranda_spark.streaming.append import merge_batch_handler
+
+    ckpt = str(base) + "_ckpt"
+    handler = merge_batch_handler(base, ["k"], ckpt, partition_by="p")
+
+    # a concurrent compactor's LIVE claim: version dir + foreign owner
+    foreign = os.path.join(base, "_versions", "000002")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "_claim.json"), "w") as f:
+        json.dump({"owner": "compact_table"}, f)
+
+    upd = spark.createDataFrame([(0, 0, "S")], "k long, p long, val string")
+    # the stream must NOT clear the foreign claim; merge then fails loudly
+    with pytest.raises(FileExistsError):
+        handler(upd, 0)
+    assert os.path.isdir(foreign), "stream deleted a foreign writer's claim"
+    assert os.path.exists(os.path.join(foreign, "_claim.json"))
+
+    # drop the compactor claim (as if it committed elsewhere / was
+    # manually recovered), then simulate the STREAM's own crashed claim:
+    # owner-scoped recovery clears it and the replayed batch applies
+    import shutil
+
+    shutil.rmtree(foreign)
+    with pytest.raises(FileNotFoundError):
+        # marker was never written (merge raised), so batch 0 replays
+        open(os.path.join(base, "_stream_batch_zzz"))
+    handler(upd, 0)  # claims 000002 itself now, commits
+    assert current_version(base) == 2
+
+    # stream's own crash debris: claim stamped with the stream's owner
+    own = os.path.join(base, "_versions", "000003")
+    os.makedirs(own)
+    import hashlib
+    tag = hashlib.md5(os.path.abspath(ckpt).encode()).hexdigest()[:12]
+    with open(os.path.join(own, "_claim.json"), "w") as f:
+        json.dump({"owner": f"merge_stream:{tag}"}, f)
+    upd2 = spark.createDataFrame([(1, 1, "T")], "k long, p long, val string")
+    handler(upd2, 1)  # recovery clears OUR orphan, merge proceeds
+    assert current_version(base) == 3
+    assert (1, 1, "T") in _rows(read_table(spark, base))
+
+    # manual recovery (owner=None) still clears everything
+    stray = os.path.join(base, "_versions", "000004")
+    os.makedirs(stray)
+    assert recover_orphans(base) == [4]

@@ -49,18 +49,35 @@ def _hadoop_path_exists(spark: SparkSession, p: str) -> bool:
 def _hadoop_touch(spark: SparkSession, p: str, content: str = "") -> None:
     """Create a marker file (optionally with content) through the Hadoop
     FileSystem API so hdfs:// and object-store paths work like local
-    ones (falls back to plain local IO when no JVM is attached)."""
+    ones (falls back to plain local IO when no JVM is attached).
+
+    ATOMIC: the content is written to a temp name and renamed into
+    place, so a crash mid-write can never leave a torn (e.g. empty)
+    marker at ``p`` — an empty marker therefore always means a
+    pre-fingerprint-era checkpoint, never a partial write, which is what
+    lets the resume paths accept-and-stamp it.  A crash between the
+    delete of an old marker and the rename leaves NO marker (fails
+    toward recompute, never toward accepting stale state)."""
     jvm = getattr(spark, "_jvm", None)
     if jvm is None:
-        with open(_strip_file_scheme(p), "w") as f:
+        local = _strip_file_scheme(p)
+        tmp = local + "._tmp"
+        with open(tmp, "w") as f:
             f.write(content)
+        os.replace(tmp, local)  # atomic on POSIX
         return
     jpath = jvm.org.apache.hadoop.fs.Path(p)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
+    jtmp = jvm.org.apache.hadoop.fs.Path(p + "._tmp")
+    out = fs.create(jtmp, True)
     if content:
         out.write(bytearray(content.encode()))
     out.close()
+    # HDFS rename refuses an existing destination: clear it first
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(jtmp, jpath):
+        raise IOError(f"atomic marker rename failed: {p}")
 
 
 def _hadoop_read_text(spark: SparkSession, p: str) -> str:

@@ -241,19 +241,52 @@ def _write_manifest(new_dir: str, entries: list[dict]) -> None:
     os.replace(tmp, _manifest_path(new_dir))
 
 
-def recover_orphans(path: str) -> list[int]:
+def _write_claim(vdir: str, owner: str | None) -> None:
+    """Stamp a freshly claimed version directory with the writer's
+    identity (``_claim.json``).  Written immediately after the exclusive
+    ``os.mkdir`` so an automated recoverer can tell WHOSE crash debris an
+    orphan is — see ``recover_orphans(owner=...)``.  Leading-underscore
+    name keeps it invisible to parquet scans, like ``_manifest.json``."""
+    with open(os.path.join(vdir, "_claim.json"), "w") as f:
+        json.dump({"owner": owner}, f)
+
+
+def _claim_owner(vdir: str) -> str | None:
+    try:
+        with open(os.path.join(vdir, "_claim.json")) as f:
+            return json.load(f).get("owner")
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def recover_orphans(path: str, owner: str | None = None) -> list[int]:
     """Delete uncommitted (orphan) version directories left by crashed
     merges.  Run this before retrying a merge that failed its exclusive
     claim — merge_into itself never removes an existing claim directory
-    (doing so is exactly the lost-update race)."""
+    (doing so is exactly the lost-update race).
+
+    With ``owner=None`` (manual recovery) ALL orphans are cleared —
+    callers must ensure no writer is live on the table.  With an
+    ``owner`` string, ONLY orphans whose ``_claim.json`` names exactly
+    that owner are cleared: an automated recoverer (e.g. the CDC
+    stream's merge_batch_handler) removes its own crash debris without
+    ever touching a claim held by a concurrently running
+    ``compact_table`` or manual ``merge_into`` — deleting another
+    writer's live claim would let both commit into the same version
+    directory, the exact corruption the exclusive-mkdir protocol
+    exists to prevent."""
     cur = current_version(path)
     if cur is None:
         return []
     removed = []
     for name in sorted(os.listdir(_versions_dir(path))):
-        if name.isdigit() and int(name) > cur:
-            shutil.rmtree(os.path.join(_versions_dir(path), name))
-            removed.append(int(name))
+        if not (name.isdigit() and int(name) > cur):
+            continue
+        vdir = os.path.join(_versions_dir(path), name)
+        if owner is not None and _claim_owner(vdir) != owner:
+            continue  # someone else's claim (or pre-claim-era debris)
+        shutil.rmtree(vdir)
+        removed.append(int(name))
     return removed
 
 
@@ -264,6 +297,7 @@ def merge_into(
     keys: list[str],
     partition_by: str | None = None,
     commit_mode: str = "auto",
+    owner: str | None = None,
 ) -> dict:
     """Upsert (MERGE INTO): matched target rows are replaced by the
     update row, unmatched update rows are inserted, unmatched target
@@ -308,6 +342,9 @@ def merge_into(
     # exclusive claim: fails loudly on a concurrent writer or a crashed
     # orphan (recover_orphans clears the latter) — never rmtree here
     os.mkdir(new_dir)
+    # stamp ownership right away so an automated recoverer (the CDC
+    # stream) can clear THIS writer's crash debris and nobody else's
+    _write_claim(new_dir, owner)
 
     if partition_by:
         # partitions touched by the update batch: the updates' own
@@ -386,6 +423,7 @@ def compact_table(
     partition_by: str | None = None,
     max_files: int = 1,
     commit_mode: str = "auto",
+    owner: str | None = "compact_table",
 ) -> dict:
     """Small-file compaction (Iceberg OPTIMIZE / bin-packing analog) for
     versioned tables: partitions of the CURRENT version holding more
@@ -405,6 +443,17 @@ def compact_table(
     Streaming CDC tables are the motivating case: merge_stream commits a
     version per micro-batch, each appending one small file per touched
     partition — compaction folds them back to one file per partition.
+
+    Concurrency vs a LIVE stream: the compactor's claim directory is
+    stamped with ``owner`` (default ``"compact_table"``), and the
+    stream's automated orphan recovery only clears claims it stamped
+    itself — so running compact_table against a live merge_stream table
+    never has its claim deleted mid-write.  The two writers still race
+    on the version number: whichever claims ``cur+1`` second fails
+    loudly with FileExistsError (retry after the other commits).  A
+    compactor that CRASHES leaves its claim behind; clear it with
+    ``recover_orphans(path)`` (all-orphans mode, writers stopped) or
+    ``recover_orphans(path, owner="compact_table")``.
     """
     if commit_mode not in ("auto", "link", "manifest"):
         raise ValueError(f"commit_mode must be auto|link|manifest, got {commit_mode!r}")
@@ -448,6 +497,7 @@ def compact_table(
         new_v = cur + 1
         new_dir = _version_path(path, new_v)
         os.mkdir(new_dir)  # exclusive claim, same protocol as merge_into
+        _write_claim(new_dir, owner)
         read_table(spark, path).coalesce(max_files).write.mode(
             "append"
         ).parquet(new_dir)
@@ -468,6 +518,7 @@ def compact_table(
     new_v = cur + 1
     new_dir = _version_path(path, new_v)
     os.mkdir(new_dir)
+    _write_claim(new_dir, owner)
     manifest_entries = _carry_untouched(
         path, new_dir, part_vers, touched, commit_mode
     )

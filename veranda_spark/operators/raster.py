@@ -1229,8 +1229,10 @@ def _pyramid_level_df(cur: DataFrame, nodata: float, parts: int) -> DataFrame:
                     small = np.nanmean(blocks, axis=axes)
                 small = np.where(np.isnan(small), nodata, small)
                 if np.issubdtype(np.dtype(row.dtype), np.integer):
-                    # round-half-away like burn_in's mean composite —
-                    # plain astype truncates toward zero (off-by-one)
+                    # round-half-to-even (np.round), matching burn_in's
+                    # mean composite (raster.py ~384) so pyramid levels
+                    # and burned tiles agree — plain astype truncates
+                    # toward zero (off-by-one)
                     small = np.round(small)
                 small = small.astype(row.dtype)
                 rows.append((

@@ -183,6 +183,7 @@ def merge_batch_handler(
     ckpt_tag = hashlib.md5(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:12]
+    claim_owner = f"merge_stream:{ckpt_tag}"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(path, f"_stream_batch_{ckpt_tag}")
@@ -194,12 +195,17 @@ def merge_batch_handler(
         if batch_id <= last:
             return  # crash-replay of an applied epoch: no-op
         # a crash between the version-dir claim and its commit leaves an
-        # orphan that would fail merge_into's exclusive claim forever;
-        # the stream is the table's single writer, so clearing is safe
-        recover_orphans(path)
+        # orphan that would fail merge_into's exclusive claim forever.
+        # Owner-scoped recovery clears ONLY this stream's own crash
+        # debris (claims stamped with claim_owner) — a claim held by a
+        # concurrently running compact_table or manual merge_into is
+        # left alone, and the subsequent merge_into then fails loudly
+        # with FileExistsError instead of two writers committing mixed
+        # data into one version directory.
+        recover_orphans(path, owner=claim_owner)
         merge_into(
             batch_df.sparkSession, path, batch_df, keys,
-            partition_by=partition_by,
+            partition_by=partition_by, owner=claim_owner,
         )
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
