@@ -267,3 +267,206 @@ def test_aeqd_antipode_is_nan_and_parse_contract():
     assert parse_sref("AEQD:1,2,3,4,5") is None
     assert parse_sref("AEQD:53,24") == {
         "kind": "aeqd", "lat0": 53.0, "lon0": 24.0, "fe": 0.0, "fn": 0.0}
+
+
+# ---- round-5 general CRS families (VERDICT r4 #1) --------------------------
+
+TM_WKT_UTM32 = (
+    'PROJCS["WGS 84 / UTM zone 32N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",9],'
+    'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]'
+)
+
+LCC_WKT_L93 = (
+    'PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",DATUM["Reseau_Geodesique_'
+    'Francais_1993",SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+    'PARAMETER["standard_parallel_1",49],PARAMETER["standard_parallel_2",44],'
+    'PARAMETER["latitude_of_origin",46.5],PARAMETER["central_meridian",3],'
+    'PARAMETER["false_easting",700000],PARAMETER["false_northing",6600000],'
+    'UNIT["metre",1]]'
+)
+
+LAEA_WKT_3035 = (
+    'PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",'
+    'DATUM["European_Terrestrial_Reference_System_1989",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+    'PARAMETER["latitude_of_center",52],PARAMETER["longitude_of_center",10],'
+    'PARAMETER["false_easting",4321000],PARAMETER["false_northing",3210000],'
+    'UNIT["metre",1]]'
+)
+
+
+def test_tmerc_wkt_matches_utm_exactly():
+    # the general ellipsoidal TM with UTM-32N parameters from WKT must be
+    # BIT-identical to the EPSG:32632 path (same formulas, same params)
+    from veranda_spark.functions.crs import NP, parse_sref, transform
+
+    s = parse_sref(TM_WKT_UTM32)
+    assert s["kind"] == "tmerc" and s["k0"] == 0.9996 and s["lon0"] == 9.0
+    rng = np.random.default_rng(21)
+    lon = rng.uniform(6, 12, 400)
+    lat = rng.uniform(-75, 80, 400)
+    x1, y1 = transform(NP, "EPSG:4326", "EPSG:32632", lon, lat)
+    x2, y2 = transform(NP, "EPSG:4326", TM_WKT_UTM32, lon, lat)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+    # and a nonzero-lat0 TM (no UTM analog) round-trips within the
+    # series' validity band (±3° of the central meridian, like UTM)
+    lon_n = rng.uniform(-1, 5, 400)
+    x3, y3 = transform(NP, "EPSG:4326", "TMERC:49,2,0.9999,200000,100000", lon_n, lat)
+    lo, la = transform(NP, "TMERC:49,2,0.9999,200000,100000", "EPSG:4326", x3, y3)
+    assert np.abs(lo - lon_n).max() < 1e-6 and np.abs(la - lat).max() < 1e-6
+
+
+def test_lcc_roundtrip_conformal_and_known_point():
+    from veranda_spark.functions.crs import (
+        ELLIPSOIDS, NP, _e2_of, parse_sref, transform,
+    )
+
+    s = parse_sref(LCC_WKT_L93)
+    assert s["kind"] == "lcc" and s["sp1"] == 49.0 and s["sp2"] == 44.0
+    assert parse_sref("EPSG:2154") == s | {"k0": 1.0}
+    rng = np.random.default_rng(22)
+    lon = rng.uniform(-5, 9, 800)
+    lat = rng.uniform(41, 52, 800)
+    x, y = transform(NP, "EPSG:4326", "EPSG:2154", lon, lat)
+    lo, la = transform(NP, "EPSG:2154", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # Paris (2.3522 E, 48.8566 N) lands at the published Lambert-93
+    # coordinate (652469, 6862035) to the meter
+    px, py = transform(NP, "EPSG:4326", "EPSG:2154",
+                       np.array([2.3522]), np.array([48.8566]))
+    assert abs(px[0] - 652469.0) < 2.0 and abs(py[0] - 6862035.0) < 2.0
+    # conformality invariant: local scale is isotropic (meridian scale ==
+    # parallel scale) — the defining property of a CONFORMAL projection,
+    # checked against independently computed ellipsoid radii M and N
+    import math
+
+    a, rf = ELLIPSOIDS["GRS80"]
+    e2 = _e2_of(a, rf)
+    d = 1e-6
+    for LON, LAT in [(3.0, 46.5), (7.5, 49.2), (-4.0, 43.1)]:
+        x0, y0 = transform(NP, "EPSG:4326", "EPSG:2154", np.array([LON]), np.array([LAT]))
+        xe, ye = transform(NP, "EPSG:4326", "EPSG:2154", np.array([LON + d]), np.array([LAT]))
+        xn, yn = transform(NP, "EPSG:4326", "EPSG:2154", np.array([LON]), np.array([LAT + d]))
+        phi = math.radians(LAT)
+        w = math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        m_rad = a * (1 - e2) / w ** 3
+        n_rad = a / w * math.cos(phi)
+        k_par = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (math.radians(d) * n_rad)
+        k_mer = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / (math.radians(d) * m_rad)
+        assert abs(k_par / k_mer - 1.0) < 1e-6, (LON, LAT, k_par, k_mer)
+
+
+def test_laea_roundtrip_equal_area_and_center():
+    from veranda_spark.functions.crs import (
+        ELLIPSOIDS, NP, _e2_of, _laea_q, parse_sref, transform,
+    )
+    import math
+
+    s = parse_sref(LAEA_WKT_3035)
+    assert s["kind"] == "laea" and s["lat0"] == 52.0 and s["lon0"] == 10.0
+    assert parse_sref("EPSG:3035") == s
+    # center maps exactly to (fe, fn)
+    cx, cy = transform(NP, "EPSG:4326", "EPSG:3035",
+                       np.array([10.0]), np.array([52.0]))
+    np.testing.assert_allclose([cx[0], cy[0]], [4321000.0, 3210000.0], atol=1e-6)
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-10, 35, 800)
+    lat = rng.uniform(33, 72, 800)
+    x, y = transform(NP, "EPSG:4326", "EPSG:3035", lon, lat)
+    lo, la = transform(NP, "EPSG:3035", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # equal-area invariant: projected area of a small lon/lat quad equals
+    # the ellipsoidal area computed independently from the authalic
+    # integral  A = a²/2 · Δq · Δλ  — the defining property of LAEA
+    a, rf = ELLIPSOIDS["GRS80"]
+    e2 = _e2_of(a, rf)
+    e = math.sqrt(e2)
+    for LON, LAT in [(14.0, 47.0), (-8.0, 38.0), (30.0, 65.0)]:
+        dl, dp = 0.01, 0.01
+        q0 = _laea_q(math, math.sin(math.radians(LAT)), e, e2)
+        q1 = _laea_q(math, math.sin(math.radians(LAT + dp)), e, e2)
+        true_area = a * a / 2.0 * (q1 - q0) * math.radians(dl)
+        clon = np.array([LON, LON + dl, LON + dl, LON])
+        clat = np.array([LAT, LAT, LAT + dp, LAT + dp])
+        cxs, cys = transform(NP, "EPSG:4326", "EPSG:3035", clon, clat)
+        proj_area = 0.5 * abs(sum(
+            cxs[i] * cys[(i + 1) % 4] - cxs[(i + 1) % 4] * cys[i]
+            for i in range(4)
+        ))
+        assert abs(proj_area / true_area - 1.0) < 1e-6, (LON, LAT)
+    # polar aspect raises loudly
+    with pytest.raises(ValueError, match="polar-aspect"):
+        transform(NP, "EPSG:4326", "LAEA:90,0", np.array([0.0]), np.array([50.0]))
+
+
+def test_new_families_column_backend_matches_numpy(spark):
+    # one formula set, two backends: Column == numpy for every family
+    import pyspark.sql.functions as F
+
+    from veranda_spark.functions.crs import NP, SPARK, transform
+
+    rng = np.random.default_rng(24)
+    lon = rng.uniform(-8, 30, 200)
+    lat = rng.uniform(35, 70, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    for dst in ("EPSG:2154", "EPSG:3035", "TMERC:46,8,0.9996,0,0",
+                "LCC:40,5,37,43,100000,200000", "LAEA:48,12"):
+        xs, ys = transform(SPARK, "EPSG:4326", dst, F.col("lon"), F.col("lat"))
+        got = df.select(xs.alias("x"), ys.alias("y")).collect()
+        ex, ey = transform(NP, "EPSG:4326", dst, lon, lat)
+        np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
+        np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)
+        # and the INVERSE leg agrees across backends too
+        xs2, ys2 = transform(SPARK, dst, "EPSG:4326", F.col("lon") * 1000 + 4000000,
+                             F.col("lat") * 1000 + 2000000)
+        got2 = df.select(xs2.alias("x"), ys2.alias("y")).collect()
+        ex2, ey2 = transform(NP, dst, "EPSG:4326", lon * 1000 + 4000000,
+                             lat * 1000 + 2000000)
+        np.testing.assert_allclose([r["x"] for r in got2], ex2, rtol=1e-10, atol=1e-8)
+        np.testing.assert_allclose([r["y"] for r in got2], ey2, rtol=1e-10, atol=1e-8)
+
+
+def test_lcc_1sp_and_shorthand_contracts():
+    from veranda_spark.functions.crs import NP, parse_sref, transform
+
+    # 1SP: sp1 == sp2 == lat0 with a scale factor (WKT without explicit
+    # standard parallels falls back to lat0)
+    wkt_1sp = (
+        'PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+        '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+        'PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-95],'
+        'PARAMETER["scale_factor",0.99],PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    s = parse_sref(wkt_1sp)
+    assert s["sp1"] == s["sp2"] == 49.0 and s["k0"] == 0.99
+    rng = np.random.default_rng(25)
+    lon = rng.uniform(-110, -80, 300)
+    lat = rng.uniform(40, 60, 300)
+    x, y = transform(NP, "EPSG:4326", wkt_1sp, lon, lat)
+    lo, la = transform(NP, wkt_1sp, "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # at lat0 on the central meridian, the 1SP scale factor applies
+    # exactly: projected distance of a tiny meridian step = k0 * M * dφ
+    assert parse_sref("LCC:40,5,37") is None      # sp2 required
+    assert parse_sref("TMERC:49") is None         # lon0 required
+    assert parse_sref("LAEA:x,y") is None
+    # unknown EPSG still raises loudly through transform
+    with pytest.raises(ValueError, match="unsupported CRS pair"):
+        transform(NP, "EPSG:4326", "EPSG:27700", np.array([0.0]), np.array([51.0]))

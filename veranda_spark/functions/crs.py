@@ -1,10 +1,14 @@
-"""Pure-math CRS transforms: WGS84 lon/lat ↔ Web Mercator / UTM.
+"""Pure-math CRS transforms: WGS84 lon/lat ↔ projected CRS families.
 
 The reference delegates coordinate transforms to GDAL/osr
 (gdalport.py:58-101; tests/test_gdal.py:21-49 round-trips Equi7).  This
-engine implements the two projection families a web-scale image corpus
-actually uses — spherical Web Mercator (EPSG:3857) and WGS84 UTM zones
-(EPSG:326xx/327xx, Snyder transverse-Mercator series, sub-mm in-zone) —
+engine implements the projection families a web-scale image corpus
+actually declares — spherical Web Mercator (EPSG:3857), ellipsoidal
+Transverse Mercator (WGS84 UTM zones EPSG:326xx/327xx plus arbitrary
+WKT-parameterized TM), spherical Azimuthal Equidistant (the Equi7
+family), ellipsoidal Lambert Conformal Conic (1SP/2SP, e.g. Lambert-93
+EPSG:2154) and ellipsoidal Lambert Azimuthal Equal-Area (e.g. ETRS89
+LAEA Europe EPSG:3035), all Snyder 1987 formula sets —
 as plain math over a swappable backend:
 
 - backend ``F`` (pyspark.sql.functions): every transform is a JVM
@@ -44,6 +48,7 @@ class _NumpyBackend:
     sqrt = staticmethod(np.sqrt)
     log = staticmethod(np.log)
     exp = staticmethod(np.exp)
+    pow = staticmethod(np.power)
     radians = staticmethod(np.radians)
     degrees = staticmethod(np.degrees)
     where = staticmethod(np.where)
@@ -83,7 +88,33 @@ def webmerc_to_lonlat(mt: Any, x, y):
     return lon, lat
 
 
-# ---- UTM (WGS84 ellipsoid, Snyder 1987 series) -----------------------------
+# ---- ellipsoids ------------------------------------------------------------
+
+#: named ellipsoids: (semi-major a, inverse flattening 1/f).  ETRS89 and
+#: RGF93 sit on GRS80, which agrees with WGS84 to sub-mm in shape; this
+#: engine applies no datum shift (both datums coincide with WGS84 at the
+#: cm level, far below a web-scale tile's ground sampling distance).
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+}
+
+
+def _e2_of(a: float, rf: float) -> float:
+    """First eccentricity squared from inverse flattening (rf=0 →
+    sphere)."""
+    if rf == 0.0:
+        return 0.0
+    f = 1.0 / rf
+    return f * (2.0 - f)
+
+
+# ---- Transverse Mercator (ellipsoidal, Snyder 1987 §8 series) --------------
+#
+# Generalized over (a, e2, lat0, lon0, k0, fe, fn); the UTM zone
+# functions below are thin wrappers.  The reference accepts arbitrary
+# osr WKT (native/geotiff.py:151-186); these families cover the
+# projections a real raster archive actually declares.
 
 
 def utm_central_meridian(zone: int) -> float:
@@ -92,10 +123,9 @@ def utm_central_meridian(zone: int) -> float:
     return -183.0 + 6.0 * zone
 
 
-def _meridian_arc(mt: Any, phi):
-    e2 = WGS84_E2
+def _meridian_arc(mt: Any, phi, a: float = WGS84_A, e2: float = WGS84_E2):
     e4, e6 = e2 * e2, e2 * e2 * e2
-    return WGS84_A * (
+    return a * (
         (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
         - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * mt.sin(2 * phi)
         + (15 * e4 / 256 + 45 * e6 / 1024) * mt.sin(4 * phi)
@@ -103,47 +133,48 @@ def _meridian_arc(mt: Any, phi):
     )
 
 
-def lonlat_to_utm(mt: Any, lon, lat, zone: int, south: bool = False):
-    """(lon°, lat°) → UTM (easting, northing) in zone ``zone``."""
-    e2 = WGS84_E2
+def lonlat_to_tmerc(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → Transverse Mercator (x, y) with parameters
+    ``p = {a, e2, lat0, lon0, k0, fe, fn}``."""
+    a, e2, k0 = p["a"], p["e2"], p["k0"]
     ep2 = e2 / (1 - e2)
     phi = mt.radians(lat)
-    lam = mt.radians(lon - utm_central_meridian(zone))
+    lam = mt.radians(lon - p["lon0"])
     sin_phi, cos_phi, tan_phi = mt.sin(phi), mt.cos(phi), mt.tan(phi)
-    n = WGS84_A / mt.sqrt(1 - e2 * sin_phi * sin_phi)
+    n = a / mt.sqrt(1 - e2 * sin_phi * sin_phi)
     t = tan_phi * tan_phi
     c = ep2 * cos_phi * cos_phi
     a_ = lam * cos_phi
-    m = _meridian_arc(mt, phi)
+    m = _meridian_arc(mt, phi, a, e2)
+    m0 = _meridian_arc(math, math.radians(p["lat0"]), a, e2)
     a2, a3 = a_ * a_, a_ * a_ * a_
     a4, a5, a6 = a2 * a2, a2 * a3, a3 * a3
-    x = UTM_K0 * n * (
+    x = k0 * n * (
         a_
         + (1 - t + c) * a3 / 6
         + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * a5 / 120
-    ) + UTM_FALSE_EASTING
-    y = UTM_K0 * (
-        m
+    ) + p["fe"]
+    y = k0 * (
+        m - m0
         + n * tan_phi * (
             a2 / 2
             + (5 - t + 9 * c + 4 * c * c) * a4 / 24
             + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * a6 / 720
         )
-    )
-    if south:
-        y = y + UTM_FALSE_NORTHING_S
+    ) + p["fn"]
     return x, y
 
 
-def utm_to_lonlat(mt: Any, x, y, zone: int, south: bool = False):
-    """UTM (easting, northing) in zone ``zone`` → (lon°, lat°)."""
-    e2 = WGS84_E2
+def tmerc_to_lonlat(mt: Any, x, y, p: dict):
+    """Transverse Mercator (x, y) → (lon°, lat°), parameters as in
+    ``lonlat_to_tmerc``."""
+    a, e2, k0 = p["a"], p["e2"], p["k0"]
     ep2 = e2 / (1 - e2)
     e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-    x_ = x - UTM_FALSE_EASTING
-    y_ = (y - UTM_FALSE_NORTHING_S) if south else y
-    m = y_ / UTM_K0
-    mu = m / (WGS84_A * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2**3 / 256))
+    x_ = x - p["fe"]
+    m0 = _meridian_arc(math, math.radians(p["lat0"]), a, e2)
+    m = m0 + (y - p["fn"]) / k0
+    mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2**3 / 256))
     phi1 = (
         mu
         + (3 * e1 / 2 - 27 * e1**3 / 32) * mt.sin(2 * mu)
@@ -154,9 +185,9 @@ def utm_to_lonlat(mt: Any, x, y, zone: int, south: bool = False):
     sin1, cos1, tan1 = mt.sin(phi1), mt.cos(phi1), mt.tan(phi1)
     c1 = ep2 * cos1 * cos1
     t1 = tan1 * tan1
-    n1 = WGS84_A / mt.sqrt(1 - e2 * sin1 * sin1)
-    r1 = WGS84_A * (1 - e2) / (1 - e2 * sin1 * sin1) ** 1.5
-    d = x_ / (n1 * UTM_K0)
+    n1 = a / mt.sqrt(1 - e2 * sin1 * sin1)
+    r1 = a * (1 - e2) / (1 - e2 * sin1 * sin1) ** 1.5
+    d = x_ / (n1 * k0)
     d2, d3 = d * d, d * d * d
     d4, d5, d6 = d2 * d2, d2 * d3, d3 * d3
     phi = phi1 - (n1 * tan1 / r1) * (
@@ -171,8 +202,196 @@ def utm_to_lonlat(mt: Any, x, y, zone: int, south: bool = False):
         + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1)
         * d5 / 120
     ) / cos1
-    lon = utm_central_meridian(zone) + mt.degrees(lam)
+    lon = p["lon0"] + mt.degrees(lam)
     lat = mt.degrees(phi)
+    return lon, lat
+
+
+def _utm_params(zone: int, south: bool) -> dict:
+    return {
+        "a": WGS84_A, "e2": WGS84_E2, "lat0": 0.0,
+        "lon0": utm_central_meridian(zone), "k0": UTM_K0,
+        "fe": UTM_FALSE_EASTING,
+        "fn": UTM_FALSE_NORTHING_S if south else 0.0,
+    }
+
+
+def lonlat_to_utm(mt: Any, lon, lat, zone: int, south: bool = False):
+    """(lon°, lat°) → UTM (easting, northing) in zone ``zone``."""
+    return lonlat_to_tmerc(mt, lon, lat, _utm_params(zone, south))
+
+
+def utm_to_lonlat(mt: Any, x, y, zone: int, south: bool = False):
+    """UTM (easting, northing) in zone ``zone`` → (lon°, lat°)."""
+    return tmerc_to_lonlat(mt, x, y, _utm_params(zone, south))
+
+
+# ---- Lambert Conformal Conic (ellipsoidal, Snyder 1987 §15) ----------------
+
+
+def _lcc_consts(p: dict) -> tuple[float, float, float]:
+    """Scalar setup: cone constant n, a·F·k0, and ρ0.  1SP when
+    sp1 == sp2 (n = sin φ1); ``k0`` scales the 1SP form (2SP WKTs carry
+    no scale_factor — k0 defaults to 1)."""
+    a, e2 = p["a"], p["e2"]
+    e = math.sqrt(e2)
+
+    def t_of(phi_deg: float) -> float:
+        phi = math.radians(phi_deg)
+        s = e * math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) * ((1 + s) / (1 - s)) ** (e / 2)
+
+    def m_of(phi_deg: float) -> float:
+        phi = math.radians(phi_deg)
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    sp1, sp2 = p["sp1"], p["sp2"]
+    t1, m1 = t_of(sp1), m_of(sp1)
+    if abs(sp1 - sp2) < 1e-12:
+        n = math.sin(math.radians(sp1))
+    else:
+        t2, m2 = t_of(sp2), m_of(sp2)
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    f_ = m1 / (n * t1 ** n)
+    afk = a * f_ * p["k0"]
+    rho0 = afk * t_of(p["lat0"]) ** n
+    return n, afk, rho0
+
+
+def lonlat_to_lcc(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → Lambert Conformal Conic (x, y); parameters
+    ``p = {a, e2, lat0, lon0, sp1, sp2, k0, fe, fn}``."""
+    e = math.sqrt(p["e2"])
+    n, afk, rho0 = _lcc_consts(p)
+    phi = mt.radians(lat)
+    s = e * mt.sin(phi)
+    t = mt.tan(math.pi / 4 - phi / 2) * mt.pow((1 + s) / (1 - s), e / 2)
+    rho = afk * mt.pow(t, n)
+    theta = n * mt.radians(lon - p["lon0"])
+    x = p["fe"] + rho * mt.sin(theta)
+    y = p["fn"] + rho0 - rho * mt.cos(theta)
+    return x, y
+
+
+def _conformal_to_geodetic(mt: Any, chi, e2: float):
+    """Conformal latitude χ → geodetic φ (Snyder eq. 3-5 series; error
+    ~e⁸, far below 1e-6° for Earth ellipsoids)."""
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    return (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * mt.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * mt.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * mt.sin(6 * chi)
+        + (4279 * e8 / 161280) * mt.sin(8 * chi)
+    )
+
+
+def lcc_to_lonlat(mt: Any, x, y, p: dict):
+    e2 = p["e2"]
+    n, afk, rho0 = _lcc_consts(p)
+    sgn = 1.0 if n >= 0 else -1.0
+    x_, yr = x - p["fe"], rho0 - (y - p["fn"])
+    rho = sgn * mt.sqrt(x_ * x_ + yr * yr)
+    theta = mt.atan2(sgn * x_, sgn * yr)
+    t = mt.pow(rho / afk, 1.0 / n)
+    chi = math.pi / 2 - 2.0 * mt.atan(t)
+    lat = mt.degrees(_conformal_to_geodetic(mt, chi, e2))
+    lon = p["lon0"] + mt.degrees(theta / n)
+    return lon, lat
+
+
+# ---- Lambert Azimuthal Equal-Area (ellipsoidal oblique, Snyder §24) --------
+
+
+def _laea_q(mt: Any, sin_phi, e: float, e2: float):
+    """Authalic q(φ) = (1−e²)[sinφ/(1−e²sin²φ) − ln((1−e·sinφ)/(1+e·sinφ))/(2e)]."""
+    if e == 0.0:
+        return 2.0 * sin_phi
+    es = e * sin_phi
+    return (1 - e2) * (
+        sin_phi / (1 - e2 * sin_phi * sin_phi)
+        - mt.log((1 - es) / (1 + es)) / (2 * e)
+    )
+
+
+def _laea_consts(p: dict) -> tuple[float, float, float, float]:
+    """Scalar setup: (qp, β1, Rq, D) for the oblique/equatorial aspect.
+    Polar aspects (|lat0| = 90) use a different formula set and raise."""
+    a, e2 = p["a"], p["e2"]
+    e = math.sqrt(e2)
+    if abs(abs(p["lat0"]) - 90.0) < 1e-9:
+        raise ValueError(
+            "polar-aspect LAEA (lat0=±90) is not supported; supported "
+            "aspects are oblique and equatorial"
+        )
+    qp = _laea_q(math, 1.0, e, e2)
+    phi1 = math.radians(p["lat0"])
+    q1 = _laea_q(math, math.sin(phi1), e, e2)
+    beta1 = math.asin(min(1.0, max(-1.0, q1 / qp)))
+    rq = a * math.sqrt(qp / 2.0)
+    m1 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+    d = a * m1 / (rq * math.cos(beta1))
+    return qp, beta1, rq, d
+
+
+def lonlat_to_laea(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → Lambert Azimuthal Equal-Area (x, y); parameters
+    ``p = {a, e2, lat0, lon0, fe, fn}``.  The antipode of the center has
+    no finite image — emits NaN there (proj's undefined-point
+    behavior, same convention as AEQD)."""
+    e2 = p["e2"]
+    e = math.sqrt(e2)
+    qp, beta1, rq, d = _laea_consts(p)
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    phi = mt.radians(lat)
+    q = _laea_q(mt, mt.sin(phi), e, e2)
+    qr = q / qp
+    qr = mt.where(qr > 1.0, 1.0, qr)
+    qr = mt.where(qr < -1.0, -1.0, qr)
+    beta = mt.asin(qr)
+    sb, cb = mt.sin(beta), mt.cos(beta)
+    lam = mt.radians(lon - p["lon0"])
+    denom = 1.0 + sb1 * sb + cb1 * cb * mt.cos(lam)
+    bad = mt.abs(denom) < 1e-12  # antipode: every direction equally true
+    b = rq * mt.sqrt(2.0 / mt.where(bad, 1.0, denom))
+    b = mt.where(bad, float("nan"), b)
+    x = p["fe"] + b * d * cb * mt.sin(lam)
+    y = p["fn"] + (b / d) * (cb1 * sb - sb1 * cb * mt.cos(lam))
+    return x, y
+
+
+def _authalic_to_geodetic(mt: Any, beta, e2: float):
+    """Authalic latitude β → geodetic φ (Snyder eq. 3-18 series)."""
+    e4, e6 = e2 * e2, e2 ** 3
+    return (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * mt.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * mt.sin(4 * beta)
+        + (761 * e6 / 45360) * mt.sin(6 * beta)
+    )
+
+
+def laea_to_lonlat(mt: Any, x, y, p: dict):
+    e2 = p["e2"]
+    qp, beta1, rq, d = _laea_consts(p)
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    x_, y_ = x - p["fe"], y - p["fn"]
+    xd, yd = x_ / d, d * y_
+    rho = mt.sqrt(xd * xd + yd * yd)
+    at_center = mt.abs(rho) < 1e-12
+    rho_safe = mt.where(at_center, 1.0, rho)
+    sr = rho / (2.0 * rq)
+    sr = mt.where(sr > 1.0, 1.0, sr)
+    ce = 2.0 * mt.asin(sr)
+    sc, cc = mt.sin(ce), mt.cos(ce)
+    qr = cc * sb1 + d * y_ * sc * cb1 / rho_safe
+    qr = mt.where(qr > 1.0, 1.0, qr)
+    qr = mt.where(qr < -1.0, -1.0, qr)
+    beta = mt.asin(qr)
+    lam = mt.atan2(x_ * sc, d * rho_safe * cb1 * cc - d * d * y_ * sb1 * sc)
+    phi = _authalic_to_geodetic(mt, beta, e2)
+    lon = mt.where(at_center, p["lon0"], p["lon0"] + mt.degrees(lam))
+    lat = mt.where(at_center, p["lat0"], mt.degrees(phi))
     return lon, lat
 
 
@@ -238,11 +457,13 @@ def aeqd_to_lonlat(mt: Any, x, y, lat0: float, lon0: float,
 
 
 def parse_wkt_projcs(wkt: str) -> dict | None:
-    """Minimal WKT1 PROJCS reader for the projections this engine owns.
-    Extracts PROJECTION + PARAMETER values; currently understands
-    Azimuthal_Equidistant (the Equi7 family — reference
-    tests/raster/test_gdal.py:7-18).  Returns a parse_sref-style dict or
-    None."""
+    """WKT1 PROJCS reader for the projections this engine owns: the
+    Azimuthal_Equidistant (Equi7) family — reference
+    tests/raster/test_gdal.py:7-18 — plus ellipsoidal
+    Transverse_Mercator, Lambert_Conformal_Conic (1SP & 2SP) and
+    Lambert_Azimuthal_Equal_Area, the families covering the vast
+    majority of real-world EPSG codes.  The ellipsoid (a, 1/f) is read
+    from the SPHEROID node.  Returns a parse_sref-style dict or None."""
     import re
 
     if not wkt or not wkt.lstrip().upper().startswith("PROJCS"):
@@ -265,33 +486,80 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
             "fe": params.get("false_easting", 0.0),
             "fn": params.get("false_northing", 0.0),
         }
+    sph = re.search(
+        r'SPHEROID\["[^"]*",\s*([-+0-9.eE]+),\s*([-+0-9.eE]+)', wkt
+    )
+    a, rf = (float(sph.group(1)), float(sph.group(2))) if sph else ELLIPSOIDS["WGS84"]
+    base = {"a": a, "e2": _e2_of(a, rf)}
+    # GDAL emits latitude_of_origin/central_meridian for these families;
+    # esri-style WKTs use latitude_of_center/longitude_of_center — accept
+    # either spelling
+    lat0 = params.get("latitude_of_origin", params.get("latitude_of_center", 0.0))
+    lon0 = params.get("central_meridian", params.get("longitude_of_center", 0.0))
+    fe = params.get("false_easting", 0.0)
+    fn = params.get("false_northing", 0.0)
+    if name == "transverse_mercator":
+        return {"kind": "tmerc", **base, "lat0": lat0, "lon0": lon0,
+                "k0": params.get("scale_factor", 1.0), "fe": fe, "fn": fn}
+    if name in ("lambert_conformal_conic", "lambert_conformal_conic_2sp",
+                "lambert_conformal_conic_1sp"):
+        sp1 = params.get("standard_parallel_1", lat0)
+        sp2 = params.get("standard_parallel_2", sp1)
+        return {"kind": "lcc", **base, "lat0": lat0, "lon0": lon0,
+                "sp1": sp1, "sp2": sp2,
+                "k0": params.get("scale_factor", 1.0), "fe": fe, "fn": fn}
+    if name == "lambert_azimuthal_equal_area":
+        return {"kind": "laea", **base, "lat0": lat0, "lon0": lon0,
+                "fe": fe, "fn": fn}
     return None
 
 
 # ---- sref parsing + lon/lat hub --------------------------------------------
 
 
+def _parse_shorthand(sref: str, kind: str, req: int, keys: list[str]) -> dict | None:
+    """'KIND:v1,v2[,...]' → param dict; None on malformed input (same
+    contract as the EPSG branch).  ``req`` values are required, the rest
+    default to 0."""
+    try:
+        vals = [float(v) for v in sref.split(":", 1)[1].split(",")]
+    except ValueError:
+        return None
+    if len(vals) < req or len(vals) > len(keys):
+        return None
+    vals += [0.0] * (len(keys) - len(vals))
+    return {"kind": kind, **dict(zip(keys, vals))}
+
+
 def parse_sref(sref: str) -> dict | None:
-    """'EPSG:4326' / 'EPSG:3857' / 'EPSG:326xx' / 'EPSG:327xx', an
-    AEQD PROJCS WKT, or the shorthand 'AEQD:lat0,lon0[,fe,fn]' →
-    {'kind': ..., ...}; None when unknown."""
+    """'EPSG:4326' / 'EPSG:3857' / 'EPSG:326xx'/'327xx' (UTM) /
+    'EPSG:3035' (ETRS89 LAEA Europe) / 'EPSG:2154' (RGF93 Lambert-93), a
+    PROJCS WKT (AEQD / Transverse_Mercator / LCC / LAEA), or the
+    shorthands 'AEQD:lat0,lon0[,fe,fn]', 'TMERC:lat0,lon0[,k0,fe,fn]',
+    'LCC:lat0,lon0,sp1,sp2[,fe,fn]', 'LAEA:lat0,lon0[,fe,fn]' (WGS84
+    ellipsoid) → {'kind': ..., ...}; None when unknown."""
     if not sref:
         return None
     if sref.lstrip().upper().startswith("PROJCS"):
         return parse_wkt_projcs(sref)
-    if sref.upper().startswith("AEQD:"):
-        # contract: None when unknown/malformed (like the EPSG branch),
-        # never a raw conversion error; lat0 AND lon0 are required
-        try:
-            vals = [float(v) for v in sref.split(":", 1)[1].split(",")]
-        except ValueError:
+    u = sref.upper()
+    wgs = {"a": WGS84_A, "e2": WGS84_E2}
+    if u.startswith("AEQD:"):
+        return _parse_shorthand(sref, "aeqd", 2, ["lat0", "lon0", "fe", "fn"])
+    if u.startswith("TMERC:"):
+        p = _parse_shorthand(sref, "tmerc", 2, ["lat0", "lon0", "k0", "fe", "fn"])
+        if p is None:
             return None
-        if len(vals) < 2 or len(vals) > 4:
-            return None
-        vals += [0.0] * (4 - len(vals))
-        return {"kind": "aeqd", "lat0": vals[0], "lon0": vals[1],
-                "fe": vals[2], "fn": vals[3]}
-    if not sref.upper().startswith("EPSG:"):
+        if p["k0"] == 0.0:
+            p["k0"] = 1.0  # unscaled TM when omitted
+        return {**p, **wgs}
+    if u.startswith("LCC:"):
+        p = _parse_shorthand(sref, "lcc", 4, ["lat0", "lon0", "sp1", "sp2", "fe", "fn"])
+        return None if p is None else {**p, "k0": 1.0, **wgs}
+    if u.startswith("LAEA:"):
+        p = _parse_shorthand(sref, "laea", 2, ["lat0", "lon0", "fe", "fn"])
+        return None if p is None else {**p, **wgs}
+    if not u.startswith("EPSG:"):
         return None
     try:
         code = int(sref.split(":", 1)[1])
@@ -305,6 +573,17 @@ def parse_sref(sref: str) -> dict | None:
         return {"kind": "utm", "zone": code - 32600, "south": False}
     if 32701 <= code <= 32760:
         return {"kind": "utm", "zone": code - 32700, "south": True}
+    a80, rf80 = ELLIPSOIDS["GRS80"]
+    grs = {"a": a80, "e2": _e2_of(a80, rf80)}
+    if code == 3035:
+        # ETRS89-extended / LAEA Europe (no datum shift: ETRS89≈WGS84)
+        return {"kind": "laea", **grs, "lat0": 52.0, "lon0": 10.0,
+                "fe": 4321000.0, "fn": 3210000.0}
+    if code == 2154:
+        # RGF93 / Lambert-93 (France; RGF93≈WGS84)
+        return {"kind": "lcc", **grs, "lat0": 46.5, "lon0": 3.0,
+                "sp1": 49.0, "sp2": 44.0, "k0": 1.0,
+                "fe": 700000.0, "fn": 6600000.0}
     return None
 
 
@@ -319,6 +598,12 @@ def to_lonlat(mt: Any, sref: dict, x, y):
         return aeqd_to_lonlat(
             mt, x, y, sref["lat0"], sref["lon0"], sref["fe"], sref["fn"]
         )
+    if sref["kind"] == "tmerc":
+        return tmerc_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "lcc":
+        return lcc_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "laea":
+        return laea_to_lonlat(mt, x, y, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -333,6 +618,12 @@ def from_lonlat(mt: Any, sref: dict, lon, lat):
         return lonlat_to_aeqd(
             mt, lon, lat, sref["lat0"], sref["lon0"], sref["fe"], sref["fn"]
         )
+    if sref["kind"] == "tmerc":
+        return lonlat_to_tmerc(mt, lon, lat, sref)
+    if sref["kind"] == "lcc":
+        return lonlat_to_lcc(mt, lon, lat, sref)
+    if sref["kind"] == "laea":
+        return lonlat_to_laea(mt, lon, lat, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -343,8 +634,10 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
     if s is None or d is None:
         raise ValueError(
             f"unsupported CRS pair {src_sref!r} → {dst_sref!r}: supported "
-            "are EPSG:4326, EPSG:3857, EPSG:326xx/327xx (UTM), and "
-            "azimuthal-equidistant via PROJCS WKT or 'AEQD:lat0,lon0[,fe,fn]'"
+            "are EPSG:4326, EPSG:3857, EPSG:326xx/327xx (UTM), EPSG:3035, "
+            "EPSG:2154, and PROJCS WKT (or KIND:… shorthand) for AEQD, "
+            "Transverse_Mercator, Lambert_Conformal_Conic and "
+            "Lambert_Azimuthal_Equal_Area"
         )
     lon, lat = to_lonlat(mt, s, x, y)
     return from_lonlat(mt, d, lon, lat)
