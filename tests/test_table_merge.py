@@ -478,3 +478,66 @@ def test_owner_scoped_orphan_recovery(spark, base):
     stray = os.path.join(base, "_versions", "000004")
     os.makedirs(stray)
     assert recover_orphans(base) == [4]
+
+
+def test_relocate_versions_reclaims_manifest_bytes(spark, base, monkeypatch):
+    # VERDICT r4 #2: under manifest mode, expire retained every version a
+    # surviving manifest named — bytes leaked under CDC churn.  relocate
+    # + expire must reclaim them while keeping every surviving read
+    # (current AND time-travel) byte-identical, and later merges must
+    # carry the relocated partitions correctly.
+    import veranda_spark.io.table as tbl
+    from veranda_spark.io.table import (
+        expire_versions,
+        list_versions,
+        relocate_versions,
+    )
+
+    monkeypatch.setattr(tbl, "_links_supported", lambda p: False)
+    # churn: five merges, each touching ONE partition, so old versions
+    # keep physically holding the untouched partitions
+    for j in range(5):
+        upd = spark.createDataFrame(
+            [(j, j % 4, f"u{j}")], "k long, p long, val string"
+        )
+        merge_into(spark, base, upd, keys=["k"], partition_by="p",
+                   commit_mode="manifest")
+    assert list_versions(base) == [1, 2, 3, 4, 5, 6]
+    got_before = _rows(read_table(spark, base))
+    tt_before = _rows(read_table(spark, base, version=5))
+
+    # without relocation, expire cannot reclaim v1 (still referenced)
+    assert expire_versions(base, keep=2) == []
+
+    res = relocate_versions(base, keep=2)
+    assert res["relocated"] > 0 and res["rewritten_manifests"] > 0
+    # reads are unchanged after the manifest flip, before expire
+    assert _rows(read_table(spark, base)) == got_before
+    assert _rows(read_table(spark, base, version=5)) == tt_before
+    # idempotent: a second run copies nothing
+    assert relocate_versions(base, keep=2)["relocated"] == 0
+
+    removed = expire_versions(base, keep=2)
+    assert removed == [1, 2, 3, 4], removed
+    for v in removed:
+        assert not os.path.isdir(os.path.join(base, "_versions", f"{v:06d}"))
+    assert _rows(read_table(spark, base)) == got_before
+    assert _rows(read_table(spark, base, version=5)) == tt_before
+
+    # a merge AFTER relocation must carry rel-entries through untouched
+    upd = spark.createDataFrame([(0, 0, "post")], "k long, p long, val string")
+    merge_into(spark, base, upd, keys=["k"], partition_by="p",
+               commit_mode="manifest")
+    got = _rows(read_table(spark, base))
+    assert (0, 0, "post") in got
+    assert len(got) == len(got_before)
+    # untouched partitions (p=1,2,3) still fully present
+    assert {t for t in got if t[1] == 3} == {t for t in got_before if t[1] == 3}
+
+    # and compact_table resolves relocated partition paths for counting
+    from veranda_spark.io.table import compact_table
+
+    r = compact_table(spark, base, partition_by="p", max_files=1,
+                      commit_mode="manifest")
+    assert r["compacted"] >= 1
+    assert _rows(read_table(spark, base)) == got

@@ -81,9 +81,12 @@ def _manifest_path(vdir: str) -> str:
 
 def _read_manifest(vdir: str) -> list[dict]:
     """Manifest entries ``{"name": <partition dirname>, "v": <version
-    number holding the bytes>}`` — empty when the version is fully
-    physical (link-mode or v1).  Versions are stored as NUMBERS, not
-    paths, so a relocated table keeps working."""
+    number holding the bytes>[, "rel": true]}`` — empty when the version
+    is fully physical (link-mode or v1).  Versions are stored as
+    NUMBERS, not paths, so a relocated table keeps working.  ``rel``
+    marks bytes living under that version's ``_relocated/`` store
+    (written by ``relocate_versions`` when the original holder was
+    expired)."""
     try:
         with open(_manifest_path(vdir)) as f:
             return json.load(f)["entries"]
@@ -91,8 +94,23 @@ def _read_manifest(vdir: str) -> list[dict]:
         return []
 
 
+def _partition_src(path: str, name: str, v: int, rel: bool = False) -> str:
+    """Filesystem directory physically holding partition ``name`` for a
+    manifest entry pointing at version ``v``."""
+    vdir = _version_path(path, v)
+    return (
+        os.path.join(vdir, "_relocated", name) if rel
+        else os.path.join(vdir, name)
+    )
+
+
 def _has_parquet(vdir: str) -> bool:
-    for root, _dirs, files in os.walk(vdir):
+    """True when the version dir holds parquet VISIBLE to a Spark scan.
+    Underscore/dot-prefixed subdirs are skipped — Spark treats them as
+    hidden (that invisibility is what makes the ``_relocated/`` store
+    safe to populate inside a committed, readable version)."""
+    for root, dirs, files in os.walk(vdir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         if any(fn.endswith(".parquet") for fn in files):
             return True
     return False
@@ -138,15 +156,21 @@ def read_table(
     entries = _read_manifest(vdir)
     if not entries:
         return spark.read.parquet(vdir)
-    by_v: dict[int, list[str]] = {}
+    # group by (version, relocated?) — each group scans with a basePath
+    # anchored at the directory holding the partition dirs, so partition
+    # columns resolve from the dir names either way
+    by_src: dict[tuple[int, bool], list[str]] = {}
     for e in entries:
-        by_v.setdefault(int(e["v"]), []).append(
-            os.path.join(_version_path(path, int(e["v"])), e["name"])
+        key = (int(e["v"]), bool(e.get("rel", False)))
+        by_src.setdefault(key, []).append(
+            _partition_src(path, e["name"], key[0], key[1])
         )
-    parts = [
-        spark.read.option("basePath", _version_path(path, v2)).parquet(*paths)
-        for v2, paths in sorted(by_v.items())
-    ]
+    parts = []
+    for (v2, rel), paths in sorted(by_src.items()):
+        base = _version_path(path, v2)
+        if rel:
+            base = os.path.join(base, "_relocated")
+        parts.append(spark.read.option("basePath", base).parquet(*paths))
     if _has_parquet(vdir):
         parts.append(spark.read.option("basePath", vdir).parquet(vdir))
     out = parts[0]
@@ -195,25 +219,28 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
-def _old_partitions(path: str, cur: int, partition_by: str) -> dict[str, int]:
-    """The current version's partitions as {dir name: version holding the
-    bytes}: physical dirs plus manifest entries pointing at older
-    versions — resolving the entry's version HERE flattens manifest
-    chains to one hop."""
+def _old_partitions(
+    path: str, cur: int, partition_by: str
+) -> dict[str, tuple[int, bool]]:
+    """The current version's partitions as {dir name: (version holding
+    the bytes, relocated?)}: physical dirs plus manifest entries
+    pointing at older versions — resolving the entry's version HERE
+    flattens manifest chains to one hop."""
     old_dir = _version_path(path, cur)
-    part_vers: dict[str, int] = {
-        e["name"]: int(e["v"]) for e in _read_manifest(old_dir)
+    part_vers: dict[str, tuple[int, bool]] = {
+        e["name"]: (int(e["v"]), bool(e.get("rel", False)))
+        for e in _read_manifest(old_dir)
     }
     for name in os.listdir(old_dir):
         if name.startswith(f"{partition_by}="):
-            part_vers[name] = cur
+            part_vers[name] = (cur, False)
     return part_vers
 
 
 def _carry_untouched(
     path: str,
     new_dir: str,
-    part_vers: dict[str, int],
+    part_vers: dict[str, tuple[int, bool]],
     touched_names: set[str],
     commit_mode: str,
 ) -> list[dict]:
@@ -221,16 +248,19 @@ def _carry_untouched(
     version — hard links (link mode) or manifest entries (returned; the
     caller writes them after its data append)."""
     manifest_entries: list[dict] = []
-    for name, src_v in sorted(part_vers.items()):
+    for name, (src_v, rel) in sorted(part_vers.items()):
         if name in touched_names:
             continue
         if commit_mode == "link":
             _link_tree(
-                os.path.join(_version_path(path, src_v), name),
+                _partition_src(path, name, src_v, rel),
                 os.path.join(new_dir, name),
             )
         else:
-            manifest_entries.append({"name": name, "v": src_v})
+            entry = {"name": name, "v": src_v}
+            if rel:
+                entry["rel"] = True
+            manifest_entries.append(entry)
     return manifest_entries
 
 
@@ -507,8 +537,8 @@ def compact_table(
 
     part_vers = _old_partitions(path, cur, partition_by)
     counts = {
-        name: _count_parquet(os.path.join(_version_path(path, v), name))
-        for name, v in part_vers.items()
+        name: _count_parquet(_partition_src(path, name, v, rel))
+        for name, (v, rel) in part_vers.items()
     }
     touched = {n for n, c in counts.items() if c > max_files}
     before = sum(counts.values())
@@ -550,11 +580,94 @@ def compact_table(
         _write_manifest(new_dir, manifest_entries)
     _commit(path, new_v)
     after = sum(
-        _count_parquet(os.path.join(_version_path(path, v), name))
-        for name, v in _old_partitions(path, new_v, partition_by).items()
+        _count_parquet(_partition_src(path, name, v, rel))
+        for name, (v, rel) in _old_partitions(path, new_v, partition_by).items()
     )
     return {"version": new_v, "compacted": len(touched),
             "files_before": before, "files_after": after}
+
+
+def relocate_versions(path: str, keep: int = 2) -> dict:
+    """Materialize manifest-referenced bytes OUT of versions that
+    ``expire_versions(keep)`` would otherwise retain whole, so the
+    subsequent expire actually reclaims them — the byte-reclamation pass
+    for ``commit_mode="manifest"`` tables (object stores), closing the
+    slow leak where heavy CDC churn kept old version dirs alive because
+    one surviving manifest still named them.
+
+    Every entry in a SURVIVING version's manifest that points at a
+    doomed version gets its partition bytes copied into
+    ``<oldest surviving referencing version>/_relocated/<name>`` — one
+    copy even when several survivors share the entry — and the
+    surviving manifests are then flipped to ``{"v": <survivor>,
+    "rel": true}``.  O(reclaimed bytes): only partitions whose holder is
+    about to expire move; the rest of a 100 TB table is untouched.
+
+    Crash-safe and safe under live readers/writers:
+
+    - bytes are copied to a temp name and renamed into ``_relocated/``
+      (invisible to parquet scans — Spark skips underscore paths), so
+      there is never a moment when a reader can see a partition twice;
+    - manifests flip atomically (tmp + rename) only AFTER all bytes
+      exist, so a reader always resolves to identical bytes at the old
+      or the new location;
+    - a crash mid-run leaves the table fully readable (expire's
+      transitive retention still protects the not-yet-flipped
+      references); re-running relocate_versions completes the job
+      (existing ``_relocated`` partitions are skipped, torn temp copies
+      are redone).
+
+    Returns {"relocated": n_partitions_copied, "rewritten_manifests": n}.
+    Call ``expire_versions(path, keep)`` afterwards to reclaim.
+    """
+    cur = current_version(path)
+    if cur is None:
+        return {"relocated": 0, "rewritten_manifests": 0}
+    versions = list_versions(path)
+    cutoff = versions[-keep:] if keep < len(versions) else versions
+    survivors = set(cutoff) | {cur}
+    # (name, src_v, src_rel) → oldest surviving version referencing it
+    targets: dict[tuple[str, int, bool], int] = {}
+    for s in sorted(survivors):
+        for e in _read_manifest(_version_path(path, s)):
+            v, rel = int(e["v"]), bool(e.get("rel", False))
+            if v in survivors:
+                continue
+            targets.setdefault((e["name"], int(e["v"]), rel), s)
+    n_copied = 0
+    for (name, v, rel), tgt in sorted(targets.items()):
+        dst_root = os.path.join(_version_path(path, tgt), "_relocated")
+        os.makedirs(dst_root, exist_ok=True)
+        dst = os.path.join(dst_root, name)
+        if os.path.isdir(dst):
+            continue  # a previous run already materialized this one
+        tmp = dst + "._tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # torn copy from a crash — redo
+        shutil.copytree(_partition_src(path, name, v, rel), tmp)
+        os.rename(tmp, dst)  # atomic publish (still scan-invisible)
+        n_copied += 1
+    n_manifests = 0
+    for s in sorted(survivors):
+        vdir = _version_path(path, s)
+        entries = _read_manifest(vdir)
+        if not entries:
+            continue
+        new_entries, changed = [], False
+        for e in entries:
+            v, rel = int(e["v"]), bool(e.get("rel", False))
+            if v in survivors:
+                new_entries.append(e)
+                continue
+            new_entries.append(
+                {"name": e["name"], "v": targets[(e["name"], v, rel)],
+                 "rel": True}
+            )
+            changed = True
+        if changed:
+            _write_manifest(vdir, new_entries)
+            n_manifests += 1
+    return {"relocated": n_copied, "rewritten_manifests": n_manifests}
 
 
 def expire_versions(path: str, keep: int = 2) -> list[int]:
@@ -566,8 +679,11 @@ def expire_versions(path: str, keep: int = 2) -> list[int]:
     survivors instead REFERENCE older version directories by path, so a
     version still named by any surviving manifest is retained whole
     (deleting or pruning it would corrupt the survivor) — the same
-    still-referenced-files rule Iceberg applies.  The current version is
-    never expired.  Returns the versions removed."""
+    still-referenced-files rule Iceberg applies.  Run
+    ``relocate_versions(path, keep)`` first to move those referenced
+    bytes into the survivors so this pass can actually reclaim the old
+    directories.  The current version is never expired.  Returns the
+    versions removed."""
     if keep < 1:
         raise ValueError("keep must be >= 1 (the current version survives)")
     cur = current_version(path)
