@@ -1,0 +1,209 @@
+"""Rotated/sheared geotransform support (round 5, VERDICT r4 #5/#6):
+pixel-center parity vs the reference formula, inverse-affine tiling, and
+rotation-EXACT area resampling vs a scalar polygon-clipping reference.
+
+Reference formula (native/netcdf.py:225-227, GDAL geotransform):
+    x = gt0 + (0.5+col)*gt1 + (0.5+row)*gt2
+    y = gt3 + (0.5+col)*gt4 + (0.5+row)*gt5      (gt5 = -psy)
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from veranda_spark.grid import RegularGrid, require_axis_aligned
+from veranda_spark.operators.raster import warp_window
+
+ROT = RegularGrid(
+    ul_x=100.0, ul_y=500.0, psx=2.0, psy=3.0, rot_x=0.7, rot_y=-0.4,
+    tile_cols=16, tile_rows=16, n_tile_cols=8, n_tile_rows=8,
+)
+
+
+def test_pixel_center_parity_with_reference_formula(spark):
+    # Column backend x_center/y_center == the reference's geotransform
+    # expansion with NONZERO rot terms, evaluated independently in numpy
+    rng = np.random.default_rng(3)
+    cols = rng.integers(0, 128, 200)
+    rows = rng.integers(0, 128, 200)
+    df = spark.createDataFrame(
+        [(int(c), int(r)) for c, r in zip(cols, rows)], "col long, row long"
+    )
+    got = df.select(
+        ROT.x_center(F.col("col"), F.col("row")).alias("x"),
+        ROT.y_center(F.col("row"), F.col("col")).alias("y"),
+    ).collect()
+    gt = ROT.tile_geotrans(0, 0)
+    assert gt == (100.0, 2.0, 0.7, 500.0, -0.4, -3.0)
+    ex = gt[0] + (0.5 + cols) * gt[1] + (0.5 + rows) * gt[2]
+    ey = gt[3] + (0.5 + cols) * gt[4] + (0.5 + rows) * gt[5]
+    np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-14)
+    np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-14)
+    # numpy twin agrees with the Column twin
+    nx, ny = ROT.px_center_world_np(cols, rows)
+    np.testing.assert_allclose(nx, ex, rtol=1e-14)
+    np.testing.assert_allclose(ny, ey, rtol=1e-14)
+
+
+def test_inverse_affine_roundtrip_and_tile_assignment(spark):
+    rng = np.random.default_rng(4)
+    cols = rng.uniform(0, 127, 300)
+    rows = rng.uniform(0, 127, 300)
+    x, y = ROT.px_center_world_np(cols, rows)
+    cf, rf = ROT.world_to_px_np(x, y)
+    np.testing.assert_allclose(cf, cols + 0.5, atol=1e-9)
+    np.testing.assert_allclose(rf, rows + 0.5, atol=1e-9)
+    # Column-side point→tile must match the numpy floor of the inverse
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    got = df.select(
+        ROT.px_col(F.col("x"), F.col("y")).alias("pc"),
+        ROT.px_row(F.col("y"), F.col("x")).alias("pr"),
+        ROT.tile_of_xy(F.col("x"), F.col("y")).alias("tid"),
+    ).collect()
+    pc = np.floor(cf).astype(int)
+    pr = np.floor(rf).astype(int)
+    assert [r["pc"] for r in got] == pc.tolist()
+    assert [r["pr"] for r in got] == pr.tolist()
+    assert [r["tid"] for r in got] == [
+        f"{r_ // 16}_{c_ // 16}" for r_, c_ in zip(pr, pc)
+    ]
+    # a rotated grid refuses the single-coordinate form loudly
+    with pytest.raises(ValueError, match="rotated grid needs both"):
+        df.select(ROT.px_col(F.col("x"))).collect()
+
+
+def test_rotated_tiles_df_bbox_covers_corners(spark):
+    tiles = {r["tile_id"]: r for r in ROT.tiles_df(spark).collect()}
+    for (tr, tc) in [(0, 0), (3, 5), (7, 7)]:
+        t = tiles[f"{tr}_{tc}"]
+        for dc in (0, 16):
+            for dr in (0, 16):
+                c, r = tc * 16 + dc, tr * 16 + dr
+                x = ROT.ul_x + c * ROT.psx + r * ROT.rot_x
+                y = ROT.ul_y + c * ROT.rot_y - r * ROT.psy
+                assert t["xmin"] - 1e-9 <= x <= t["xmax"] + 1e-9
+                assert t["ymin"] - 1e-9 <= y <= t["ymax"] + 1e-9
+
+
+def test_axis_aligned_guards_raise():
+    with pytest.raises(NotImplementedError, match="axis-aligned"):
+        require_axis_aligned(ROT, "zonal_stats")
+    require_axis_aligned(RegularGrid(), "ok")  # no-op for north-up
+
+
+# ---- rotation-exact average resampling -------------------------------------
+
+
+def _clip_poly_cell(poly, c, r):
+    """Scalar Sutherland–Hodgman: polygon ∩ unit cell [c,c+1)x[r,r+1),
+    returns area (the independent reference implementation)."""
+    def clip(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            ia, ib = inside(a), inside(b)
+            if ia:
+                out.append(a)
+                if not ib:
+                    out.append(intersect(a, b))
+            elif ib:
+                out.append(intersect(a, b))
+        return out
+
+    def ix_v(x0):
+        def f(a, b):
+            t = (x0 - a[0]) / (b[0] - a[0])
+            return (x0, a[1] + t * (b[1] - a[1]))
+        return f
+
+    def ix_h(y0):
+        def f(a, b):
+            t = (y0 - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), y0)
+        return f
+
+    pts = list(poly)
+    pts = clip(pts, lambda p: p[0] >= c, ix_v(c))
+    if pts:
+        pts = clip(pts, lambda p: p[0] <= c + 1, ix_v(c + 1))
+    if pts:
+        pts = clip(pts, lambda p: p[1] >= r, ix_h(r))
+    if pts:
+        pts = clip(pts, lambda p: p[1] <= r + 1, ix_h(r + 1))
+    if len(pts) < 3:
+        return 0.0
+    return 0.5 * abs(
+        sum(
+            pts[i][0] * pts[(i + 1) % len(pts)][1]
+            - pts[(i + 1) % len(pts)][0] * pts[i][1]
+            for i in range(len(pts))
+        )
+    )
+
+
+def test_rotated_average_matches_polygon_clipping_reference(spark):
+    # VERDICT r4 #5 Done-criterion: 30°-rotated warp, average resampling,
+    # vs a numpy/scalar polygon-clipping reference (independent SH clip)
+    th = math.radians(30.0)
+    s = 3.0  # dst pixel ~3x src pixel: real area averaging
+    src = RegularGrid(ul_x=0.0, ul_y=0.0, psx=1.0, psy=1.0,
+                      tile_cols=32, tile_rows=32, n_tile_cols=4, n_tile_rows=4)
+    dst = RegularGrid(
+        ul_x=10.0, ul_y=-10.0,
+        psx=s * math.cos(th), rot_x=s * math.sin(th),
+        rot_y=s * math.sin(th), psy=s * math.cos(th),
+        tile_cols=16, tile_rows=16, n_tile_cols=2, n_tile_rows=2,
+    )
+    y, x = np.mgrid[0:64, 0:64]
+    ramp = ((x * 3 + y * 5) % 251).astype(np.uint8)
+    # plant nodata (stored uint8 wrap of -9999) in a block
+    nod = np.uint8(np.array(-9999).astype(np.uint8))
+    ramp[20:24, 20:24] = nod
+    rows = [(1, ramp.tobytes(), 64, 64, "raw", "uint8", 0, 0)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    H = W_ = 10
+    out = warp_window(df, src, dst, 0, 0, H, W_, method="average")
+    rec = out.collect()[0]
+    got = np.frombuffer(rec["bytes"], dtype=rec["dtype"]).reshape(H, W_)
+
+    vals = ramp.astype("float64")
+    vals[ramp == nod] = np.nan
+    want = np.full((H, W_), -9999.0)
+    for i in range(H):
+        for j in range(W_):
+            # dst pixel corner quad → world → src continuous px coords
+            quad = []
+            for (dc, dr) in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                c_, r_ = j + dc, i + dr
+                wx = dst.ul_x + c_ * dst.psx + r_ * dst.rot_x
+                wy = dst.ul_y + c_ * dst.rot_y - r_ * dst.psy
+                quad.append(((wx - src.ul_x) / src.psx,
+                             (src.ul_y - wy) / src.psy))
+            cs = [p[0] for p in quad]
+            rs = [p[1] for p in quad]
+            num = den = 0.0
+            for cc in range(int(np.floor(min(cs))), int(np.ceil(max(cs)))):
+                for rr in range(int(np.floor(min(rs))), int(np.ceil(max(rs)))):
+                    if not (0 <= cc < 64 and 0 <= rr < 64):
+                        continue
+                    v = vals[rr, cc]
+                    if np.isnan(v):
+                        continue
+                    a = _clip_poly_cell(quad, cc, rr)
+                    num += a * v
+                    den += a
+            if den > 1e-12:
+                want[i, j] = num / den
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-9)
+    # the bbox approximation would NOT reproduce this (sanity: the test
+    # would be vacuous if every quad were axis-aligned)
+    assert dst.is_rotated

@@ -59,6 +59,16 @@ class RegularGrid:
     tile_rows: int = 25
     n_tile_cols: int = 0
     n_tile_rows: int = 0
+    #: GDAL geotransform rotation/shear terms (SURVEY §1.4 #1; reference
+    #: native/netcdf.py:225-227 carries geotrans[2]/geotrans[4]):
+    #: rot_x = gt2 (x change per ROW step), rot_y = gt4 (y change per COL
+    #: step).  The full affine is
+    #:   x = ul_x + col*psx + row*rot_x
+    #:   y = ul_y + col*rot_y - row*psy
+    #: Zero (the default) keeps every formula on the exact north-up fast
+    #: path used by rounds 1-4.
+    rot_x: float = 0.0
+    rot_y: float = 0.0
     namer: Callable[[Column, Column], Column] | None = None
     #: declared spatial reference (WKT or "EPSG:xxxx"); the reference
     #: carries sref on every raster object (base.py:98-100) — here it is
@@ -68,21 +78,82 @@ class RegularGrid:
 
     # ---- world <-> pixel ------------------------------------------------
 
-    def px_col(self, x: Column) -> Column:
-        """World x → global pixel column (floor; base.py:44-73 rel_extent)."""
-        return F.floor((x - F.lit(self.ul_x)) / F.lit(self.psx)).cast("long")
+    @property
+    def is_rotated(self) -> bool:
+        return self.rot_x != 0.0 or self.rot_y != 0.0
 
-    def px_row(self, y: Column) -> Column:
+    def _inv_affine(self, dx, dy):
+        """(x-ul_x, y-ul_y) → continuous (col, row) for the general
+        geotransform: inverts [[psx, rot_x], [rot_y, -psy]].  Works on
+        Columns AND numpy arrays (plain arithmetic)."""
+        det = -(self.psx * self.psy + self.rot_x * self.rot_y)
+        col = (-self.psy * dx - self.rot_x * dy) / det
+        row = (-self.rot_y * dx + self.psx * dy) / det
+        return col, row
+
+    def px_col(self, x: Column, y: Column | None = None) -> Column:
+        """World x → global pixel column (floor; base.py:44-73 rel_extent).
+        A rotated grid needs BOTH coordinates (the affine mixes axes)."""
+        if not self.is_rotated:
+            return F.floor((x - F.lit(self.ul_x)) / F.lit(self.psx)).cast("long")
+        if y is None:
+            raise ValueError("px_col on a rotated grid needs both x and y")
+        col, _ = self._inv_affine(x - F.lit(self.ul_x), y - F.lit(self.ul_y))
+        return F.floor(col).cast("long")
+
+    def px_row(self, y: Column, x: Column | None = None) -> Column:
         """World y → global pixel row (y axis points down: ul_y at row 0)."""
-        return F.floor((F.lit(self.ul_y) - y) / F.lit(self.psy)).cast("long")
+        if not self.is_rotated:
+            return F.floor((F.lit(self.ul_y) - y) / F.lit(self.psy)).cast("long")
+        if x is None:
+            raise ValueError("px_row on a rotated grid needs both x and y")
+        _, row = self._inv_affine(x - F.lit(self.ul_x), y - F.lit(self.ul_y))
+        return F.floor(row).cast("long")
 
-    def x_center(self, col: Column) -> Column:
-        """Pixel col → center x (native/netcdf.py:225-227)."""
-        return F.lit(self.ul_x) + (col + F.lit(0.5)) * F.lit(self.psx)
+    def x_center(self, col: Column, row: Column | None = None) -> Column:
+        """Pixel col → center x (native/netcdf.py:225-227: geotrans[0] +
+        (0.5+col)*geotrans[1] + (0.5+row)*geotrans[2])."""
+        base = F.lit(self.ul_x) + (col + F.lit(0.5)) * F.lit(self.psx)
+        if not self.is_rotated:
+            return base
+        if row is None:
+            raise ValueError("x_center on a rotated grid needs both col and row")
+        return base + (row + F.lit(0.5)) * F.lit(self.rot_x)
 
-    def y_center(self, row: Column) -> Column:
+    def y_center(self, row: Column, col: Column | None = None) -> Column:
         """Pixel row → center y (native/netcdf.py:241-243, psy<0 north-up)."""
-        return F.lit(self.ul_y) - (row + F.lit(0.5)) * F.lit(self.psy)
+        base = F.lit(self.ul_y) - (row + F.lit(0.5)) * F.lit(self.psy)
+        if not self.is_rotated:
+            return base
+        if col is None:
+            raise ValueError("y_center on a rotated grid needs both col and row")
+        return base + (col + F.lit(0.5)) * F.lit(self.rot_y)
+
+    # numpy twins (same formulas, array execution — used by the pixel
+    # kernels in operators/raster.py; one formula set, two backends, the
+    # same pattern as functions/crs.py)
+
+    def px_center_world_np(self, col, row):
+        """Continuous pixel (col, row) CENTERS → world (x, y)."""
+        import numpy as np
+
+        col = np.asarray(col, dtype="float64")
+        row = np.asarray(row, dtype="float64")
+        x = self.ul_x + (col + 0.5) * self.psx + (row + 0.5) * self.rot_x
+        y = self.ul_y + (col + 0.5) * self.rot_y - (row + 0.5) * self.psy
+        return x, y
+
+    def world_to_px_np(self, x, y):
+        """World (x, y) → CONTINUOUS (col, row); floor for indices.
+        Exact inverse of the general affine (north-up fast path keeps the
+        round-1 formula bit-for-bit)."""
+        import numpy as np
+
+        x = np.asarray(x, dtype="float64")
+        y = np.asarray(y, dtype="float64")
+        if not self.is_rotated:
+            return (x - self.ul_x) / self.psx, (self.ul_y - y) / self.psy
+        return self._inv_affine(x - self.ul_x, y - self.ul_y)
 
     # ---- pixel -> tile ---------------------------------------------------
 
@@ -101,7 +172,7 @@ class RegularGrid:
     def tile_of_xy(self, x: Column, y: Column) -> Column:
         """mosaic.xy2tile(x, y) analog (base.py:471-477)."""
         return self.tile_id_of(
-            self.tile_row_of(self.px_row(y)), self.tile_col_of(self.px_col(x))
+            self.tile_row_of(self.px_row(y, x)), self.tile_col_of(self.px_col(x, y))
         )
 
     # pixel position inside the tile (tile.xy2rc analog)
@@ -203,6 +274,40 @@ class RegularGrid:
                 spark.range(self.n_tile_cols).withColumnRenamed("id", "tile_col")
             )
         )
+        if self.is_rotated:
+            # world bbox of a rotated tile = min/max over its 4 affine
+            # corners (axis-aligned formulas below would under-cover)
+            c0 = F.col("tile_col") * F.lit(self.tile_cols)
+            r0 = F.col("tile_row") * F.lit(self.tile_rows)
+            corners = [
+                (c0 + dc, r0 + dr)
+                for dc in (F.lit(0), F.lit(self.tile_cols))
+                for dr in (F.lit(0), F.lit(self.tile_rows))
+            ]
+            cx = [
+                F.lit(self.ul_x) + c * F.lit(self.psx) + r * F.lit(self.rot_x)
+                for c, r in corners
+            ]
+            cy = [
+                F.lit(self.ul_y) + c * F.lit(self.rot_y) - r * F.lit(self.psy)
+                for c, r in corners
+            ]
+            xmin, xmax = F.least(*cx), F.greatest(*cx)
+            ymin, ymax = F.least(*cy), F.greatest(*cy)
+            return df.select(
+                self.tile_id_of(F.col("tile_row"), F.col("tile_col")).alias("tile_id"),
+                "tile_row",
+                "tile_col",
+                (F.col("tile_row") * self.tile_rows).alias("px_row0"),
+                (F.col("tile_col") * self.tile_cols).alias("px_col0"),
+                xmin.alias("xmin"),
+                xmax.alias("xmax"),
+                ymin.alias("ymin"),
+                ymax.alias("ymax"),
+                F.lit(self.tile_rows).alias("n_rows"),
+                F.lit(self.tile_cols).alias("n_cols"),
+                *([F.lit(self.sref).alias("sref")] if self.sref is not None else []),
+            )
         xmin = F.lit(self.ul_x) + F.col("tile_col") * F.lit(self.tile_cols * self.psx)
         ymax = F.lit(self.ul_y) - F.col("tile_row") * F.lit(self.tile_rows * self.psy)
         return df.select(
@@ -241,13 +346,30 @@ class RegularGrid:
 
     # geotransform of one tile (for parity with native/geotiff.py:33-41)
     def tile_geotrans(self, tile_row: int, tile_col: int) -> tuple:
+        c0 = tile_col * self.tile_cols
+        r0 = tile_row * self.tile_rows
         return (
-            self.ul_x + tile_col * self.tile_cols * self.psx,
+            self.ul_x + c0 * self.psx + r0 * self.rot_x,
             self.psx,
-            0.0,
-            self.ul_y - tile_row * self.tile_rows * self.psy,
-            0.0,
+            self.rot_x,
+            self.ul_y + c0 * self.rot_y - r0 * self.psy,
+            self.rot_y,
             -self.psy,
+        )
+
+
+def require_axis_aligned(grid: "RegularGrid", op: str) -> None:
+    """Loud guard for operators whose world↔pixel math assumes a
+    north-up, axis-aligned grid.  Rotated geotransforms are supported in
+    tile assignment, pixel-center/footprint math and warp_window — warp
+    a rotated source to a north-up grid first for everything else."""
+    if grid.is_rotated:
+        raise NotImplementedError(
+            f"{op} assumes an axis-aligned (north-up) grid; this grid has "
+            f"rot_x={grid.rot_x}, rot_y={grid.rot_y}. Supported on rotated "
+            "grids: tile assignment (tile_of_xy/px_col/px_row), pixel-"
+            "center math (x_center/y_center), tiles_df, warp_window — "
+            "warp to a north-up grid before polygon masking/zonal stats."
         )
 
 

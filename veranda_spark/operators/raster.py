@@ -33,7 +33,7 @@ from veranda_spark.functions.geometry import (
     polygon_pixel_mask,
     rings_pixel_mask,
 )
-from veranda_spark.grid import RegularGrid
+from veranda_spark.grid import RegularGrid, require_axis_aligned
 
 ASSEMBLED_SCHEMA = (
     "var string, layer_id int, bytes binary, h int, w int, channels int, dtype string"
@@ -180,6 +180,8 @@ def read_window(
 
     patches = pruned.mapInPandas(slice_window, schema=patch_schema)
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if poly is not None:
+        require_axis_aligned(grid, "read_window(mask_polygon=...)")
     mask = (
         rings_pixel_mask(
             poly, grid.ul_x, grid.ul_y, grid.psx, grid.psy, row0, col0, height, width
@@ -637,6 +639,7 @@ def zonal_stats(
     dict rides the task closure; for polygon TABLES use
     ``zonal_stats_table``.
     """
+    require_axis_aligned(grid, "zonal_stats")
     polys = {k: _as_rings(v) for k, v in polygons.items()}
     grid_args = (grid.ul_x, grid.ul_y, grid.psx, grid.psy)
 
@@ -688,6 +691,7 @@ def zonal_stats_table(
     """
     from veranda_spark.functions.geometry import is_ring_list_column
 
+    require_axis_aligned(grid, "zonal_stats_table")
     size = 1 << res
     id_col = "image_id" if "image_id" in df.columns else df.columns[0]
     multi_ring = is_ring_list_column(polygons, xy_col)
@@ -972,6 +976,75 @@ def _box_sum(S, rmin, rmax, cmin, cmax):
     )
 
 
+def _quad_cell_coverage(qc: "np.ndarray", qr: "np.ndarray"):
+    """EXACT area of (quad ∩ unit cell) for every cell in each quad's
+    stencil — the rotation-exact weights for ``average`` resampling
+    (round-5, VERDICT r4 #5; replaces the bbox approximation for
+    rotated/sheared footprints).
+
+    ``qc``/``qr``: (n, 4) vertex cols/rows of each convex quad in
+    continuous src pixel space, ring order.  Returns ``(W, rbase,
+    cbase)`` where ``W[p, dr, dc]`` is the intersection area of quad p
+    with cell ``[rbase[p]+dr, +1) × [cbase[p]+dc, +1)``.
+
+    Method (scanline Green's theorem, the font-rasterizer coverage
+    trick): the winding indicator decomposes per directed edge as
+    ``1_P(x,y) = Σ_e sign(dy_e)·[y in e's range]·[x < x_e(y)]``, so each
+    edge segment split at integer lattice crossings contributes
+    ``dy·(x_mid − C)`` to its own cell (x is linear along the segment —
+    the midpoint integral is exact) and a full ``dy`` to every cell to
+    its LEFT (resolved by one reverse cumulative sum per row).  Exact
+    for straight-edge polygons — for curved (cross-CRS) footprints the
+    chord approximation error is O(edge sag), far below the old bbox
+    overshoot."""
+    n = qc.shape[0]
+    cbase = np.floor(qc.min(1)).astype("int64")
+    rbase = np.floor(qr.min(1)).astype("int64")
+    k = int(
+        max(
+            np.ceil(qc.max(1) - cbase).max(initial=1.0),
+            np.ceil(qr.max(1) - rbase).max(initial=1.0),
+        )
+    )
+    x = qc - cbase[:, None]
+    y = qr - rbase[:, None]
+    area = np.zeros((n, k, k))
+    cover = np.zeros((n, k, k))
+    pix = np.arange(n)
+    shoelace = np.zeros(n)
+    for e in range(4):
+        x0, y0 = x[:, e], y[:, e]
+        x1, y1 = x[:, (e + 1) % 4], y[:, (e + 1) % 4]
+        shoelace += x0 * y1 - x1 * y0
+        dx, dy = x1 - x0, y1 - y0
+        dxs = np.where(dx == 0, 1.0, dx)
+        dys = np.where(dy == 0, 1.0, dy)
+        ts = [np.zeros(n), np.ones(n)]
+        for kk in range(k + 1):
+            th = np.where(dy != 0, (kk - y0) / dys, -1.0)
+            tv = np.where(dx != 0, (kk - x0) / dxs, -1.0)
+            # out-of-range crossings collapse to t=1 (empty tail segment)
+            ts.append(np.where((th > 0) & (th < 1), th, 1.0))
+            ts.append(np.where((tv > 0) & (tv < 1), tv, 1.0))
+        t = np.sort(np.stack(ts, axis=1), axis=1)
+        ta, tb = t[:, :-1], t[:, 1:]
+        tm = (ta + tb) / 2.0
+        seg_dy = (tb - ta) * dy[:, None]
+        xm = x0[:, None] + tm * dx[:, None]
+        ym = y0[:, None] + tm * dy[:, None]
+        cc = np.clip(np.floor(xm).astype("int64"), 0, k - 1)
+        rr = np.clip(np.floor(ym).astype("int64"), 0, k - 1)
+        pp = np.broadcast_to(pix[:, None], cc.shape)
+        np.add.at(area, (pp, rr, cc), seg_dy * (xm - cc))
+        np.add.at(cover, (pp, rr, cc), seg_dy)
+    # cells strictly LEFT of a segment's column get its full dy
+    tail = np.flip(np.cumsum(np.flip(cover, -1), -1), -1) - cover
+    w = area + tail
+    # a mirrored (negative-Jacobian) mapping yields negative winding
+    w *= np.sign(shoelace)[:, None, None]
+    return np.maximum(w, 0.0), rbase, cbase
+
+
 def warp_window(
     df: DataFrame,
     src_grid: RegularGrid,
@@ -1005,8 +1078,11 @@ def warp_window(
          choice for >2x downscales; reference resample set:
          gdalport.py:30-41).  All but nearest emit float64 and are
          nodata-aware (cubic renormalizes over valid taps; average
-         integrates value and valid-count integral images, exact for
-         axis-aligned footprints, bbox-approximate under rotation).
+         integrates value and valid-count integral images on the
+         axis-aligned fast path, and — round 5 — switches to EXACT
+         quad∩cell coverage weights (``_quad_cell_coverage``) when the
+         footprints are rotated or sheared, so 30°-rotated warps carry
+         true area-weighted means, not bbox approximations).
          Out-of-source pixels come back as ``nodata``.
     """
     from veranda_spark.functions.crs import NP, transform
@@ -1018,10 +1094,9 @@ def warp_window(
     )
 
     def dst_world(cols: np.ndarray, rows: np.ndarray):
-        return (
-            dst_grid.ul_x + (cols + 0.5) * dst_grid.psx,
-            dst_grid.ul_y - (rows + 0.5) * dst_grid.psy,
-        )
+        # full geotransform incl. rot terms (SURVEY §1.4 #1) — identical
+        # to the pre-rotation formula when rot_x = rot_y = 0
+        return dst_grid.px_center_world_np(cols, rows)
 
     def to_src(x: np.ndarray, y: np.ndarray):
         if same_crs:
@@ -1035,8 +1110,7 @@ def warp_window(
     cols_b, rows_b = np.meshgrid(bc, br)
     xb, yb = dst_world(cols_b.ravel() - 0.5, rows_b.ravel() - 0.5)
     sxb, syb = to_src(xb, yb)
-    sc = (sxb - src_grid.ul_x) / src_grid.psx
-    sr = (src_grid.ul_y - syb) / src_grid.psy
+    sc, sr = src_grid.world_to_px_np(sxb, syb)
     src_c0 = int(np.floor(sc.min())) - pad_px
     src_r0 = int(np.floor(sr.min())) - pad_px
     src_w = int(np.ceil(sc.max())) + pad_px - src_c0
@@ -1052,12 +1126,14 @@ def warp_window(
     )
     gx, gy = dst_world(jj.astype("float64"), ii.astype("float64"))
     sx, sy = to_src(gx, gy)
-    fcol = (sx - src_grid.ul_x) / src_grid.psx - 0.5 - src_c0
-    frow = (src_grid.ul_y - sy) / src_grid.psy - 0.5 - src_r0
+    _fc, _fr = src_grid.world_to_px_np(sx, sy)
+    fcol = _fc - 0.5 - src_c0
+    frow = _fr - 0.5 - src_r0
 
     box_rmin = box_rmax = box_cmin = box_cmax = None
+    quad_c = quad_r = None  # rotated path: exact quad coverage weights
     if method == "average":
-        # per-dst-pixel src footprint boxes from the PIXEL CORNER grid
+        # per-dst-pixel src footprint quads from the PIXEL CORNER grid
         # (continuous src coords: src pixel k spans [k, k+1))
         ej, ei = np.meshgrid(
             np.arange(col0, col0 + width + 1, dtype="float64"),
@@ -1065,12 +1141,72 @@ def warp_window(
         )
         ex, ey = dst_world(ej - 0.5, ei - 0.5)  # corner world coords
         esx, esy = to_src(ex, ey)
-        ec = (esx - src_grid.ul_x) / src_grid.psx - src_c0
-        er = (src_grid.ul_y - esy) / src_grid.psy - src_r0
-        corners_c = np.stack([ec[:-1, :-1], ec[:-1, 1:], ec[1:, :-1], ec[1:, 1:]])
-        corners_r = np.stack([er[:-1, :-1], er[:-1, 1:], er[1:, :-1], er[1:, 1:]])
-        box_cmin, box_cmax = corners_c.min(0), corners_c.max(0)
-        box_rmin, box_rmax = corners_r.min(0), corners_r.max(0)
+        ec, er = src_grid.world_to_px_np(esx, esy)
+        ec, er = ec - src_c0, er - src_r0
+        axis_aligned = (
+            np.abs(np.diff(ec, axis=0)).max(initial=0.0) < 1e-9
+            and np.abs(np.diff(er, axis=1)).max(initial=0.0) < 1e-9
+        )
+        if axis_aligned:
+            corners_c = np.stack([ec[:-1, :-1], ec[:-1, 1:], ec[1:, :-1], ec[1:, 1:]])
+            corners_r = np.stack([er[:-1, :-1], er[:-1, 1:], er[1:, :-1], er[1:, 1:]])
+            box_cmin, box_cmax = corners_c.min(0), corners_c.max(0)
+            box_rmin, box_rmax = corners_r.min(0), corners_r.max(0)
+        else:
+            # RING order (ccw/cw consistent): (i,j) (i,j+1) (i+1,j+1) (i+1,j)
+            quad_c = np.stack(
+                [ec[:-1, :-1], ec[:-1, 1:], ec[1:, 1:], ec[1:, :-1]], axis=-1
+            ).reshape(-1, 4)
+            quad_r = np.stack(
+                [er[:-1, :-1], er[:-1, 1:], er[1:, 1:], er[1:, :-1]], axis=-1
+            ).reshape(-1, 4)
+
+    def _avg_chunks():
+        """Yield (pixel slice, W, rbase, cbase) coverage chunks, bounding
+        the (npix × K × K) weight tensor to ~32 MB per chunk."""
+        npix = quad_c.shape[0]
+        span = max(
+            1.0,
+            (quad_c.max(1) - quad_c.min(1)).max(),
+            (quad_r.max(1) - quad_r.min(1)).max(),
+        )
+        k_est = int(np.ceil(span)) + 1
+        step = max(1, int(4e6 // (k_est * k_est)))
+        for s in range(0, npix, step):
+            sl = slice(s, min(s + step, npix))
+            w, rb, cb = _quad_cell_coverage(quad_c[sl], quad_r[sl])
+            yield sl, w, rb, cb
+
+    def _avg_quad_exact(vals: np.ndarray, h: int, w_: int) -> np.ndarray:
+        """Rotation-exact area-weighted mean: per dst pixel, the mean of
+        src values weighted by the EXACT quad∩cell areas; nodata (NaN)
+        cells and out-of-window cells drop from numerator AND
+        denominator."""
+        ch_shape = vals.shape[2:]
+        out = np.full((height * width,) + ch_shape, np.nan)
+        for sl, cw, rb, cb in _avg_chunks():
+            m, kk = cw.shape[0], cw.shape[1]
+            num = np.zeros((m,) + ch_shape)
+            den = np.zeros((m,) + ch_shape)
+            for dr in range(kk):
+                rr = rb + dr
+                rok = (rr >= 0) & (rr < h)
+                rrc = np.clip(rr, 0, h - 1)
+                for dc in range(kk):
+                    cc = cb + dc
+                    ok = rok & (cc >= 0) & (cc < w_)
+                    ccc = np.clip(cc, 0, w_ - 1)
+                    v = vals[rrc, ccc]
+                    wgt = cw[:, dr, dc]
+                    if ch_shape:
+                        ok_t = ok[:, None] & ~np.isnan(v)
+                        wgt = wgt[:, None]
+                    else:
+                        ok_t = ok & ~np.isnan(v)
+                    num += np.where(ok_t, wgt * np.nan_to_num(v), 0.0)
+                    den += np.where(ok_t, wgt, 0.0)
+            out[sl] = np.where(den > 1e-12, num / np.where(den == 0, 1, den), np.nan)
+        return out.reshape((height, width) + ch_shape)
 
     def _warp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1164,14 +1300,21 @@ def warp_window(
                     nod = np.full((), nodata).astype(src.dtype)[()]
                     vals = src.astype("float64")
                     vals[src == nod] = np.nan
-                    Sv, Sc = _integral_pair(vals)
-                    rmin = np.clip(box_rmin, 0.0, float(row.h))
-                    rmax = np.clip(box_rmax, 0.0, float(row.h))
-                    cmin = np.clip(box_cmin, 0.0, float(row.w))
-                    cmax = np.clip(box_cmax, 0.0, float(row.w))
-                    s = _box_sum(Sv, rmin, rmax, cmin, cmax)
-                    n = _box_sum(Sc, rmin, rmax, cmin, cmax)
-                    out = np.where(n > 1e-9, s / np.where(n == 0, 1, n), nodata)
+                    if quad_c is not None:
+                        # rotated/sheared footprint: exact quad coverage
+                        # weights (round-5) — the bbox shortcut would
+                        # overweight the corners
+                        out = _avg_quad_exact(vals, row.h, row.w)
+                        out = np.where(np.isnan(out), nodata, out)
+                    else:
+                        Sv, Sc = _integral_pair(vals)
+                        rmin = np.clip(box_rmin, 0.0, float(row.h))
+                        rmax = np.clip(box_rmax, 0.0, float(row.h))
+                        cmin = np.clip(box_cmin, 0.0, float(row.w))
+                        cmax = np.clip(box_cmax, 0.0, float(row.w))
+                        s = _box_sum(Sv, rmin, rmax, cmin, cmax)
+                        n = _box_sum(Sc, rmin, rmax, cmin, cmax)
+                        out = np.where(n > 1e-9, s / np.where(n == 0, 1, n), nodata)
                     dt = "float64"
                 else:
                     raise ValueError(

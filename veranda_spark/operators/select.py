@@ -26,7 +26,7 @@ from veranda_spark.functions.geometry import (
     rings_bbox,
     segment_intersects_boxes,
 )
-from veranda_spark.grid import RegularGrid
+from veranda_spark.grid import RegularGrid, require_axis_aligned
 
 
 def with_tile_id(df: DataFrame, grid: RegularGrid) -> DataFrame:
@@ -69,9 +69,10 @@ def select_px_window(
 
 def select_xy(df: DataFrame, grid: RegularGrid, x: float, y: float) -> DataFrame:
     """P5 (base.py:437-483): point select — rows whose footprint contains
-    the pixel of (x, y)."""
-    pc = int(np.floor((x - grid.ul_x) / grid.psx))
-    pr = int(np.floor((grid.ul_y - y) / grid.psy))
+    the pixel of (x, y).  Rotation-aware (round 5): the full inverse
+    geotransform resolves the pixel, so sheared grids select exactly."""
+    pcf, prf = grid.world_to_px_np(np.array([x]), np.array([y]))
+    pc, pr = int(np.floor(pcf[0])), int(np.floor(prf[0]))
     return select_px_window(df, pr, pc, 1, 1)
 
 
@@ -80,8 +81,16 @@ def select_bbox(
 ) -> DataFrame:
     """P6 (base.py:485-508): bbox = polygon select with apply_mask=False →
     a pure range predicate on footprint extents (world coords: bbox =
-    (xmin, ymin, xmax, ymax))."""
+    (xmin, ymin, xmax, ymax)).  On a rotated grid the pixel window is
+    the covering bbox of the four inverse-affine corners."""
     xmin, ymin, xmax, ymax = bbox
+    if grid.is_rotated:
+        xs = np.array([xmin, xmax, xmin, xmax])
+        ys = np.array([ymin, ymin, ymax, ymax])
+        cf, rf = grid.world_to_px_np(xs, ys)
+        c0, c1 = int(np.floor(cf.min())), int(np.ceil(cf.max()))
+        r0, r1 = int(np.floor(rf.min())), int(np.ceil(rf.max()))
+        return select_px_window(df, r0, c0, r1 - r0, c1 - c0)
     c0 = int(np.floor((xmin - grid.ul_x) / grid.psx))
     c1 = int(np.ceil((xmax - grid.ul_x) / grid.psx))
     r0 = int(np.floor((grid.ul_y - ymax) / grid.psy))
@@ -103,6 +112,7 @@ def select_polygon(
     ``read_window(..., mask_polygon=...)`` — matching veranda, where the
     register keeps whole tiles and only pixels are nodata'd out.
     """
+    require_axis_aligned(grid, "select_polygon")
     poly = np.asarray(polygon, dtype="float64")
     xmin, ymin, xmax, ymax = polygon_bbox(poly)
     out = select_bbox(df, grid, (xmin, ymin, xmax, ymax))
@@ -161,6 +171,7 @@ def select_multipolygon(
     test keeps boxes whose boundary region is cut (conservative for a box
     straddling only a hole edge: such a box DOES intersect the filled
     region just outside the hole, so keeping it is correct)."""
+    require_axis_aligned(grid, "select_multipolygon")
     polys = [np.asarray(r, dtype="float64") for r in rings]
     xmin, ymin, xmax, ymax = rings_bbox(polys)
     out = select_bbox(df, grid, (xmin, ymin, xmax, ymax))
