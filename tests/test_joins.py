@@ -130,3 +130,67 @@ def test_knn_histogram_reuse_skips_sampled_pass(spark, points):
                   for r in base.collect())
     assert got == want
     hist.unpersist()
+
+
+def test_point_in_tile_join_planetary_flip(spark, points):
+    # VERDICT r4 #7: above the broadcast threshold the tile dim must NOT
+    # be broadcast — the equi-join on the computed key shuffles instead
+    from veranda_spark.grid import RegularGrid
+    from veranda_spark.operators.joins import point_in_tile_join
+
+    from pyspark.sql import functions as F
+
+    small = RegularGrid(tile_cols=256, tile_rows=256,
+                        n_tile_cols=16, n_tile_rows=8)
+    big = RegularGrid(tile_cols=256, tile_rows=256,
+                      n_tile_cols=2000, n_tile_rows=2000)  # 4M tiles
+    # a big points side too, so Catalyst cannot sidestep by broadcasting
+    # the probe side (which would be the RIGHT call for tiny points)
+    big_points = spark.range(20_000_000).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") * 7919 % (2000 * 256)).alias("px"),
+        (F.col("id") * 104729 % (2000 * 256)).alias("py"),
+    )
+
+    plan_small = point_in_tile_join(
+        points, small.tiles_df(spark), small
+    )._jdf.queryExecution().executedPlan().toString()
+    # dim-sized grid: the tile dim IS hint-broadcast (hash relation)
+    assert "HashedRelationBroadcastMode" in plan_small
+
+    plan_big = point_in_tile_join(
+        big_points, big.tiles_df(spark), big
+    )._jdf.queryExecution().executedPlan().toString()
+    # planetary grid: NO hash-broadcast anywhere — the tile dim shuffles
+    # (the only BroadcastExchange allowed is tiles_df's internal
+    # IdentityBroadcastMode range cross-join that CONSTRUCTS the dim)
+    assert "HashedRelationBroadcastMode" not in plan_big, plan_big
+    assert ("SortMergeJoin" in plan_big) or ("ShuffledHashJoin" in plan_big)
+
+    # explicit tile_count overrides the static bound: the broadcast HINT
+    # disappears from the logical plan (Catalyst may still auto-broadcast
+    # a dim its own stats prove tiny — that is the right call, so assert
+    # at the hint level, not the physical level)
+    forced = point_in_tile_join(
+        big_points, small.tiles_df(spark), small, tile_count=10_000_000
+    )._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in forced
+    hinted = point_in_tile_join(
+        big_points, small.tiles_df(spark), small
+    )._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted
+
+    # and the flipped join still computes the same assignments
+    got = {
+        (r["point_id"], r["tile_id"])
+        for r in point_in_tile_join(
+            points, small.tiles_df(spark), small, broadcast_threshold=1
+        ).select("point_id", "tile_id").collect()
+    }
+    want = {
+        (r["point_id"], r["tile_id"])
+        for r in point_in_tile_join(
+            points, small.tiles_df(spark), small
+        ).select("point_id", "tile_id").collect()
+    }
+    assert got == want and len(got) > 0

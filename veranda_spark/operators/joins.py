@@ -189,14 +189,34 @@ def pip_join_table(
 
 
 def point_in_tile_join(
-    points: DataFrame, tiles: DataFrame, grid, x_col: str = "px", y_col: str = "py"
+    points: DataFrame,
+    tiles: DataFrame,
+    grid,
+    x_col: str = "px",
+    y_col: str = "py",
+    broadcast_threshold: int = 1_000_000,
+    tile_count: int | None = None,
 ) -> DataFrame:
-    """J3 (xy2tile, base.py:471-477) as a broadcast equi join against the
-    tile dimension: the point's tile key is computed, not searched."""
+    """J3 (xy2tile, base.py:471-477) as an equi join against the tile
+    dimension: the point's tile key is COMPUTED (tile_of_xy), never
+    searched, so the join stays a key equi-join at any scale.
+
+    The tile dim is broadcast only while it is dim-sized.  On a
+    planetary grid (millions of tiles — PLANS.md flagged this flip),
+    broadcasting would ship a multi-GB dim to every executor; above
+    ``broadcast_threshold`` tiles the hint is dropped automatically and
+    the join shuffle-partitions on the computed key (AQE may still pick
+    a better physical strategy from real sizes).  The count comes from
+    the grid's static bounds (``n_tile_rows × n_tile_cols``) or an
+    explicit ``tile_count``; an unbounded grid without a count keeps the
+    dim-sized default."""
     keyed = points.withColumn(
         "tile_id", grid.tile_of_xy(F.col(x_col), F.col(y_col))
     )
-    return keyed.join(F.broadcast(tiles), "tile_id", "inner")
+    if tile_count is None and grid.n_tile_rows > 0 and grid.n_tile_cols > 0:
+        tile_count = grid.n_tile_rows * grid.n_tile_cols
+    big_dim = tile_count is not None and tile_count > broadcast_threshold
+    return keyed.join(tiles if big_dim else F.broadcast(tiles), "tile_id", "inner")
 
 
 # ---- kNN by ring expansion --------------------------------------------------
