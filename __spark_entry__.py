@@ -1023,6 +1023,37 @@ def q_warp_cubic(spark, sf_dir):
     )
 
 
+def q_warp_rotated(spark, sf_dir):
+    # round-5: rotated-geotransform warp with rotation-EXACT area
+    # resampling — a 30° sheared dst grid assembled from the mosaic via
+    # exact quad∩cell coverage weights (grid.py rot terms + raster.py
+    # _quad_cell_coverage; golden parity vs scalar polygon clipping in
+    # test_rotation.py).  Rows-only (pixel payloads).
+    import math
+
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.raster import warp_window
+
+    src = RegularGrid(
+        ul_x=0.0, ul_y=0.0, psx=1.0, psy=1.0,
+        tile_cols=256, tile_rows=256, n_tile_cols=16, n_tile_rows=8,
+    )
+    th = math.radians(30.0)
+    s = 3.0
+    dst = RegularGrid(
+        ul_x=300.0, ul_y=-300.0,
+        psx=s * math.cos(th), rot_x=s * math.sin(th),
+        rot_y=s * math.sin(th), psy=s * math.cos(th),
+        tile_cols=256, tile_rows=256, n_tile_cols=2, n_tile_rows=2,
+    )
+    imgs = generate_images(spark, 300)
+    out = warp_window(imgs, src, dst, 0, 0, 256, 256, method="average")
+    return out.select(
+        "var", "layer_id", F.crc32(F.col("bytes")).alias("canvas_crc"),
+        "h", "w",
+    )
+
+
 def q_compact_roundtrip(spark, sf_dir):
     # round-4: versioned-table small-file compaction (io/table.py
     # compact_table — Iceberg OPTIMIZE analog).  A fragmented partitioned
@@ -1435,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cog_roundtrip": q_cog_roundtrip,
         "warp_crs": q_warp_crs,
         "warp_cubic": q_warp_cubic,
+        "warp_rotated": q_warp_rotated,
         "media_metadata": q_media_metadata,
         "compact_roundtrip": q_compact_roundtrip,
         "audio_features": q_audio_features,

@@ -96,14 +96,24 @@ ROUND4: list[str] = [
     "compact_roundtrip",
 ]
 
+#: round-5 additions: general CRS (LCC), oracle-graded zonal table,
+#: in-query IVF recall gate, rotation-exact average warp
+ROUND5: list[str] = [
+    "reproject_lcc",
+    "zonal_table",
+    "ann_ivf",
+    "warp_rotated",
+]
+
 #: row-preserving projections: under ``count()`` Catalyst prunes the
 #: projected expressions entirely, so the r3 walls for these measured
 #: session overhead, not operator cost (VERDICT r3 #1).  These get a
 #: value-dependent action (sum of xxhash64 over every output column)
 #: that forces full evaluation.  ACTION CHANGE vs r1-r3: their walls are
 #: larger this round because they now do their work — not a regression.
-FULL_EVAL = {"reproject_crs", "reproject_aeqd", "doc_tokens",
-             "doc_text_profile", "hash_split", "zorder_cells"}
+FULL_EVAL = {"reproject_crs", "reproject_aeqd", "reproject_lcc",
+             "doc_tokens", "doc_text_profile", "hash_split",
+             "zorder_cells"}
 
 
 def _timed_action(df, name: str) -> None:
@@ -432,6 +442,12 @@ def write_bench_md(result: dict) -> None:
                 else ""
             )
             + (
+                f"\nRound-5 operators at sf={result['sf']}: "
+                f"{json.dumps(result['round5_queries'])}\n"
+                if result.get("round5_queries")
+                else ""
+            )
+            + (
                 f"\nACTION CHANGE (round 4): {json.dumps(result['full_eval_queries'])} "
                 "are timed under a\nfull-evaluation action (sum of xxhash64 over "
                 "all output columns) —\ncount() let Catalyst prune these "
@@ -490,7 +506,7 @@ def headline_pass(
         qs["doc_tokens"](spark, sf_dir).count()
         timings["doc_tokens_legacy_count"] = round(time.monotonic() - t0, 3)
     else:
-        for name in HEADLINE + NEWOP + ROUND3 + ROUND4:
+        for name in HEADLINE + NEWOP + ROUND3 + ROUND4 + ROUND5:
             t0 = time.monotonic()
             _timed_action(qs[name](spark, sf_dir), name)
             timings[name] = round(time.monotonic() - t0, 3)
@@ -552,6 +568,7 @@ def main() -> None:
     newop_timings = {k: best[k] for k in NEWOP}
     round3_timings = {k: best[k] for k in ROUND3}
     round4_timings = {k: best[k] for k in ROUND4}
+    round5_timings = {k: best[k] for k in ROUND5}
 
     result = {
         "metric": "headline_query_wall_sec_total",
@@ -578,6 +595,7 @@ def main() -> None:
         "newop_queries": newop_timings,
         "round3_queries": round3_timings,
         "round4_queries": round4_timings,
+        "round5_queries": round5_timings,
         "minhash_micro": hl["minhash_micro"],
         # r4 action change: these queries are now timed under a
         # full-evaluation hash-agg action instead of count() (VERDICT r3
