@@ -207,3 +207,19 @@ def test_rotated_average_matches_polygon_clipping_reference(spark):
     # the bbox approximation would NOT reproduce this (sanity: the test
     # would be vacuous if every quad were axis-aligned)
     assert dst.is_rotated
+
+
+def test_reproject_footprints_rejects_rotated_grids(spark):
+    # review r5 #2: silently dropping rot terms would shift every
+    # footprint by row*rot_x — must raise instead
+    from veranda_spark.grid import reproject_footprints
+
+    flat = RegularGrid(ul_x=0.0, ul_y=0.0, psx=1.0, psy=1.0)
+    df = spark.createDataFrame(
+        [(1, 4, 6, 8, 10)],
+        "image_id long, px_col0 long, px_row0 long, w long, h long",
+    )
+    with pytest.raises(NotImplementedError, match="axis-aligned"):
+        reproject_footprints(df, ROT, flat)
+    with pytest.raises(NotImplementedError, match="axis-aligned"):
+        reproject_footprints(df, flat, ROT)

@@ -541,3 +541,55 @@ def test_relocate_versions_reclaims_manifest_bytes(spark, base, monkeypatch):
                       commit_mode="manifest")
     assert r["compacted"] >= 1
     assert _rows(read_table(spark, base)) == got
+
+
+def test_unowned_orphan_age_gate_self_heals(spark, base):
+    # review r5 #1: a crash in the microsecond mkdir->claim window leaves
+    # an UNOWNED orphan; owner-scoped recovery must clear it once it is
+    # older than the grace window (else the stream wedges forever), but
+    # must SKIP a fresh unowned dir (possibly a live writer mid-stamp).
+    import time
+
+    from veranda_spark.io.table import recover_orphans
+
+    fresh = os.path.join(base, "_versions", "000002")
+    os.makedirs(fresh)
+    assert recover_orphans(base, owner="merge_stream:x") == []
+    assert os.path.isdir(fresh), "fresh unowned dir must survive the grace"
+    old_t = time.time() - 3600
+    os.utime(fresh, (old_t, old_t))
+    assert recover_orphans(base, owner="merge_stream:x") == [2]
+    assert not os.path.isdir(fresh)
+
+
+def test_compact_owner_unique_per_invocation(spark, tmp_path):
+    # review r5 #3: two compactors must never share an owner string, or
+    # owner-scoped recovery could clear a live second compactor's claim
+    import json
+
+    from veranda_spark.io.table import compact_table, create_table
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(8)], "k long, val string")
+    create_table(df, path)
+    # force file counts above threshold by two single-row merges, then
+    # compact; churn again so the SECOND compact also does real work
+    for j in range(2):
+        merge_into(spark, path,
+                   spark.createDataFrame([(100 + j, "x")], "k long, val string"),
+                   keys=["k"])
+    assert compact_table(spark, path, max_files=1)["compacted"] >= 1
+    for j in range(2):
+        merge_into(spark, path,
+                   spark.createDataFrame([(200 + j, "y")], "k long, val string"),
+                   keys=["k"])
+    assert compact_table(spark, path, max_files=1)["compacted"] >= 1
+    owners = []
+    for name in sorted(os.listdir(os.path.join(path, "_versions"))):
+        cp = os.path.join(path, "_versions", name, "_claim.json")
+        if os.path.exists(cp):
+            with open(cp) as f:
+                o = json.load(f)["owner"]
+            if o and o.startswith("compact_table:"):
+                owners.append(o)
+    assert len(owners) >= 2 and len(set(owners)) == len(owners), owners

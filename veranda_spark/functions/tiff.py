@@ -284,8 +284,10 @@ def tiff_decode(data: bytes, ifd: int = 0) -> np.ndarray:
         ("c", 64), ("c", 128),
     }:
         raise NotImplementedError(f"TIFF SampleFormat={sfmt} bits={bits}")
-    if pred == 2 and kind == "f":
-        raise NotImplementedError("predictor 2 on float samples")
+    if pred == 2 and kind in ("f", "c"):
+        # horizontal differencing is only defined for integer samples;
+        # cumsum'ing float/complex bytes would silently corrupt values
+        raise NotImplementedError("predictor 2 on float/complex samples")
     dt = np.dtype(f"{bo}{kind}{bits // 8}")
     bpp = (bits // 8) * spp
 

@@ -391,7 +391,14 @@ def reproject_footprints(
     nonlinear warp means corners, not just origin).  Pixel payloads are
     NOT resampled — this is register/footprint math, the metadata half of
     a warp; resampling stays with read_window's target grid.  Unsupported
-    CRS pairs still raise loudly."""
+    CRS pairs still raise loudly.
+
+    Rotated grids raise loudly (round-5 guard policy: no silently
+    dropped rot terms) — warp_window handles rotated frames with real
+    pixel resampling; footprint-only remapping between sheared frames is
+    not implemented."""
+    require_axis_aligned(src, "reproject_footprints (src grid)")
+    require_axis_aligned(dst, "reproject_footprints (dst grid)")
     same = src.sref is None or dst.sref is None or src.sref == dst.sref
     if same:
         x0 = F.lit(src.ul_x) + F.col("px_col0") * F.lit(src.psx)

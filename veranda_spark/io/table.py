@@ -275,10 +275,18 @@ def _write_claim(vdir: str, owner: str | None) -> None:
     """Stamp a freshly claimed version directory with the writer's
     identity (``_claim.json``).  Written immediately after the exclusive
     ``os.mkdir`` so an automated recoverer can tell WHOSE crash debris an
-    orphan is — see ``recover_orphans(owner=...)``.  Leading-underscore
-    name keeps it invisible to parquet scans, like ``_manifest.json``."""
-    with open(os.path.join(vdir, "_claim.json"), "w") as f:
+    orphan is — see ``recover_orphans(owner=...)``.  ATOMIC (tmp +
+    os.replace): a torn claim file can never exist, so an orphan without
+    a readable claim always means a crash in the microsecond
+    mkdir→claim window (or pre-claim-era debris) — which is what lets
+    the age-gated unowned-orphan recovery below stay safe.
+    Leading-underscore name keeps it invisible to parquet scans, like
+    ``_manifest.json``."""
+    p = os.path.join(vdir, "_claim.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"owner": owner}, f)
+    os.replace(tmp, p)
 
 
 def _claim_owner(vdir: str) -> str | None:
@@ -289,7 +297,11 @@ def _claim_owner(vdir: str) -> str | None:
         return None
 
 
-def recover_orphans(path: str, owner: str | None = None) -> list[int]:
+def recover_orphans(
+    path: str,
+    owner: str | None = None,
+    unowned_grace_s: float = 300.0,
+) -> list[int]:
     """Delete uncommitted (orphan) version directories left by crashed
     merges.  Run this before retrying a merge that failed its exclusive
     claim — merge_into itself never removes an existing claim directory
@@ -297,14 +309,25 @@ def recover_orphans(path: str, owner: str | None = None) -> list[int]:
 
     With ``owner=None`` (manual recovery) ALL orphans are cleared —
     callers must ensure no writer is live on the table.  With an
-    ``owner`` string, ONLY orphans whose ``_claim.json`` names exactly
-    that owner are cleared: an automated recoverer (e.g. the CDC
-    stream's merge_batch_handler) removes its own crash debris without
-    ever touching a claim held by a concurrently running
-    ``compact_table`` or manual ``merge_into`` — deleting another
-    writer's live claim would let both commit into the same version
-    directory, the exact corruption the exclusive-mkdir protocol
-    exists to prevent."""
+    ``owner`` string, an automated recoverer (e.g. the CDC stream's
+    merge_batch_handler) clears ONLY:
+
+    - orphans whose ``_claim.json`` names exactly that owner (its own
+      crash debris), and
+    - UNOWNED orphans (no readable claim) older than
+      ``unowned_grace_s`` seconds — claims are written atomically
+      microseconds after the mkdir, so an unowned dir past the grace
+      window can only be a crash in that microsecond gap or
+      pre-claim-era debris, never a live writer; without this the
+      stream would wedge forever on such debris (every batch raising
+      FileExistsError).
+
+    A claim held by a DIFFERENT owner is never touched — deleting
+    another writer's live claim would let both commit into the same
+    version directory, the exact corruption the exclusive-mkdir
+    protocol exists to prevent."""
+    import time
+
     cur = current_version(path)
     if cur is None:
         return []
@@ -313,8 +336,17 @@ def recover_orphans(path: str, owner: str | None = None) -> list[int]:
         if not (name.isdigit() and int(name) > cur):
             continue
         vdir = os.path.join(_versions_dir(path), name)
-        if owner is not None and _claim_owner(vdir) != owner:
-            continue  # someone else's claim (or pre-claim-era debris)
+        if owner is not None:
+            claim = _claim_owner(vdir)
+            if claim != owner:
+                if claim is not None:
+                    continue  # another writer's claim — never touch
+                try:
+                    age = time.time() - os.stat(vdir).st_mtime
+                except OSError:
+                    continue  # vanished concurrently
+                if age < unowned_grace_s:
+                    continue  # possibly a just-claimed dir mid-stamp
         shutil.rmtree(vdir)
         removed.append(int(name))
     return removed
@@ -453,7 +485,7 @@ def compact_table(
     partition_by: str | None = None,
     max_files: int = 1,
     commit_mode: str = "auto",
-    owner: str | None = "compact_table",
+    owner: str | None = None,
 ) -> dict:
     """Small-file compaction (Iceberg OPTIMIZE / bin-packing analog) for
     versioned tables: partitions of the CURRENT version holding more
@@ -475,18 +507,23 @@ def compact_table(
     partition — compaction folds them back to one file per partition.
 
     Concurrency vs a LIVE stream: the compactor's claim directory is
-    stamped with ``owner`` (default ``"compact_table"``), and the
-    stream's automated orphan recovery only clears claims it stamped
-    itself — so running compact_table against a live merge_stream table
-    never has its claim deleted mid-write.  The two writers still race
-    on the version number: whichever claims ``cur+1`` second fails
-    loudly with FileExistsError (retry after the other commits).  A
-    compactor that CRASHES leaves its claim behind; clear it with
-    ``recover_orphans(path)`` (all-orphans mode, writers stopped) or
-    ``recover_orphans(path, owner="compact_table")``.
+    stamped with ``owner`` (default: a unique
+    ``compact_table:<uuid>`` per invocation — unique so that
+    owner-scoped recovery can NEVER mistake a second, live compactor's
+    claim for this one's debris), and the stream's automated orphan
+    recovery only clears claims it stamped itself — so running
+    compact_table against a live merge_stream table never has its claim
+    deleted mid-write.  The two writers still race on the version
+    number: whichever claims ``cur+1`` second fails loudly with
+    FileExistsError (retry after the other commits).  A compactor that
+    CRASHES leaves its claim behind; the stream then fails loudly until
+    an operator clears it with ``recover_orphans(path)`` (all-orphans
+    mode, writers stopped).
     """
     if commit_mode not in ("auto", "link", "manifest"):
         raise ValueError(f"commit_mode must be auto|link|manifest, got {commit_mode!r}")
+    if owner is None:
+        owner = f"compact_table:{uuid.uuid4().hex[:12]}"
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no committed table at {path}")

@@ -1161,9 +1161,20 @@ def warp_window(
                 [er[:-1, :-1], er[:-1, 1:], er[1:, 1:], er[1:, :-1]], axis=-1
             ).reshape(-1, 4)
 
+    # per-task memo for the coverage chunks: the weights depend only on
+    # the grids, not the canvas, so computing them once per TASK (not
+    # once per canvas row — review r5 finding) amortizes the most
+    # expensive part of the rotated kernel across vars/layers.  The memo
+    # lives in the closure, so each Spark task builds it at most once;
+    # it is only kept when the whole tensor fits the ~256 MB cap.
+    _avg_geom_memo: dict = {}
+
     def _avg_chunks():
         """Yield (pixel slice, W, rbase, cbase) coverage chunks, bounding
         the (npix × K × K) weight tensor to ~32 MB per chunk."""
+        if "chunks" in _avg_geom_memo:
+            yield from _avg_geom_memo["chunks"]
+            return
         npix = quad_c.shape[0]
         span = max(
             1.0,
@@ -1172,10 +1183,16 @@ def warp_window(
         )
         k_est = int(np.ceil(span)) + 1
         step = max(1, int(4e6 // (k_est * k_est)))
+        cache = npix * k_est * k_est <= 32e6  # ~256 MB of float64
+        out = [] if cache else None
         for s in range(0, npix, step):
             sl = slice(s, min(s + step, npix))
             w, rb, cb = _quad_cell_coverage(quad_c[sl], quad_r[sl])
+            if out is not None:
+                out.append((sl, w, rb, cb))
             yield sl, w, rb, cb
+        if out is not None:
+            _avg_geom_memo["chunks"] = out
 
     def _avg_quad_exact(vals: np.ndarray, h: int, w_: int) -> np.ndarray:
         """Rotation-exact area-weighted mean: per dst pixel, the mean of

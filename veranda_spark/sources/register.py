@@ -140,7 +140,16 @@ def footprints_from_geotiff(
                     cols.append(None)
                     rows.append(None)
                     continue
-                gx, gpsx, _, gy, _, gpsy_neg = gt
+                gx, gpsx, grot1, gy, grot2, gpsy_neg = gt
+                if abs(grot1) > 1e-12 or abs(grot2) > 1e-12:
+                    # round-5 guard policy: never silently drop rot
+                    # terms — a sheared payload on a north-up grid
+                    # would mis-place every pixel
+                    raise ValueError(
+                        f"payload geotransform has rotation ({grot1}, "
+                        f"{grot2}); register against a rotated grid via "
+                        "warp_window, not footprint recovery"
+                    )
                 if abs(gpsx - psx) > 1e-9 or abs(-gpsy_neg - psy) > 1e-9:
                     raise ValueError(
                         f"payload pixel size ({gpsx}, {-gpsy_neg}) != grid "
