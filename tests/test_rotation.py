@@ -223,3 +223,34 @@ def test_reproject_footprints_rejects_rotated_grids(spark):
         reproject_footprints(df, ROT, flat)
     with pytest.raises(NotImplementedError, match="axis-aligned"):
         reproject_footprints(df, flat, ROT)
+
+
+def test_pass2_guards(spark):
+    # review r5 pass-2: select_bbox / write_tiles_checkpointed raise on
+    # rotated grids; singular geotransforms and degenerate LCC cones
+    # fail loudly
+    from veranda_spark.operators.select import select_bbox
+
+    df = spark.createDataFrame(
+        [(1, 4, 6, 8, 10)],
+        "image_id long, px_col0 long, px_row0 long, w long, h long",
+    )
+    with pytest.raises(NotImplementedError, match="axis-aligned"):
+        select_bbox(df, ROT, (0.0, 0.0, 100.0, 100.0))
+
+    from veranda_spark.io.lineage import write_tiles_checkpointed
+
+    with pytest.raises(NotImplementedError, match="axis-aligned"):
+        write_tiles_checkpointed(df, "/tmp/x", grid=ROT)
+
+    # singular geotransform: rot_x*rot_y == -psx*psy
+    bad = RegularGrid(psx=1.0, psy=1.0, rot_x=2.0, rot_y=-0.5)
+    with pytest.raises(ValueError, match="singular geotransform"):
+        bad.world_to_px_np(np.array([1.0]), np.array([1.0]))
+
+    # degenerate LCC cone (symmetric parallels)
+    from veranda_spark.functions.crs import NP, transform
+
+    with pytest.raises(ValueError, match="degenerate LCC cone"):
+        transform(NP, "EPSG:4326", "LCC:0,0,30,-30",
+                  np.array([1.0]), np.array([45.0]))

@@ -252,6 +252,15 @@ def _lcc_consts(p: dict) -> tuple[float, float, float]:
     else:
         t2, m2 = t_of(sp2), m_of(sp2)
         n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    if abs(n) < 1e-12:
+        # symmetric parallels (sp1 = -sp2) or sp1 = sp2 = 0 collapse the
+        # cone to a cylinder (n → 0, Mercator limit) — out of LCC's
+        # domain; fail the transform contract loudly, not with a 1/0
+        raise ValueError(
+            f"degenerate LCC cone: standard parallels ({sp1}, {sp2}) "
+            "give cone constant n=0 (use Mercator for the cylindrical "
+            "limit)"
+        )
     f_ = m1 / (n * t1 ** n)
     afk = a * f_ * p["k0"]
     rho0 = afk * t_of(p["lat0"]) ** n

@@ -85,8 +85,18 @@ class RegularGrid:
     def _inv_affine(self, dx, dy):
         """(x-ul_x, y-ul_y) → continuous (col, row) for the general
         geotransform: inverts [[psx, rot_x], [rot_y, -psy]].  Works on
-        Columns AND numpy arrays (plain arithmetic)."""
+        Columns AND numpy arrays (plain arithmetic).  A singular
+        geotransform (rot_x·rot_y = −psx·psy — the pixel axes collapse
+        onto one line) raises loudly instead of emitting inf/garbage
+        tile ids (review r5 pass-2 #5)."""
         det = -(self.psx * self.psy + self.rot_x * self.rot_y)
+        scale = abs(self.psx * self.psy) + abs(self.rot_x * self.rot_y)
+        if not (abs(det) > 1e-12 * max(scale, 1e-300)):
+            raise ValueError(
+                f"singular geotransform: psx={self.psx}, psy={self.psy}, "
+                f"rot_x={self.rot_x}, rot_y={self.rot_y} has determinant "
+                "~0 — the pixel axes are collinear"
+            )
         col = (-self.psy * dx - self.rot_x * dy) / det
         row = (-self.rot_y * dx + self.psx * dy) / det
         return col, row

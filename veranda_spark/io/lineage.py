@@ -176,6 +176,13 @@ def write_tiles_checkpointed(
 
     if scope not in ("table", "run"):
         raise ValueError(f"scope {scope!r}")
+    if grid is not None:
+        # the 4-tuple geo placement cannot carry rot terms; silently
+        # dropping them would mis-georeference every encoded tile
+        # (round-5 guard policy — review r5 pass-2 #2)
+        from veranda_spark.grid import require_axis_aligned
+
+        require_axis_aligned(grid, "write_tiles_checkpointed(grid=...)")
     spark = tiles.sparkSession
     run_id = run_id or f"run_{int(time.time() * 1000)}"
     attempt_id = uuid.uuid4().hex[:16]

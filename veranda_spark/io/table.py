@@ -289,12 +289,19 @@ def _write_claim(vdir: str, owner: str | None) -> None:
     os.replace(tmp, p)
 
 
-def _claim_owner(vdir: str) -> str | None:
+def _claim_info(vdir: str) -> tuple[bool, str | None]:
+    """(has_readable_claim, owner).  A PRESENT claim with a null owner
+    (``merge_into(owner=None)``) is distinct from NO claim: the former
+    is some other writer — live or crashed — and owner-scoped recovery
+    must never touch it (review r5 pass-2 #1: a long manual merge's
+    st_mtime can go stale past any grace window while Spark writes
+    inside the dir); only a MISSING claim marks the microsecond
+    mkdir-window debris the age gate may clear."""
     try:
         with open(os.path.join(vdir, "_claim.json")) as f:
-            return json.load(f).get("owner")
+            return True, json.load(f).get("owner")
     except (FileNotFoundError, ValueError):
-        return None
+        return False, None
 
 
 def recover_orphans(
@@ -337,10 +344,11 @@ def recover_orphans(
             continue
         vdir = os.path.join(_versions_dir(path), name)
         if owner is not None:
-            claim = _claim_owner(vdir)
-            if claim != owner:
-                if claim is not None:
-                    continue  # another writer's claim — never touch
+            has_claim, claim = _claim_info(vdir)
+            if not (has_claim and claim == owner):
+                if has_claim:
+                    continue  # another writer's claim (owner may be
+                    #           null = manual merge) — never touch
                 try:
                     age = time.time() - os.stat(vdir).st_mtime
                 except OSError:
@@ -704,7 +712,32 @@ def relocate_versions(path: str, keep: int = 2) -> dict:
         if changed:
             _write_manifest(vdir, new_entries)
             n_manifests += 1
-    return {"relocated": n_copied, "rewritten_manifests": n_manifests}
+    # sweep stranded copies: a crash after copying but before the flip,
+    # followed by a survivor-set shift, can leave a _relocated/<name>
+    # that no manifest (of ANY still-readable version — time travel
+    # included) references; without this the reclamation pass would
+    # itself leak one copy per crash (review r5 pass-2 #6)
+    all_dirs = [
+        int(n) for n in os.listdir(_versions_dir(path)) if n.isdigit()
+    ]  # committed versions AND in-flight claims (a live merge's orphan
+    #    may already carry rel-entries copied from the current manifest)
+    referenced = {
+        (int(e["v"]), e["name"])
+        for v in all_dirs
+        for e in _read_manifest(_version_path(path, v))
+        if e.get("rel", False)
+    }
+    swept = 0
+    for v in versions:
+        rel_root = os.path.join(_version_path(path, v), "_relocated")
+        if not os.path.isdir(rel_root):
+            continue
+        for name in os.listdir(rel_root):
+            if name.endswith("._tmp") or (v, name) not in referenced:
+                shutil.rmtree(os.path.join(rel_root, name))
+                swept += 1
+    return {"relocated": n_copied, "rewritten_manifests": n_manifests,
+            "swept": swept}
 
 
 def expire_versions(path: str, keep: int = 2) -> list[int]:

@@ -81,16 +81,12 @@ def select_bbox(
 ) -> DataFrame:
     """P6 (base.py:485-508): bbox = polygon select with apply_mask=False →
     a pure range predicate on footprint extents (world coords: bbox =
-    (xmin, ymin, xmax, ymax)).  On a rotated grid the pixel window is
-    the covering bbox of the four inverse-affine corners."""
+    (xmin, ymin, xmax, ymax)).  Rotated grids raise loudly: the world
+    bbox maps to a diamond in pixel space, so a pixel-window range
+    predicate would silently return footprints OUTSIDE the queried box
+    (review r5 pass-2 #3 — same guard policy as select_polygon)."""
+    require_axis_aligned(grid, "select_bbox")
     xmin, ymin, xmax, ymax = bbox
-    if grid.is_rotated:
-        xs = np.array([xmin, xmax, xmin, xmax])
-        ys = np.array([ymin, ymin, ymax, ymax])
-        cf, rf = grid.world_to_px_np(xs, ys)
-        c0, c1 = int(np.floor(cf.min())), int(np.ceil(cf.max()))
-        r0, r1 = int(np.floor(rf.min())), int(np.ceil(rf.max()))
-        return select_px_window(df, r0, c0, r1 - r0, c1 - c0)
     c0 = int(np.floor((xmin - grid.ul_x) / grid.psx))
     c1 = int(np.ceil((xmax - grid.ul_x) / grid.psx))
     r0 = int(np.floor((grid.ul_y - ymax) / grid.psy))
