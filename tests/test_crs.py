@@ -470,3 +470,163 @@ def test_lcc_1sp_and_shorthand_contracts():
     # unknown EPSG still raises loudly through transform
     with pytest.raises(ValueError, match="unsupported CRS pair"):
         transform(NP, "EPSG:4326", "EPSG:27700", np.array([0.0]), np.array([51.0]))
+
+
+# ---- round-5b families: polar stereographic / Albers / sinusoidal ----------
+
+
+def test_polar_stereographic_roundtrip_conformal_and_pole():
+    import math
+
+    from veranda_spark.functions.crs import (
+        ELLIPSOIDS, NP, WGS84_E2, parse_sref, transform,
+    )
+
+    s = parse_sref("EPSG:3413")
+    assert s["kind"] == "stere" and s["lat_ts"] == 70.0 and s["lon0"] == -45.0
+    rng = np.random.default_rng(31)
+    lon = rng.uniform(-180, 180, 800)
+    lat = rng.uniform(55, 89.5, 800)
+    x, y = transform(NP, "EPSG:4326", "EPSG:3413", lon, lat)
+    lo, la = transform(NP, "EPSG:3413", "EPSG:4326", x, y)
+    dl = (lo - lon + 180.0) % 360.0 - 180.0  # wrap longitude deltas
+    np.testing.assert_allclose(dl, 0.0, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # the pole maps to (fe, fn) = (0, 0)
+    px, py = transform(NP, "EPSG:4326", "EPSG:3413",
+                       np.array([12.0]), np.array([90.0]))
+    np.testing.assert_allclose([px[0], py[0]], [0.0, 0.0], atol=1e-6)
+    # true scale at lat_ts = 70N: local scale == 1 (checked against
+    # independently computed ellipsoid radii), and conformality
+    # (isotropic scale) elsewhere
+    e2 = WGS84_E2
+    a = ELLIPSOIDS["WGS84"][0]
+    d = 1e-6
+    for LON, LAT, want_k in [(-45.0, 70.0, 1.0), (30.0, 80.0, None),
+                             (120.0, 62.0, None)]:
+        x0, y0 = transform(NP, "EPSG:4326", "EPSG:3413",
+                           np.array([LON]), np.array([LAT]))
+        xe, ye = transform(NP, "EPSG:4326", "EPSG:3413",
+                           np.array([LON + d]), np.array([LAT]))
+        xn, yn = transform(NP, "EPSG:4326", "EPSG:3413",
+                           np.array([LON]), np.array([LAT + d]))
+        phi = math.radians(LAT)
+        w = math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        m_rad = a * (1 - e2) / w ** 3
+        n_rad = a / w * math.cos(phi)
+        k_par = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (math.radians(d) * n_rad)
+        k_mer = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / (math.radians(d) * m_rad)
+        assert abs(k_par / k_mer - 1.0) < 1e-5, (LON, LAT, k_par, k_mer)
+        if want_k is not None:
+            assert abs(k_par - want_k) < 1e-6, k_par
+    # south aspect (EPSG:3031) round-trips and pins the pole
+    lat_s = rng.uniform(-89.5, -60, 300)
+    lon_s = rng.uniform(-180, 180, 300)
+    xs, ys = transform(NP, "EPSG:4326", "EPSG:3031", lon_s, lat_s)
+    lo2, la2 = transform(NP, "EPSG:3031", "EPSG:4326", xs, ys)
+    dl2 = (lo2 - lon_s + 180.0) % 360.0 - 180.0
+    np.testing.assert_allclose(dl2, 0.0, atol=1e-6)
+    np.testing.assert_allclose(la2, lat_s, atol=1e-6)
+
+
+def test_albers_equal_area_roundtrip_and_area():
+    import math
+
+    from veranda_spark.functions.crs import (
+        ELLIPSOIDS, NP, _e2_of, _laea_q, parse_sref, transform,
+    )
+
+    s = parse_sref("EPSG:5070")
+    assert s["kind"] == "aea" and s["sp1"] == 29.5 and s["sp2"] == 45.5
+    rng = np.random.default_rng(32)
+    lon = rng.uniform(-125, -66, 800)
+    lat = rng.uniform(24, 50, 800)
+    x, y = transform(NP, "EPSG:4326", "EPSG:5070", lon, lat)
+    lo, la = transform(NP, "EPSG:5070", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # equal-area invariant: projected quad area == authalic integral
+    a, rf = ELLIPSOIDS["GRS80"]
+    e2 = _e2_of(a, rf)
+    e = math.sqrt(e2)
+    for LON, LAT in [(-96.0, 37.0), (-120.0, 45.0), (-75.0, 28.0)]:
+        dl, dp = 0.01, 0.01
+        q0 = _laea_q(math, math.sin(math.radians(LAT)), e, e2)
+        q1 = _laea_q(math, math.sin(math.radians(LAT + dp)), e, e2)
+        true_area = a * a / 2.0 * (q1 - q0) * math.radians(dl)
+        clon = np.array([LON, LON + dl, LON + dl, LON])
+        clat = np.array([LAT, LAT, LAT + dp, LAT + dp])
+        cxs, cys = transform(NP, "EPSG:4326", "EPSG:5070", clon, clat)
+        proj_area = 0.5 * abs(sum(
+            cxs[i] * cys[(i + 1) % 4] - cxs[(i + 1) % 4] * cys[i]
+            for i in range(4)
+        ))
+        assert abs(proj_area / true_area - 1.0) < 1e-6, (LON, LAT)
+    from veranda_spark.functions.crs import parse_sref as ps
+    with pytest.raises(ValueError, match="degenerate Albers"):
+        transform(NP, "EPSG:4326", "AEA:0,0,20,-20",
+                  np.array([1.0]), np.array([10.0]))
+
+
+def test_sinusoidal_modis_roundtrip_and_properties():
+    import math
+
+    from veranda_spark.functions.crs import NP, parse_sref, transform
+
+    MODIS_WKT = (
+        'PROJCS["MODIS Sinusoidal",GEOGCS["Custom",DATUM["Custom",'
+        'SPHEROID["Custom spheroid",6371007.181,0]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Sinusoidal"],'
+        'PARAMETER["longitude_of_center",0],PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    s = parse_sref(MODIS_WKT)
+    assert s["kind"] == "sinu" and s["a"] == 6371007.181 and s["e2"] == 0.0
+    assert parse_sref("SINU:0") == {"kind": "sinu", "lon0": 0.0,
+                                    "fe": 0.0, "fn": 0.0,
+                                    "a": 6371007.181, "e2": 0.0}
+    rng = np.random.default_rng(33)
+    lon = rng.uniform(-179, 179, 800)
+    lat = rng.uniform(-85, 85, 800)
+    x, y = transform(NP, "EPSG:4326", MODIS_WKT, lon, lat)
+    lo, la = transform(NP, MODIS_WKT, "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # spherical properties: y = R·φ exactly, x = R·Δλ·cosφ exactly —
+    # and the MODIS world width at the equator is 2πR
+    R = 6371007.181
+    np.testing.assert_allclose(y, R * np.radians(lat), rtol=1e-14)
+    np.testing.assert_allclose(x, R * np.radians(lon) * np.cos(np.radians(lat)),
+                               rtol=1e-12, atol=1e-6)
+    xw, _ = transform(NP, "EPSG:4326", MODIS_WKT,
+                      np.array([180.0]), np.array([0.0]))
+    np.testing.assert_allclose(xw[0], math.pi * R, rtol=1e-14)
+    # ellipsoidal sinusoidal (GRS80) round-trips too
+    x2, y2 = transform(NP, "EPSG:4326",
+                       'PROJCS["x",GEOGCS["g",DATUM["d",SPHEROID["GRS 1980",'
+                       '6378137,298.257222101]],PRIMEM["Greenwich",0],'
+                       'UNIT["degree",0.0174532925199433]],'
+                       'PROJECTION["Sinusoidal"],'
+                       'PARAMETER["longitude_of_center",10],UNIT["metre",1]]',
+                       lon, lat)
+    assert np.isfinite(x2).all() and np.isfinite(y2).all()
+
+
+def test_new_families_round5b_column_backend(spark):
+    import pyspark.sql.functions as F
+
+    from veranda_spark.functions.crs import NP, SPARK, transform
+
+    rng = np.random.default_rng(34)
+    lon = rng.uniform(-150, 150, 150)
+    lat = rng.uniform(30, 85, 150)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    for dst in ("EPSG:3413", "EPSG:5070", "SINU:0", "STERE:70,-45",
+                "AEA:23,-96,29.5,45.5"):
+        xs, ys = transform(SPARK, "EPSG:4326", dst, F.col("lon"), F.col("lat"))
+        got = df.select(xs.alias("x"), ys.alias("y")).collect()
+        ex, ey = transform(NP, "EPSG:4326", dst, lon, lat)
+        np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
+        np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)

@@ -7,9 +7,11 @@ actually declares — spherical Web Mercator (EPSG:3857), ellipsoidal
 Transverse Mercator (WGS84 UTM zones EPSG:326xx/327xx plus arbitrary
 WKT-parameterized TM), spherical Azimuthal Equidistant (the Equi7
 family), ellipsoidal Lambert Conformal Conic (1SP/2SP, e.g. Lambert-93
-EPSG:2154) and ellipsoidal Lambert Azimuthal Equal-Area (e.g. ETRS89
-LAEA Europe EPSG:3035), all Snyder 1987 formula sets —
-as plain math over a swappable backend:
+EPSG:2154), ellipsoidal Lambert Azimuthal Equal-Area (e.g. ETRS89
+LAEA Europe EPSG:3035), ellipsoidal Polar Stereographic (NSIDC sea-ice
+grids EPSG:3413/3031), Albers Equal-Area Conic (NAD83 CONUS
+EPSG:5070) and Sinusoidal (the MODIS grid), all Snyder 1987 formula
+sets — as plain math over a swappable backend:
 
 - backend ``F`` (pyspark.sql.functions): every transform is a JVM
   Column expression — whole-stage codegen, no Python in the hot path,
@@ -520,7 +522,188 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
     if name == "lambert_azimuthal_equal_area":
         return {"kind": "laea", **base, "lat0": lat0, "lon0": lon0,
                 "fe": fe, "fn": fn}
+    if name == "polar_stereographic":
+        # GDAL WKT1: latitude_of_origin IS the standard parallel
+        # (latitude of true scale), signed — negative = south aspect
+        ts = params.get("standard_parallel_1", lat0)
+        return {"kind": "stere", **base, "lat_ts": ts, "lon0": lon0,
+                "k0": params.get("scale_factor", 1.0), "fe": fe, "fn": fn}
+    if name in ("albers_conic_equal_area", "albers"):
+        sp1 = params.get("standard_parallel_1", lat0)
+        sp2 = params.get("standard_parallel_2", sp1)
+        return {"kind": "aea", **base, "lat0": lat0, "lon0": lon0,
+                "sp1": sp1, "sp2": sp2, "fe": fe, "fn": fn}
+    if name == "sinusoidal":
+        return {"kind": "sinu", **base, "lon0": lon0, "fe": fe, "fn": fn}
     return None
+
+
+# ---- Polar Stereographic (ellipsoidal, Snyder 1987 §21) --------------------
+
+
+def _ps_consts(p: dict) -> tuple[float, float, float]:
+    """Scalar setup for the polar aspect: (e, sign, ρ/t coefficient).
+    ``lat_ts`` is the latitude of true scale (standard parallel); when
+    |lat_ts| = 90 the scale factor k0 applies at the pole instead
+    (Snyder 21-33 vs 21-34)."""
+    a, e2 = p["a"], p["e2"]
+    e = math.sqrt(e2)
+    south = p["lat_ts"] < 0 or (p["lat_ts"] == 0 and p.get("south", False))
+    sgn = -1.0 if south else 1.0
+    ts_abs = abs(p["lat_ts"])
+    if abs(ts_abs - 90.0) < 1e-9:
+        # k0 at the pole: rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))
+        coef = (
+            2.0 * a * p.get("k0", 1.0)
+            / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        )
+    else:
+        phi_c = math.radians(ts_abs)
+        s = e * math.sin(phi_c)
+        t_c = math.tan(math.pi / 4 - phi_c / 2) * ((1 + s) / (1 - s)) ** (e / 2)
+        m_c = math.cos(phi_c) / math.sqrt(1 - e2 * math.sin(phi_c) ** 2)
+        coef = a * m_c / t_c  # rho = coef * t  (true scale at lat_ts)
+    return e, sgn, coef
+
+
+def lonlat_to_stere(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → polar stereographic (x, y); parameters
+    ``p = {a, e2, lat_ts, lon0, k0, fe, fn}`` (lat_ts signed: negative =
+    south polar aspect)."""
+    e, sgn, coef = _ps_consts(p)
+    phi = mt.radians(lat * sgn)  # fold the south aspect onto the north
+    lam = mt.radians((lon - p["lon0"]) * sgn)
+    s = e * mt.sin(phi)
+    t = mt.tan(math.pi / 4 - phi / 2) * mt.pow((1 + s) / (1 - s), e / 2)
+    rho = coef * t
+    # north aspect: x = fe + ρ sin λ', y = fn − ρ cos λ'; the south
+    # aspect folds through (−lat, −λ') with both axes mirrored
+    x = p["fe"] + sgn * rho * mt.sin(lam)
+    y = p["fn"] - sgn * rho * mt.cos(lam)
+    return x, y
+
+
+def stere_to_lonlat(mt: Any, x, y, p: dict):
+    e, sgn, coef = _ps_consts(p)
+    e2 = p["e2"]
+    x_ = (x - p["fe"]) * sgn
+    y_ = (y - p["fn"]) * sgn
+    rho = mt.sqrt(x_ * x_ + y_ * y_)
+    t = rho / coef
+    chi = math.pi / 2 - 2.0 * mt.atan(t)
+    phi = _conformal_to_geodetic(mt, chi, e2)
+    at_pole = mt.abs(rho) < 1e-12
+    lam = mt.atan2(x_, 0.0 - y_)
+    lon = mt.where(at_pole, p["lon0"], p["lon0"] + sgn * mt.degrees(lam))
+    lat = sgn * mt.where(at_pole, 90.0, mt.degrees(phi))
+    return lon, lat
+
+
+# ---- Albers Equal-Area Conic (ellipsoidal, Snyder 1987 §14) ----------------
+
+
+def _aea_consts(p: dict) -> tuple[float, float, float, float]:
+    """Scalar setup: (e, n, C, ρ0) from the two standard parallels."""
+    a, e2 = p["a"], p["e2"]
+    e = math.sqrt(e2)
+
+    def m_of(phi_deg: float) -> float:
+        phi = math.radians(phi_deg)
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def q_of(phi_deg: float) -> float:
+        return _laea_q(math, math.sin(math.radians(phi_deg)), e, e2)
+
+    sp1, sp2 = p["sp1"], p["sp2"]
+    m1, q1 = m_of(sp1), q_of(sp1)
+    if abs(sp1 - sp2) < 1e-12:
+        n = math.sin(math.radians(sp1))
+    else:
+        m2, q2 = m_of(sp2), q_of(sp2)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if abs(n) < 1e-12:
+        raise ValueError(
+            f"degenerate Albers cone: standard parallels ({sp1}, {sp2}) "
+            "give cone constant n=0 (use cylindrical equal-area for the "
+            "limit)"
+        )
+    c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(max(c - n * q_of(p["lat0"]), 0.0)) / n
+    return e, n, c, rho0
+
+
+def lonlat_to_aea(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → Albers equal-area conic (x, y); parameters
+    ``p = {a, e2, lat0, lon0, sp1, sp2, fe, fn}``."""
+    a, e2 = p["a"], p["e2"]
+    e, n, c, rho0 = _aea_consts(p)
+    phi = mt.radians(lat)
+    q = _laea_q(mt, mt.sin(phi), e, e2)
+    inner = c - n * q
+    inner = mt.where(inner < 0.0, 0.0, inner)
+    rho = a * mt.sqrt(inner) / n
+    theta = n * mt.radians(lon - p["lon0"])
+    x = p["fe"] + rho * mt.sin(theta)
+    y = p["fn"] + rho0 - rho * mt.cos(theta)
+    return x, y
+
+
+def aea_to_lonlat(mt: Any, x, y, p: dict):
+    a, e2 = p["a"], p["e2"]
+    e, n, c, rho0 = _aea_consts(p)
+    sgn = 1.0 if n >= 0 else -1.0
+    x_, yr = x - p["fe"], rho0 - (y - p["fn"])
+    rho = sgn * mt.sqrt(x_ * x_ + yr * yr)
+    theta = mt.atan2(sgn * x_, sgn * yr)
+    q = (c - (rho * n / a) * (rho * n / a)) / n
+    qp = _laea_q(math, 1.0, e, e2)
+    qr = q / qp
+    qr = mt.where(qr > 1.0, 1.0, qr)
+    qr = mt.where(qr < -1.0, -1.0, qr)
+    beta = mt.asin(qr)
+    lat = mt.degrees(_authalic_to_geodetic(mt, beta, e2))
+    lon = p["lon0"] + mt.degrees(theta / n)
+    return lon, lat
+
+
+# ---- Sinusoidal (Snyder 1987 §30; the MODIS grid is the spherical case) ----
+
+
+def lonlat_to_sinu(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → sinusoidal (x, y); equal-area, ellipsoidal:
+    x = a·Δλ·cosφ/√(1−e²sin²φ), y = M(φ).  ``p = {a, e2, lon0, fe, fn}``
+    (MODIS uses the SPHERE a = 6371007.181, e2 = 0 — same formulas)."""
+    a, e2 = p["a"], p["e2"]
+    phi = mt.radians(lat)
+    lam = mt.radians(lon - p["lon0"])
+    sp = mt.sin(phi)
+    x = p["fe"] + a * lam * mt.cos(phi) / mt.sqrt(1 - e2 * sp * sp)
+    y = p["fn"] + _meridian_arc(mt, phi, a, e2)
+    return x, y
+
+
+def sinu_to_lonlat(mt: Any, x, y, p: dict):
+    """Inverse via the footpoint-latitude series (same rectifying series
+    as the TM inverse — Snyder 3-26)."""
+    a, e2 = p["a"], p["e2"]
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    m = y - p["fn"]
+    mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 ** 3 / 256))
+    phi = (
+        mu
+        + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * mt.sin(2 * mu)
+        + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * mt.sin(4 * mu)
+        + (151 * e1 ** 3 / 96) * mt.sin(6 * mu)
+        + (1097 * e1 ** 4 / 512) * mt.sin(8 * mu)
+    )
+    sp = mt.sin(phi)
+    cp = mt.cos(phi)
+    near_pole = mt.abs(cp) < 1e-12
+    denom = a * mt.where(near_pole, 1.0, cp) / mt.sqrt(1 - e2 * sp * sp)
+    lam = (x - p["fe"]) / denom
+    lon = mt.where(near_pole, p["lon0"], p["lon0"] + mt.degrees(lam))
+    lat = mt.degrees(phi)
+    return lon, lat
 
 
 # ---- sref parsing + lon/lat hub --------------------------------------------
@@ -568,6 +751,18 @@ def parse_sref(sref: str) -> dict | None:
     if u.startswith("LAEA:"):
         p = _parse_shorthand(sref, "laea", 2, ["lat0", "lon0", "fe", "fn"])
         return None if p is None else {**p, **wgs}
+    if u.startswith("STERE:"):
+        # STERE:lat_ts,lon0[,fe,fn] — lat_ts signed (south aspect < 0)
+        p = _parse_shorthand(sref, "stere", 2, ["lat_ts", "lon0", "fe", "fn"])
+        return None if p is None else {**p, "k0": 1.0, **wgs}
+    if u.startswith("AEA:"):
+        p = _parse_shorthand(sref, "aea", 4,
+                             ["lat0", "lon0", "sp1", "sp2", "fe", "fn"])
+        return None if p is None else {**p, **wgs}
+    if u.startswith("SINU:"):
+        # SINU:lon0[,fe,fn] on the MODIS authalic sphere (e2 = 0)
+        p = _parse_shorthand(sref, "sinu", 1, ["lon0", "fe", "fn"])
+        return None if p is None else {**p, "a": 6371007.181, "e2": 0.0}
     if not u.startswith("EPSG:"):
         return None
     try:
@@ -593,6 +788,21 @@ def parse_sref(sref: str) -> dict | None:
         return {"kind": "lcc", **grs, "lat0": 46.5, "lon0": 3.0,
                 "sp1": 49.0, "sp2": 44.0, "k0": 1.0,
                 "fe": 700000.0, "fn": 6600000.0}
+    if code == 3413:
+        # WGS84 / NSIDC Sea Ice Polar Stereographic North
+        return {"kind": "stere", "a": WGS84_A, "e2": WGS84_E2,
+                "lat_ts": 70.0, "lon0": -45.0, "k0": 1.0,
+                "fe": 0.0, "fn": 0.0}
+    if code == 3031:
+        # WGS84 / Antarctic Polar Stereographic
+        return {"kind": "stere", "a": WGS84_A, "e2": WGS84_E2,
+                "lat_ts": -71.0, "lon0": 0.0, "k0": 1.0,
+                "fe": 0.0, "fn": 0.0}
+    if code == 5070:
+        # NAD83 / CONUS Albers (NAD83≈WGS84 at the meter level — no
+        # datum shift applied, same policy as ETRS89/RGF93)
+        return {"kind": "aea", **grs, "lat0": 23.0, "lon0": -96.0,
+                "sp1": 29.5, "sp2": 45.5, "fe": 0.0, "fn": 0.0}
     return None
 
 
@@ -613,6 +823,12 @@ def to_lonlat(mt: Any, sref: dict, x, y):
         return lcc_to_lonlat(mt, x, y, sref)
     if sref["kind"] == "laea":
         return laea_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "stere":
+        return stere_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "aea":
+        return aea_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "sinu":
+        return sinu_to_lonlat(mt, x, y, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -633,6 +849,12 @@ def from_lonlat(mt: Any, sref: dict, lon, lat):
         return lonlat_to_lcc(mt, lon, lat, sref)
     if sref["kind"] == "laea":
         return lonlat_to_laea(mt, lon, lat, sref)
+    if sref["kind"] == "stere":
+        return lonlat_to_stere(mt, lon, lat, sref)
+    if sref["kind"] == "aea":
+        return lonlat_to_aea(mt, lon, lat, sref)
+    if sref["kind"] == "sinu":
+        return lonlat_to_sinu(mt, lon, lat, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -644,9 +866,11 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
         raise ValueError(
             f"unsupported CRS pair {src_sref!r} → {dst_sref!r}: supported "
             "are EPSG:4326, EPSG:3857, EPSG:326xx/327xx (UTM), EPSG:3035, "
-            "EPSG:2154, and PROJCS WKT (or KIND:… shorthand) for AEQD, "
-            "Transverse_Mercator, Lambert_Conformal_Conic and "
-            "Lambert_Azimuthal_Equal_Area"
+            "EPSG:2154, EPSG:3413/3031 (polar stereographic), EPSG:5070 "
+            "(CONUS Albers), and PROJCS WKT (or KIND:… shorthand) for "
+            "AEQD, Transverse_Mercator, Lambert_Conformal_Conic, "
+            "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
+            "Albers_Conic_Equal_Area and Sinusoidal"
         )
     lon, lat = to_lonlat(mt, s, x, y)
     return from_lonlat(mt, d, lon, lat)
