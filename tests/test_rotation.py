@@ -229,16 +229,12 @@ def test_pass2_guards(spark):
     # review r5 pass-2: select_bbox / write_tiles_checkpointed raise on
     # rotated grids; singular geotransforms and degenerate LCC cones
     # fail loudly
-    from veranda_spark.operators.select import select_bbox
+    from veranda_spark.io.lineage import write_tiles_checkpointed
 
     df = spark.createDataFrame(
         [(1, 4, 6, 8, 10)],
         "image_id long, px_col0 long, px_row0 long, w long, h long",
     )
-    with pytest.raises(NotImplementedError, match="axis-aligned"):
-        select_bbox(df, ROT, (0.0, 0.0, 100.0, 100.0))
-
-    from veranda_spark.io.lineage import write_tiles_checkpointed
 
     with pytest.raises(NotImplementedError, match="axis-aligned"):
         write_tiles_checkpointed(df, "/tmp/x", grid=ROT)
@@ -254,3 +250,167 @@ def test_pass2_guards(spark):
     with pytest.raises(ValueError, match="degenerate LCC cone"):
         transform(NP, "EPSG:4326", "LCC:0,0,30,-30",
                   np.array([1.0]), np.array([45.0]))
+
+
+# ---- rotated polygon ops (round 5b: guards replaced by exact support) ------
+
+
+def _ray_cast(px, py, poly):
+    """Independent scalar even-odd ray cast in WORLD coordinates."""
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % n]
+        if (ay > py) != (by > py):
+            xin = ax + (py - ay) * (bx - ax) / (by - ay)
+            if px < xin:
+                inside = not inside
+    return inside
+
+
+def test_rotated_zonal_and_mask_match_world_space_raycast(spark):
+    # zonal_stats + read_window(mask) on a ROTATED grid: the pixel-frame
+    # ring transform must reproduce a world-space even-odd test at every
+    # pixel center (independent scalar ray cast as the reference)
+    from veranda_spark.operators.raster import read_window, zonal_stats
+
+    rng = np.random.default_rng(41)
+    arr = rng.integers(0, 251, (32, 32)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, arr.tobytes(), 32, 32, "raw", "uint8", 0, 0)],
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    g = RegularGrid(ul_x=50.0, ul_y=200.0, psx=2.0, psy=3.0,
+                    rot_x=0.9, rot_y=-0.6,
+                    tile_cols=32, tile_rows=32, n_tile_cols=1, n_tile_rows=1)
+    # a world-space triangle covering part of the rotated footprint
+    # non-lattice vertex offsets: integer offsets from a pixel center
+    # put triangle edges exactly through OTHER pixel centers, where the
+    # world-space and pixel-frame ray casts can fp-disagree
+    cx, cy = g.px_center_world_np(np.array([16.0]), np.array([16.0]))
+    tri = [(cx[0] - 40.137, cy[0] - 30.419), (cx[0] + 45.271, cy[0] - 25.067),
+           (cx[0] + 5.313, cy[0] + 45.179)]
+    out = zonal_stats(df, g, {"t": tri}, auto_decode=False).collect()
+    # independent expectation: world pixel centers through the affine
+    want_vals = []
+    for r in range(32):
+        for c in range(32):
+            wx, wy = g.px_center_world_np(np.array([float(c)]), np.array([float(r)]))
+            if _ray_cast(wx[0], wy[0], tri):
+                want_vals.append(float(arr[r, c]))
+    assert len(out) == 1
+    rec = out[0]
+    assert rec["n_px"] == len(want_vals)
+    np.testing.assert_allclose(rec["mean_val"], np.mean(want_vals), rtol=1e-12)
+
+    # read_window mask: same triangle nodatas out-of-polygon pixels
+    win = read_window(df, g, 0, 0, 32, 32, nodata=255.0,
+                      mask_polygon=tri).collect()[0]
+    got = np.frombuffer(win["bytes"], dtype=win["dtype"]).reshape(32, 32)
+    for r in range(32):
+        for c in range(32):
+            wx, wy = g.px_center_world_np(np.array([float(c)]), np.array([float(r)]))
+            if _ray_cast(wx[0], wy[0], tri):
+                assert got[r, c] == arr[r, c], (r, c)
+            else:
+                assert got[r, c] == 255, (r, c)
+
+
+def test_rotated_select_polygon_and_bbox(spark):
+    # select_polygon / select_bbox on a rotated grid: exact pixel-frame
+    # intersect vs a brute-force world-space check per footprint
+    from veranda_spark.operators.select import select_bbox, select_polygon
+
+    g = RegularGrid(ul_x=0.0, ul_y=0.0, psx=2.0, psy=2.0,
+                    rot_x=1.0, rot_y=-0.5)
+    rng = np.random.default_rng(42)
+    rows = [(i, int(rng.integers(0, 60)), int(rng.integers(0, 60)), 6, 5)
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "image_id long, px_col0 long, px_row0 long, w long, h long"
+    )
+    tri = [(20.0, -30.0), (120.0, -40.0), (60.0, -140.0)]
+    got = {r["image_id"] for r in select_polygon(df, g, tri).collect()}
+    # brute force: dense-sample each footprint's pixel rectangle, map
+    # centers+corners to world, point-in-triangle OR triangle-vertex in
+    # footprint (pixel frame)
+    from veranda_spark.functions.geometry import rings_to_pixel_frame
+
+    (tri_px,) = rings_to_pixel_frame([tri], g.ul_x, g.ul_y, g.psx, g.psy,
+                                     g.rot_x, g.rot_y)
+    def box_hits(c0, r0, w, h):
+        # sample the box densely in pixel space and ray-cast the
+        # pixel-frame triangle (exact enough at this sampling for the
+        # chosen geometry), plus vertex-in-box
+        ts = np.linspace(0, 1, 21)
+        for fx in ts:
+            for fy in ts:
+                px, py = c0 + fx * w, r0 + fy * h
+                if _ray_cast(px, py, tri_px):
+                    return True
+        for vx, vy in tri_px:
+            if c0 <= vx <= c0 + w and r0 <= vy <= r0 + h:
+                return True
+        return False
+    want = {i for i, c0, r0, w, h in rows if box_hits(c0, r0, w, h)}
+    assert got == want and 0 < len(got) < len(rows)
+
+    # bbox on the rotated grid routes through the same exact test
+    bb = (20.0, -140.0, 120.0, -30.0)
+    got_bb = {r["image_id"] for r in select_bbox(df, g, bb).collect()}
+    def bb_hits(c0, r0, w, h):
+        ts = np.linspace(0, 1, 21)
+        for fx in ts:
+            for fy in ts:
+                wx, wy = g.px_center_world_np(
+                    np.array([c0 + fx * w - 0.5]), np.array([r0 + fy * h - 0.5])
+                )
+                if bb[0] <= wx[0] <= bb[2] and bb[1] <= wy[0] <= bb[3]:
+                    return True
+        return False
+    want_bb = {i for i, c0, r0, w, h in rows if bb_hits(c0, r0, w, h)}
+    # dense sampling can miss sliver overlaps the exact test catches:
+    # the exact result must be a superset, and near-equal
+    assert want_bb <= got_bb
+    assert len(got_bb) - len(want_bb) <= 3
+    assert 0 < len(got_bb) < len(rows)
+
+
+def test_rotated_zonal_table_matches_dict_variant(spark):
+    # the polygon-TABLE zonal path (Column-side cell cover now uses the
+    # per-vertex inverse affine) must agree with the dict variant on a
+    # rotated grid
+    from veranda_spark.operators.raster import zonal_stats, zonal_stats_table
+
+    rng = np.random.default_rng(43)
+    g = RegularGrid(ul_x=10.0, ul_y=100.0, psx=2.0, psy=2.0,
+                    rot_x=0.8, rot_y=-0.3,
+                    tile_cols=32, tile_rows=32, n_tile_cols=2, n_tile_rows=2)
+    imgs = []
+    for i in range(6):
+        arr = rng.integers(0, 251, (24, 24)).astype(np.uint8)
+        imgs.append((i, arr.tobytes(), 24, 24, "raw", "uint8",
+                     int(rng.integers(0, 40)), int(rng.integers(0, 40))))
+    df = spark.createDataFrame(
+        imgs,
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    polys = {}
+    rows = []
+    for j in range(4):
+        cx, cy = g.px_center_world_np(
+            np.array([10.0 + 15 * j]), np.array([12.0 + 9 * j])
+        )
+        tri = [(cx[0] - 20.31, cy[0] - 15.77), (cx[0] + 22.13, cy[0] - 12.09),
+               (cx[0] + 1.57, cy[0] + 21.83)]
+        polys[f"z{j}"] = tri
+        rows.append((f"z{j}", [[float(a), float(b)] for a, b in tri]))
+    ptab = spark.createDataFrame(rows, "polygon_id string, xy array<array<double>>")
+    a = {r["polygon_id"]: (r["n_px"], round(r["mean_val"], 9))
+         for r in zonal_stats(df, g, polys, auto_decode=False).collect()}
+    b = {r["polygon_id"]: (r["n_px"], round(r["mean_val"], 9))
+         for r in zonal_stats_table(df, g, ptab, auto_decode=False).collect()}
+    assert a == b and len(a) >= 1

@@ -61,6 +61,27 @@ def rings_bbox(rings) -> tuple[float, float, float, float]:
     )
 
 
+def rings_to_pixel_frame(
+    rings, ul_x: float, ul_y: float, psx: float, psy: float,
+    rot_x: float, rot_y: float,
+) -> list:
+    """World-coordinate rings → continuous (col, row) pixel-frame rings
+    via the inverse of the full geotransform.  EXACT: an affine maps
+    straight edges to straight edges, so point-in-polygon in the pixel
+    frame is identical to point-in-polygon in world space — this is what
+    lets rotated/sheared grids use the same even-odd mask kernels
+    (round 5; closes the require_axis_aligned gap for polygon ops)."""
+    det = -(psx * psy + rot_x * rot_y)
+    out = []
+    for ring in rings:
+        r = np.asarray(ring, dtype="float64")
+        dx, dy = r[:, 0] - ul_x, r[:, 1] - ul_y
+        c = (-psy * dx - rot_x * dy) / det
+        rr = (-rot_y * dx + psx * dy) / det
+        out.append(np.stack([c, rr], axis=1))
+    return out
+
+
 def rings_pixel_mask(
     rings,
     ul_x: float,
@@ -71,14 +92,24 @@ def rings_pixel_mask(
     col0: int,
     h: int,
     w: int,
+    rot_x: float = 0.0,
+    rot_y: float = 0.0,
 ) -> np.ndarray:
-    """polygon_pixel_mask generalized to multi-ring geometry (even-odd)."""
+    """polygon_pixel_mask generalized to multi-ring geometry (even-odd).
+    With nonzero rot terms the RINGS move into the pixel frame (exact —
+    see rings_to_pixel_frame) and centers are tested at (col+0.5,
+    row+0.5); the north-up path keeps the round-1 world-space formula
+    bit-for-bit."""
     cols = col0 + np.arange(w)
     rows = row0 + np.arange(h)
-    xs = ul_x + (cols + 0.5) * psx
-    ys = ul_y - (rows + 0.5) * psy
-    gx, gy = np.meshgrid(xs, ys)
-    return points_in_rings(gx.ravel(), gy.ravel(), rings).reshape(h, w)
+    if rot_x == 0.0 and rot_y == 0.0:
+        xs = ul_x + (cols + 0.5) * psx
+        ys = ul_y - (rows + 0.5) * psy
+        gx, gy = np.meshgrid(xs, ys)
+        return points_in_rings(gx.ravel(), gy.ravel(), rings).reshape(h, w)
+    px_rings = rings_to_pixel_frame(rings, ul_x, ul_y, psx, psy, rot_x, rot_y)
+    gx, gy = np.meshgrid(cols + 0.5, rows + 0.5)
+    return points_in_rings(gx.ravel(), gy.ravel(), px_rings).reshape(h, w)
 
 
 def bbox_intersects(

@@ -180,11 +180,10 @@ def read_window(
 
     patches = pruned.mapInPandas(slice_window, schema=patch_schema)
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if poly is not None:
-        require_axis_aligned(grid, "read_window(mask_polygon=...)")
     mask = (
         rings_pixel_mask(
-            poly, grid.ul_x, grid.ul_y, grid.psx, grid.psy, row0, col0, height, width
+            poly, grid.ul_x, grid.ul_y, grid.psx, grid.psy, row0, col0,
+            height, width, grid.rot_x, grid.rot_y,
         )
         if poly is not None
         else None
@@ -590,10 +589,11 @@ def _as_rings(value) -> list[np.ndarray]:
 
 
 def _zonal_partial(arr: np.ndarray, rings, grid_args, row) -> tuple | None:
-    ul_x, ul_y, psx, psy = grid_args
+    ul_x, ul_y, psx, psy, rot_x, rot_y = grid_args
     h, w = arr.shape
     m = rings_pixel_mask(
-        rings, ul_x, ul_y, psx, psy, int(row.px_row0), int(row.px_col0), h, w
+        rings, ul_x, ul_y, psx, psy, int(row.px_row0), int(row.px_col0), h, w,
+        rot_x, rot_y,
     )
     # float64 before squaring: integer dtypes wrap on x**2
     vals = arr[m & ~np.isnan(arr)].astype("float64")
@@ -639,9 +639,9 @@ def zonal_stats(
     dict rides the task closure; for polygon TABLES use
     ``zonal_stats_table``.
     """
-    require_axis_aligned(grid, "zonal_stats")
     polys = {k: _as_rings(v) for k, v in polygons.items()}
-    grid_args = (grid.ul_x, grid.ul_y, grid.psx, grid.psy)
+    grid_args = (grid.ul_x, grid.ul_y, grid.psx, grid.psy,
+                 grid.rot_x, grid.rot_y)
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -691,7 +691,6 @@ def zonal_stats_table(
     """
     from veranda_spark.functions.geometry import is_ring_list_column
 
-    require_axis_aligned(grid, "zonal_stats_table")
     size = 1 << res
     id_col = "image_id" if "image_id" in df.columns else df.columns[0]
     multi_ring = is_ring_list_column(polygons, xy_col)
@@ -705,10 +704,30 @@ def zonal_stats_table(
     xs = F.transform(flat_xy, lambda v: F.element_at(v, 1))
     ys = F.transform(flat_xy, lambda v: F.element_at(v, 2))
     # world → pixel frame, then cell cover of the polygon bbox
-    pc0 = (F.array_min(xs) - F.lit(grid.ul_x)) / F.lit(grid.psx)
-    pc1 = (F.array_max(xs) - F.lit(grid.ul_x)) / F.lit(grid.psx)
-    pr0 = (F.lit(grid.ul_y) - F.array_max(ys)) / F.lit(grid.psy)
-    pr1 = (F.lit(grid.ul_y) - F.array_min(ys)) / F.lit(grid.psy)
+    if grid.is_rotated:
+        # per-VERTEX inverse affine, THEN min/max: under rotation the
+        # extreme world x/y no longer sit at the extreme pixel cols/rows
+        # (round 5 — exact, the affine maps vertices to vertices)
+        det = -(grid.psx * grid.psy + grid.rot_x * grid.rot_y)
+        colsv = F.zip_with(
+            xs, ys,
+            lambda x, y: (F.lit(-grid.psy) * (x - F.lit(grid.ul_x))
+                          - F.lit(grid.rot_x) * (y - F.lit(grid.ul_y)))
+            / F.lit(det),
+        )
+        rowsv = F.zip_with(
+            xs, ys,
+            lambda x, y: (F.lit(-grid.rot_y) * (x - F.lit(grid.ul_x))
+                          + F.lit(grid.psx) * (y - F.lit(grid.ul_y)))
+            / F.lit(det),
+        )
+        pc0, pc1 = F.array_min(colsv), F.array_max(colsv)
+        pr0, pr1 = F.array_min(rowsv), F.array_max(rowsv)
+    else:
+        pc0 = (F.array_min(xs) - F.lit(grid.ul_x)) / F.lit(grid.psx)
+        pc1 = (F.array_max(xs) - F.lit(grid.ul_x)) / F.lit(grid.psx)
+        pr0 = (F.lit(grid.ul_y) - F.array_max(ys)) / F.lit(grid.psy)
+        pr1 = (F.lit(grid.ul_y) - F.array_min(ys)) / F.lit(grid.psy)
     ix0 = F.floor(pc0 / F.lit(size)).cast("long")
     ix1 = F.floor(pc1 / F.lit(size)).cast("long")
     iy0 = F.floor(pr0 / F.lit(size)).cast("long")
@@ -737,7 +756,8 @@ def zonal_stats_table(
         .agg(F.collect_list(F.struct("_pid", "_xy")).alias("zonal_polys"))
     )
     work = df.join(pairs, df[id_col] == pairs["_img"]).drop("_img")
-    grid_args = (grid.ul_x, grid.ul_y, grid.psx, grid.psy)
+    grid_args = (grid.ul_x, grid.ul_y, grid.psx, grid.psy,
+                 grid.rot_x, grid.rot_y)
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

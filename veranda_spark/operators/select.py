@@ -26,7 +26,7 @@ from veranda_spark.functions.geometry import (
     rings_bbox,
     segment_intersects_boxes,
 )
-from veranda_spark.grid import RegularGrid, require_axis_aligned
+from veranda_spark.grid import RegularGrid
 
 
 def with_tile_id(df: DataFrame, grid: RegularGrid) -> DataFrame:
@@ -81,17 +81,38 @@ def select_bbox(
 ) -> DataFrame:
     """P6 (base.py:485-508): bbox = polygon select with apply_mask=False →
     a pure range predicate on footprint extents (world coords: bbox =
-    (xmin, ymin, xmax, ymax)).  Rotated grids raise loudly: the world
-    bbox maps to a diamond in pixel space, so a pixel-window range
-    predicate would silently return footprints OUTSIDE the queried box
-    (review r5 pass-2 #3 — same guard policy as select_polygon)."""
-    require_axis_aligned(grid, "select_bbox")
+    (xmin, ymin, xmax, ymax)).  On a ROTATED grid the world bbox maps to
+    a diamond in pixel space, so a pixel-window range predicate would
+    over-select; the bbox is instead treated as a polygon and routed
+    through the exact pixel-frame intersect test (round 5 — same
+    semantics, exact on sheared grids)."""
     xmin, ymin, xmax, ymax = bbox
+    if grid.is_rotated:
+        rect = [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)]
+        return select_polygon(df, grid, rect, exact=True)
     c0 = int(np.floor((xmin - grid.ul_x) / grid.psx))
     c1 = int(np.ceil((xmax - grid.ul_x) / grid.psx))
     r0 = int(np.floor((grid.ul_y - ymax) / grid.psy))
     r1 = int(np.ceil((grid.ul_y - ymin) / grid.psy))
     return select_px_window(df, r0, c0, r1 - r0, c1 - c0)
+
+
+
+def _pixel_frame(grid: RegularGrid, rings):
+    """World rings → the (col, −row) frame of a ROTATED grid, paired
+    with the equivalent unit north-up grid.  An affine maps straight
+    edges to straight edges, so running the standard world-space
+    intersect/mask logic in this frame is EXACT — footprints are
+    axis-aligned boxes in pixel space by construction (round 5; replaces
+    the former require_axis_aligned guards on the select family)."""
+    from veranda_spark.functions.geometry import rings_to_pixel_frame
+
+    px = rings_to_pixel_frame(
+        rings, grid.ul_x, grid.ul_y, grid.psx, grid.psy,
+        grid.rot_x, grid.rot_y,
+    )
+    flipped = [np.stack([r[:, 0], -r[:, 1]], axis=1) for r in px]
+    return flipped, RegularGrid(ul_x=0.0, ul_y=0.0, psx=1.0, psy=1.0)
 
 
 def select_polygon(
@@ -108,7 +129,9 @@ def select_polygon(
     ``read_window(..., mask_polygon=...)`` — matching veranda, where the
     register keeps whole tiles and only pixels are nodata'd out.
     """
-    require_axis_aligned(grid, "select_polygon")
+    if grid.is_rotated:
+        (poly_px,), unit = _pixel_frame(grid, [polygon])
+        return select_polygon(df, unit, poly_px, exact)
     poly = np.asarray(polygon, dtype="float64")
     xmin, ymin, xmax, ymax = polygon_bbox(poly)
     out = select_bbox(df, grid, (xmin, ymin, xmax, ymax))
@@ -167,7 +190,9 @@ def select_multipolygon(
     test keeps boxes whose boundary region is cut (conservative for a box
     straddling only a hole edge: such a box DOES intersect the filled
     region just outside the hole, so keeping it is correct)."""
-    require_axis_aligned(grid, "select_multipolygon")
+    if grid.is_rotated:
+        rings_px, unit = _pixel_frame(grid, rings)
+        return select_multipolygon(df, unit, rings_px, exact)
     polys = [np.asarray(r, dtype="float64") for r in rings]
     xmin, ymin, xmax, ymax = rings_bbox(polys)
     out = select_bbox(df, grid, (xmin, ymin, xmax, ymax))
