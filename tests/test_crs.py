@@ -630,3 +630,97 @@ def test_new_families_round5b_column_backend(spark):
         ex, ey = transform(NP, "EPSG:4326", dst, lon, lat)
         np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
         np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)
+
+
+# ---- round-5c: TOWGS84 datum shifts ----------------------------------------
+
+ED50_UTM31_WKT = (
+    'PROJCS["ED50 / UTM zone 31N",GEOGCS["ED50",DATUM["European_Datum_1950",'
+    'SPHEROID["International 1924",6378388,297],'
+    'TOWGS84[-87,-98,-121,0,0,0,0]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",3],'
+    'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]'
+)
+
+ED50_GEOGCS = (
+    'GEOGCS["ED50",DATUM["European_Datum_1950",'
+    'SPHEROID["International 1924",6378388,297],TOWGS84[-87,-98,-121]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+)
+
+
+def test_towgs84_datum_shift_invariants():
+    import math
+
+    from veranda_spark.functions.crs import (
+        NP, WGS84_A, WGS84_E2, _ecef_to_geodetic, _geodetic_to_ecef,
+        _helmert, parse_sref, transform,
+    )
+
+    # ECEF round-trip: Bowring's formula is sub-mm (here: exact fp)
+    rng = np.random.default_rng(51)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-89, 89, 500)
+    x, y, z = _geodetic_to_ecef(NP, lon, lat, WGS84_A, WGS84_E2)
+    lo, la = _ecef_to_geodetic(NP, x, y, z, WGS84_A, WGS84_E2)
+    np.testing.assert_allclose(((lo - lon + 180) % 360) - 180, 0.0, atol=1e-12)
+    np.testing.assert_allclose(la, lat, atol=1e-12)
+    # Helmert: pure translation moves X by exactly dx; fwd∘inv < 1 mm
+    p7 = (-87.0, -98.0, -121.0, 0.4, 0.5, -0.6, 1.2)
+    x2, y2, z2 = _helmert(NP, x, y, z, p7)
+    x3, y3, z3 = _helmert(NP, x2, y2, z2, p7, inverse=True)
+    assert max(np.abs(x3 - x).max(), np.abs(y3 - y).max(),
+               np.abs(z3 - z).max()) < 1e-3
+    xt, _, _ = _helmert(NP, x, y, z, (100.0, 0, 0, 0, 0, 0, 0))
+    np.testing.assert_array_equal(xt, x + 100.0)
+
+    # full cross-datum projected round-trip ≤ ~1e-8 deg
+    s = parse_sref(ED50_UTM31_WKT)
+    assert s["towgs84"] == (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+    assert s["a"] == 6378388.0  # International 1924
+    lon0 = rng.uniform(0.5, 5.5, 200)
+    lat0 = rng.uniform(38, 52, 200)
+    ex, ny = transform(NP, "EPSG:4326", ED50_UTM31_WKT, lon0, lat0)
+    lo2, la2 = transform(NP, ED50_UTM31_WKT, "EPSG:4326", ex, ny)
+    np.testing.assert_allclose(lo2, lon0, atol=1e-7)
+    np.testing.assert_allclose(la2, lat0, atol=1e-7)
+
+    # the ED50 shift over Europe is the textbook ~100-250 m (and NOT
+    # applied when the TOWGS84 clause is absent)
+    g = parse_sref(ED50_GEOGCS)
+    assert g["kind"] == "lonlat" and g["towgs84"][0] == -87.0
+    lo3, la3 = transform(NP, "EPSG:4326", ED50_GEOGCS,
+                         np.array([2.35]), np.array([48.85]))
+    dx_m = (lo3[0] - 2.35) * 3600 * 30.9  # ~30.9 m/arcsec at 48.8N
+    dy_m = (la3[0] - 48.85) * 3600 * 30.9
+    shift = math.hypot(dx_m, dy_m)
+    assert 80 < shift < 300, shift
+    # zero TOWGS84 short-circuits to identity
+    zg = parse_sref(ED50_GEOGCS.replace("TOWGS84[-87,-98,-121]",
+                                        "TOWGS84[0,0,0]"))
+    lo4, la4 = transform(NP, "EPSG:4326",
+                         ED50_GEOGCS.replace("TOWGS84[-87,-98,-121]",
+                                             "TOWGS84[0,0,0]"),
+                         np.array([2.35]), np.array([48.85]))
+    assert lo4[0] == 2.35 and la4[0] == 48.85
+
+
+def test_towgs84_column_backend(spark):
+    import pyspark.sql.functions as F
+
+    from veranda_spark.functions.crs import NP, SPARK, transform
+
+    rng = np.random.default_rng(52)
+    lon = rng.uniform(0.5, 5.5, 150)
+    lat = rng.uniform(38, 52, 150)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    xs, ys = transform(SPARK, "EPSG:4326", ED50_UTM31_WKT,
+                       F.col("lon"), F.col("lat"))
+    got = df.select(xs.alias("x"), ys.alias("y")).collect()
+    ex, ey = transform(NP, "EPSG:4326", ED50_UTM31_WKT, lon, lat)
+    np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)

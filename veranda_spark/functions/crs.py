@@ -467,6 +467,24 @@ def aeqd_to_lonlat(mt: Any, x, y, lat0: float, lon0: float,
     return lon, lat
 
 
+def _parse_towgs84(wkt: str) -> tuple | None:
+    """WKT1 ``TOWGS84[dx,dy,dz[,rx,ry,rz,ds]]`` → 7-tuple (3-parameter
+    form zero-padded); None when absent."""
+    import re
+
+    m = re.search(r'TOWGS84\[([^\]]+)\]', wkt)
+    if m is None:
+        return None
+    try:
+        vals = [float(v) for v in m.group(1).split(",")]
+    except ValueError:
+        return None
+    if len(vals) not in (3, 7):
+        return None
+    vals += [0.0] * (7 - len(vals))
+    return tuple(vals)
+
+
 def parse_wkt_projcs(wkt: str) -> dict | None:
     """WKT1 PROJCS reader for the projections this engine owns: the
     Azimuthal_Equidistant (Equi7) family — reference
@@ -502,6 +520,9 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
     )
     a, rf = (float(sph.group(1)), float(sph.group(2))) if sph else ELLIPSOIDS["WGS84"]
     base = {"a": a, "e2": _e2_of(a, rf)}
+    tw = _parse_towgs84(wkt)
+    if tw is not None:
+        base["towgs84"] = tw
     # GDAL emits latitude_of_origin/central_meridian for these families;
     # esri-style WKTs use latitude_of_center/longitude_of_center — accept
     # either spelling
@@ -706,6 +727,79 @@ def sinu_to_lonlat(mt: Any, x, y, p: dict):
     return lon, lat
 
 
+# ---- datum shifts: TOWGS84 7-parameter Helmert via ECEF --------------------
+#
+# The reference gets datum transformations from GDAL/osr; this engine
+# implements the WKT1 TOWGS84 path (position-vector convention, EPSG
+# 9606): geodetic(datum) → ECEF → Helmert → ECEF → geodetic(WGS84).
+# Surface points are shifted at h=0 (raster registers carry no height;
+# the h-sensitivity of the shift is ~1e-9·h, irrelevant at tile scale).
+
+
+def _geodetic_to_ecef(mt: Any, lon, lat, a: float, e2: float):
+    phi = mt.radians(lat)
+    lam = mt.radians(lon)
+    sp, cp = mt.sin(phi), mt.cos(phi)
+    n = a / mt.sqrt(1 - e2 * sp * sp)
+    x = n * cp * mt.cos(lam)
+    y = n * cp * mt.sin(lam)
+    z = n * (1 - e2) * sp
+    return x, y, z
+
+
+def _ecef_to_geodetic(mt: Any, x, y, z, a: float, e2: float):
+    """Bowring's single-step formula — sub-mm for Earth ellipsoids."""
+    b = a * math.sqrt(1 - e2)
+    ep2 = e2 / (1 - e2)
+    p = mt.sqrt(x * x + y * y)
+    theta = mt.atan2(z * a, p * b)
+    st, ct = mt.sin(theta), mt.cos(theta)
+    phi = mt.atan2(z + ep2 * b * st * st * st, p - e2 * a * ct * ct * ct)
+    lon = mt.degrees(mt.atan2(y, x))
+    lat = mt.degrees(phi)
+    return lon, lat
+
+
+def _helmert(mt: Any, x, y, z, p7, inverse: bool = False):
+    """Position-vector 7-parameter transformation (EPSG 9606):
+    X' = T + (1+ds)·R·X with small-angle R.  ``inverse`` applies the
+    standard sign-flipped reverse (second-order error ≪ 1 mm for real
+    datum parameters)."""
+    dx, dy, dz, rx_s, ry_s, rz_s, ds_ppm = p7
+    sgn = -1.0 if inverse else 1.0
+    dx, dy, dz = sgn * dx, sgn * dy, sgn * dz
+    rx = sgn * math.radians(rx_s / 3600.0)
+    ry = sgn * math.radians(ry_s / 3600.0)
+    rz = sgn * math.radians(rz_s / 3600.0)
+    s = 1.0 + sgn * ds_ppm * 1e-6
+    x2 = dx + s * (x - rz * y + ry * z)
+    y2 = dy + s * (rz * x + y - rx * z)
+    z2 = dz + s * (-ry * x + rx * y + z)
+    return x2, y2, z2
+
+
+def _datum_to_wgs84(mt: Any, sref: dict, lon, lat):
+    """Datum-local lon/lat → WGS84 lon/lat when the sref carries a
+    non-zero TOWGS84; identity otherwise (WGS84≈GRS80 policy)."""
+    p7 = sref.get("towgs84")
+    if not p7 or all(v == 0.0 for v in p7):
+        return lon, lat
+    a, e2 = sref.get("a", WGS84_A), sref.get("e2", WGS84_E2)
+    x, y, z = _geodetic_to_ecef(mt, lon, lat, a, e2)
+    x, y, z = _helmert(mt, x, y, z, p7)
+    return _ecef_to_geodetic(mt, x, y, z, WGS84_A, WGS84_E2)
+
+
+def _wgs84_to_datum(mt: Any, sref: dict, lon, lat):
+    p7 = sref.get("towgs84")
+    if not p7 or all(v == 0.0 for v in p7):
+        return lon, lat
+    a, e2 = sref.get("a", WGS84_A), sref.get("e2", WGS84_E2)
+    x, y, z = _geodetic_to_ecef(mt, lon, lat, WGS84_A, WGS84_E2)
+    x, y, z = _helmert(mt, x, y, z, p7, inverse=True)
+    return _ecef_to_geodetic(mt, x, y, z, a, e2)
+
+
 # ---- sref parsing + lon/lat hub --------------------------------------------
 
 
@@ -734,6 +828,23 @@ def parse_sref(sref: str) -> dict | None:
         return None
     if sref.lstrip().upper().startswith("PROJCS"):
         return parse_wkt_projcs(sref)
+    if sref.lstrip().upper().startswith("GEOGCS"):
+        # bare geographic CRS: lon/lat on the declared datum — a
+        # TOWGS84 clause makes cross-datum transforms real (round 5c)
+        import re
+
+        sph = re.search(
+            r'SPHEROID\["[^"]*",\s*([-+0-9.eE]+),\s*([-+0-9.eE]+)', sref
+        )
+        a, rf = (
+            (float(sph.group(1)), float(sph.group(2)))
+            if sph else ELLIPSOIDS["WGS84"]
+        )
+        out = {"kind": "lonlat", "a": a, "e2": _e2_of(a, rf)}
+        tw = _parse_towgs84(sref)
+        if tw is not None:
+            out["towgs84"] = tw
+        return out
     u = sref.upper()
     wgs = {"a": WGS84_A, "e2": WGS84_E2}
     if u.startswith("AEQD:"):
@@ -873,6 +984,10 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
             "Albers_Conic_Equal_Area and Sinusoidal"
         )
     lon, lat = to_lonlat(mt, s, x, y)
+    # datum legs: only active when a sref declares a non-zero TOWGS84 —
+    # the WGS84≈GRS80≈NAD83 family short-circuits to identity
+    lon, lat = _datum_to_wgs84(mt, s, lon, lat)
+    lon, lat = _wgs84_to_datum(mt, d, lon, lat)
     return from_lonlat(mt, d, lon, lat)
 
 
