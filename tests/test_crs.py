@@ -724,3 +724,45 @@ def test_towgs84_column_backend(spark):
     ex, ey = transform(NP, "EPSG:4326", ED50_UTM31_WKT, lon, lat)
     np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
     np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)
+
+
+def test_pass3_crs_fixes():
+    # review r5 pass-3: longitude wrap, malformed TOWGS84, PRIMEM/unit
+    import numpy as np
+
+    from veranda_spark.functions.crs import NP, parse_sref, transform
+
+    # EPSG:3413 inverse wraps into (-180, 180] and chains correctly
+    x, y = transform(NP, "EPSG:4326", "EPSG:3413",
+                     np.array([150.0]), np.array([75.0]))
+    lo, la = transform(NP, "EPSG:3413", "EPSG:4326", x, y)
+    assert -180.0 < lo[0] <= 180.0 and abs(lo[0] - 150.0) < 1e-6
+    sx, _ = transform(NP, "EPSG:3413", "SINU:0", x, y)
+    R = 6371007.181
+    want_x = R * np.radians(150.0) * np.cos(np.radians(la[0]))
+    assert abs(sx[0] - want_x) < 1.0, (sx[0], want_x)
+
+    # malformed TOWGS84 raises instead of silently dropping ~150 m
+    bad = ED50_GEOGCS.replace("TOWGS84[-87,-98,-121]", "TOWGS84[-87,-98]")
+    with pytest.raises(ValueError, match="malformed TOWGS84"):
+        parse_sref(bad)
+
+    # non-Greenwich prime meridian / non-degree unit rejected loudly
+    paris = ED50_GEOGCS.replace('PRIMEM["Greenwich",0]',
+                                'PRIMEM["Paris",2.33722917]')
+    with pytest.raises(ValueError, match="prime meridian"):
+        parse_sref(paris)
+    grad = ED50_GEOGCS.replace(
+        'UNIT["degree",0.0174532925199433]',
+        'UNIT["grad",0.015707963267948967]',
+    )
+    with pytest.raises(ValueError, match="not degrees"):
+        parse_sref(grad)
+
+
+def test_singular_geotransform_rejected_in_ring_transform():
+    from veranda_spark.functions.geometry import rings_to_pixel_frame
+
+    with pytest.raises(ValueError, match="singular geotransform"):
+        rings_to_pixel_frame([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]],
+                             0.0, 0.0, 2.0, 2.0, 2.0, -2.0)

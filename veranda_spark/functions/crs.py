@@ -102,6 +102,20 @@ ELLIPSOIDS = {
 }
 
 
+def _wrap_lon(mt: Any, lon):
+    """Fold a longitude that overflowed ±180 back into range.  The
+    CONDITIONAL form leaves in-range values bit-identical (an
+    unconditional modulo would perturb every value by fp rounding);
+    overflow from an inverse projection is at most one revolution, so a
+    single fold suffices.  Needed wherever lon = lon0 + δ can exceed
+    range (polar stereographic, conic θ/n, azimuthal aspects) — review
+    r5 pass-3 #1: an unwrapped −210° chained into a Δλ-linear
+    projection (sinusoidal/Mercator) lands a world-width off."""
+    return mt.where(
+        lon > 180.0, lon - 360.0, mt.where(lon < -180.0, lon + 360.0, lon)
+    )
+
+
 def _e2_of(a: float, rf: float) -> float:
     """First eccentricity squared from inverse flattening (rf=0 →
     sphere)."""
@@ -132,6 +146,20 @@ def _meridian_arc(mt: Any, phi, a: float = WGS84_A, e2: float = WGS84_E2):
         - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * mt.sin(2 * phi)
         + (15 * e4 / 256 + 45 * e6 / 1024) * mt.sin(4 * phi)
         - (35 * e6 / 3072) * mt.sin(6 * phi)
+    )
+
+
+def _footpoint_latitude(mt: Any, m, a: float, e2: float):
+    """Rectifying series (Snyder 3-26): meridian distance m → footpoint
+    latitude φ₁ — shared by the TM and sinusoidal inverses."""
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2**3 / 256))
+    return (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * mt.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * mt.sin(4 * mu)
+        + (151 * e1**3 / 96) * mt.sin(6 * mu)
+        + (1097 * e1**4 / 512) * mt.sin(8 * mu)
     )
 
 
@@ -172,18 +200,10 @@ def tmerc_to_lonlat(mt: Any, x, y, p: dict):
     ``lonlat_to_tmerc``."""
     a, e2, k0 = p["a"], p["e2"], p["k0"]
     ep2 = e2 / (1 - e2)
-    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
     x_ = x - p["fe"]
     m0 = _meridian_arc(math, math.radians(p["lat0"]), a, e2)
     m = m0 + (y - p["fn"]) / k0
-    mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2**3 / 256))
-    phi1 = (
-        mu
-        + (3 * e1 / 2 - 27 * e1**3 / 32) * mt.sin(2 * mu)
-        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * mt.sin(4 * mu)
-        + (151 * e1**3 / 96) * mt.sin(6 * mu)
-        + (1097 * e1**4 / 512) * mt.sin(8 * mu)
-    )
+    phi1 = _footpoint_latitude(mt, m, a, e2)
     sin1, cos1, tan1 = mt.sin(phi1), mt.cos(phi1), mt.tan(phi1)
     c1 = ep2 * cos1 * cos1
     t1 = tan1 * tan1
@@ -307,7 +327,7 @@ def lcc_to_lonlat(mt: Any, x, y, p: dict):
     t = mt.pow(rho / afk, 1.0 / n)
     chi = math.pi / 2 - 2.0 * mt.atan(t)
     lat = mt.degrees(_conformal_to_geodetic(mt, chi, e2))
-    lon = p["lon0"] + mt.degrees(theta / n)
+    lon = _wrap_lon(mt, p["lon0"] + mt.degrees(theta / n))
     return lon, lat
 
 
@@ -401,7 +421,9 @@ def laea_to_lonlat(mt: Any, x, y, p: dict):
     beta = mt.asin(qr)
     lam = mt.atan2(x_ * sc, d * rho_safe * cb1 * cc - d * d * y_ * sb1 * sc)
     phi = _authalic_to_geodetic(mt, beta, e2)
-    lon = mt.where(at_center, p["lon0"], p["lon0"] + mt.degrees(lam))
+    lon = mt.where(
+        at_center, p["lon0"], _wrap_lon(mt, p["lon0"] + mt.degrees(lam))
+    )
     lat = mt.where(at_center, p["lat0"], mt.degrees(phi))
     return lon, lat
 
@@ -462,7 +484,7 @@ def aeqd_to_lonlat(mt: Any, x, y, lat0: float, lon0: float,
     phi = mt.asin(sin_phi)
     lam = mt.atan2(x_ * sc, rho_safe * cp0 * cc - y_ * sp0 * sc)
     # at the exact center rho=0: (lon0, lat0)
-    lon = mt.where(at_center, lon0, lon0 + mt.degrees(lam))
+    lon = mt.where(at_center, lon0, _wrap_lon(mt, lon0 + mt.degrees(lam)))
     lat = mt.where(at_center, lat0, mt.degrees(phi))
     return lon, lat
 
@@ -478,11 +500,40 @@ def _parse_towgs84(wkt: str) -> tuple | None:
     try:
         vals = [float(v) for v in m.group(1).split(",")]
     except ValueError:
-        return None
-    if len(vals) not in (3, 7):
-        return None
+        vals = None
+    if vals is None or len(vals) not in (3, 7):
+        # a PRESENT but malformed clause must fail loudly — silently
+        # skipping it would drop a ~100-250 m datum shift (review r5
+        # pass-3 #3; same policy as degenerate cones)
+        raise ValueError(f"malformed TOWGS84 clause: {m.group(0)!r}")
     vals += [0.0] * (7 - len(vals))
     return tuple(vals)
+
+
+def _check_geogcs_conventions(wkt: str) -> None:
+    """Reject non-Greenwich prime meridians and non-degree angular
+    units LOUDLY — silently discarding a PRIMEM["Paris",2.337...] would
+    shift every longitude ~170 km (review r5 pass-3 #4).  Lenient when
+    the clauses are absent or unparseable (plain Greenwich/degree WKTs
+    in the wild frequently omit the unit factor)."""
+    import re
+
+    pm = re.search(r'PRIMEM\["([^"]*)",\s*([-+0-9.eE]+)', wkt)
+    if pm is not None and abs(float(pm.group(2))) > 1e-12:
+        raise ValueError(
+            f"non-Greenwich prime meridian {pm.group(1)!r} "
+            f"({pm.group(2)}°) is not supported"
+        )
+    un = re.search(
+        r'PRIMEM\[[^\]]*\],\s*UNIT\["([^"]*)",\s*([-+0-9.eE]+)', wkt
+    )
+    if un is not None:
+        if abs(float(un.group(2)) - 0.0174532925199433) > 1e-9:
+            raise ValueError(
+                f"angular unit {un.group(1)!r} (factor {un.group(2)}) is "
+                "not degrees; only degree-based geographic CRSs are "
+                "supported"
+            )
 
 
 def parse_wkt_projcs(wkt: str) -> dict | None:
@@ -497,6 +548,7 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
 
     if not wkt or not wkt.lstrip().upper().startswith("PROJCS"):
         return None
+    _check_geogcs_conventions(wkt)
     proj = re.search(r'PROJECTION\["([^"]+)"\]', wkt)
     if proj is None:
         return None
@@ -615,7 +667,10 @@ def stere_to_lonlat(mt: Any, x, y, p: dict):
     phi = _conformal_to_geodetic(mt, chi, e2)
     at_pole = mt.abs(rho) < 1e-12
     lam = mt.atan2(x_, 0.0 - y_)
-    lon = mt.where(at_pole, p["lon0"], p["lon0"] + sgn * mt.degrees(lam))
+    lon = mt.where(
+        at_pole, p["lon0"],
+        _wrap_lon(mt, p["lon0"] + sgn * mt.degrees(lam)),
+    )
     lat = sgn * mt.where(at_pole, 90.0, mt.degrees(phi))
     return lon, lat
 
@@ -683,7 +738,7 @@ def aea_to_lonlat(mt: Any, x, y, p: dict):
     qr = mt.where(qr < -1.0, -1.0, qr)
     beta = mt.asin(qr)
     lat = mt.degrees(_authalic_to_geodetic(mt, beta, e2))
-    lon = p["lon0"] + mt.degrees(theta / n)
+    lon = _wrap_lon(mt, p["lon0"] + mt.degrees(theta / n))
     return lon, lat
 
 
@@ -707,16 +762,7 @@ def sinu_to_lonlat(mt: Any, x, y, p: dict):
     """Inverse via the footpoint-latitude series (same rectifying series
     as the TM inverse — Snyder 3-26)."""
     a, e2 = p["a"], p["e2"]
-    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-    m = y - p["fn"]
-    mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 ** 3 / 256))
-    phi = (
-        mu
-        + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * mt.sin(2 * mu)
-        + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * mt.sin(4 * mu)
-        + (151 * e1 ** 3 / 96) * mt.sin(6 * mu)
-        + (1097 * e1 ** 4 / 512) * mt.sin(8 * mu)
-    )
+    phi = _footpoint_latitude(mt, y - p["fn"], a, e2)
     sp = mt.sin(phi)
     cp = mt.cos(phi)
     near_pole = mt.abs(cp) < 1e-12
@@ -832,6 +878,8 @@ def parse_sref(sref: str) -> dict | None:
         # bare geographic CRS: lon/lat on the declared datum — a
         # TOWGS84 clause makes cross-datum transforms real (round 5c)
         import re
+
+        _check_geogcs_conventions(sref)
 
         sph = re.search(
             r'SPHEROID\["[^"]*",\s*([-+0-9.eE]+),\s*([-+0-9.eE]+)', sref

@@ -72,6 +72,16 @@ def rings_to_pixel_frame(
     lets rotated/sheared grids use the same even-odd mask kernels
     (round 5; closes the require_axis_aligned gap for polygon ops)."""
     det = -(psx * psy + rot_x * rot_y)
+    scale = abs(psx * psy) + abs(rot_x * rot_y)
+    if not (abs(det) > 1e-12 * max(scale, 1e-300)):
+        # same loud failure as RegularGrid._inv_affine — a silent
+        # inf-ring would make every mask/select empty (review r5
+        # pass-3 #2)
+        raise ValueError(
+            f"singular geotransform: psx={psx}, psy={psy}, rot_x={rot_x}, "
+            f"rot_y={rot_y} has determinant ~0 — the pixel axes are "
+            "collinear"
+        )
     out = []
     for ring in rings:
         r = np.asarray(ring, dtype="float64")

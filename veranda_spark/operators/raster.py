@@ -33,7 +33,7 @@ from veranda_spark.functions.geometry import (
     polygon_pixel_mask,
     rings_pixel_mask,
 )
-from veranda_spark.grid import RegularGrid, require_axis_aligned
+from veranda_spark.grid import RegularGrid
 
 ASSEMBLED_SCHEMA = (
     "var string, layer_id int, bytes binary, h int, w int, channels int, dtype string"
@@ -709,6 +709,13 @@ def zonal_stats_table(
         # extreme world x/y no longer sit at the extreme pixel cols/rows
         # (round 5 — exact, the affine maps vertices to vertices)
         det = -(grid.psx * grid.psy + grid.rot_x * grid.rot_y)
+        _scale = abs(grid.psx * grid.psy) + abs(grid.rot_x * grid.rot_y)
+        if not (abs(det) > 1e-12 * max(_scale, 1e-300)):
+            raise ValueError(
+                "singular geotransform: the pixel axes are collinear "
+                f"(psx={grid.psx}, psy={grid.psy}, rot_x={grid.rot_x}, "
+                f"rot_y={grid.rot_y})"
+            )
         colsv = F.zip_with(
             xs, ys,
             lambda x, y: (F.lit(-grid.psy) * (x - F.lit(grid.ul_x))
