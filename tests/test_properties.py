@@ -225,3 +225,48 @@ def test_webmerc_roundtrip_property(lon, lat):
     x, y = lonlat_to_webmerc(NP, np.array([lon]), np.array([lat]))
     lo, la = webmerc_to_lonlat(NP, x, y)
     assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+
+
+# ---- round-5: CRS round-trip property over every family --------------------
+
+_CRS_DOMAINS = [
+    # (sref, lon range, lat range) — points drawn inside each
+    # projection's validity domain
+    ("EPSG:3857", (-179.0, 179.0), (-85.0, 85.0)),
+    ("EPSG:32632", (6.5, 11.5), (-79.0, 83.0)),
+    ("EPSG:2154", (-4.5, 8.5), (41.5, 51.0)),
+    ("EPSG:3035", (-10.0, 35.0), (34.0, 71.0)),
+    ("EPSG:3413", (-179.0, 179.0), (55.0, 89.0)),
+    ("EPSG:3031", (-179.0, 179.0), (-89.0, -55.0)),
+    ("EPSG:5070", (-124.0, -67.0), (25.0, 49.0)),
+    ("SINU:0", (-179.0, 179.0), (-85.0, 85.0)),
+    ("AEQD:53,24", (-10.0, 60.0), (20.0, 75.0)),
+    ("TMERC:49,2,0.9996", (-1.0, 5.0), (-79.0, 83.0)),
+    ("LAEA:48,12", (-20.0, 45.0), (25.0, 72.0)),
+    ("AEA:23,-96,29.5,45.5", (-125.0, -65.0), (22.0, 52.0)),
+    ("STERE:-71,0", (-179.0, 179.0), (-89.0, -50.0)),
+]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    idx=st.integers(0, len(_CRS_DOMAINS) - 1),
+    u=st.floats(0.0, 1.0),
+    v=st.floats(0.0, 1.0),
+)
+def test_crs_roundtrip_property(idx, u, v):
+    # forward∘inverse identity within each family's validity domain, for
+    # arbitrary points — catches domain-edge regressions systematically
+    from veranda_spark.functions.crs import NP, transform
+
+    sref, (lo0, lo1), (la0, la1) = _CRS_DOMAINS[idx]
+    lon = np.array([lo0 + u * (lo1 - lo0)])
+    lat = np.array([la0 + v * (la1 - la0)])
+    x, y = transform(NP, "EPSG:4326", sref, lon, lat)
+    assert np.isfinite(x[0]) and np.isfinite(y[0])
+    lo, la = transform(NP, sref, "EPSG:4326", x, y)
+    dl = (lo[0] - lon[0] + 180.0) % 360.0 - 180.0
+    assert abs(dl) < 1e-6, (sref, lon[0], lat[0], lo[0])
+    assert abs(la[0] - lat[0]) < 1e-6, (sref, lon[0], lat[0], la[0])
+    # and the returned longitude is always in range
+    assert -180.0 <= lo[0] <= 180.0
