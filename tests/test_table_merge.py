@@ -643,3 +643,28 @@ def test_relocate_sweeps_stranded_copies(spark, base, monkeypatch):
     # the live rel-copies survive and reads stay correct
     got = _rows(read_table(spark, base))
     assert len(got) == 20
+
+
+def test_relocate_noop_on_link_mode_tables(spark, base):
+    # link-mode tables share bytes by inode — nothing references old
+    # version DIRS via manifests, so relocate has nothing to do and
+    # expire works as before
+    from veranda_spark.io.table import (
+        expire_versions,
+        list_versions,
+        relocate_versions,
+    )
+
+    for j in range(3):
+        upd = spark.createDataFrame(
+            [(j, j % 4, f"u{j}")], "k long, p long, val string"
+        )
+        merge_into(spark, base, upd, keys=["k"], partition_by="p",
+                   commit_mode="link")
+    before = _rows(read_table(spark, base))
+    res = relocate_versions(base, keep=2)
+    assert res["relocated"] == 0 and res["rewritten_manifests"] == 0
+    removed = expire_versions(base, keep=2)
+    assert removed == [1, 2]
+    assert list_versions(base) == [3, 4]
+    assert _rows(read_table(spark, base)) == before
