@@ -766,3 +766,23 @@ def test_singular_geotransform_rejected_in_ring_transform():
     with pytest.raises(ValueError, match="singular geotransform"):
         rings_to_pixel_frame([[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]],
                              0.0, 0.0, 2.0, 2.0, 2.0, -2.0)
+
+
+def test_aeqd_polar_aspect_roundtrip():
+    # Equi7's Antarctic grid is a POLAR azimuthal equidistant: the
+    # spherical AEQD formulas degrade gracefully at lat0=±90 (no
+    # division by cos(lat0)) — round-trip + true-distance from the pole
+    from veranda_spark.functions.crs import NP, transform
+
+    rng = np.random.default_rng(61)
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-89.5, -55, 400)
+    x, y = transform(NP, "EPSG:4326", "AEQD:-90,0", lon, lat)
+    lo, la = transform(NP, "AEQD:-90,0", "EPSG:4326", x, y)
+    dl = (lo - lon + 180.0) % 360.0 - 180.0
+    np.testing.assert_allclose(dl, 0.0, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # true distance from the pole: rho = R * (90 - |lat|) in radians
+    rho = np.hypot(x, y)
+    want = 6378137.0 * np.radians(90.0 + lat)
+    np.testing.assert_allclose(rho, want, rtol=1e-12)
