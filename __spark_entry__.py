@@ -1158,6 +1158,25 @@ def q_composite_mosaic(spark, sf_dir):
     return out
 
 
+def q_temporal_stats(spark, sf_dir):
+    # round-5: per-pixel temporal reductions over a layer stack (the
+    # TUW-GEO sig0 time-series workload; xarray mean('time')/polyfit
+    # idiom) — ONE streaming pass of per-pixel sufficient statistics,
+    # stack never materialized.  Rows-only (pixel payloads; numpy
+    # goldens incl. exact-slope ramp in test_temporal.py).
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.operators.cube import temporal_stats
+    from veranda_spark.operators.raster import burn_in
+
+    imgs = generate_images(spark, 300)
+    tiles = burn_in(imgs, GRID, per_layer=True)
+    out = temporal_stats(tiles)
+    return out.select(
+        "tile_id", "var", "stat",
+        F.crc32(F.col("bytes")).alias("canvas_crc"), "n_layers",
+    )
+
+
 def q_cog_roundtrip(spark, sf_dir):
     # S4: COG-shape export loop in-flight — burn-in canvases re-encode as
     # tiled multi-IFD TIFF with geo tags, then decode + geotransform
@@ -1467,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_crs": q_warp_crs,
         "warp_cubic": q_warp_cubic,
         "warp_rotated": q_warp_rotated,
+        "temporal_stats": q_temporal_stats,
         "media_metadata": q_media_metadata,
         "compact_roundtrip": q_compact_roundtrip,
         "audio_features": q_audio_features,

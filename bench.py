@@ -103,6 +103,7 @@ ROUND5: list[str] = [
     "zonal_table",
     "ann_ivf",
     "warp_rotated",
+    "temporal_stats",
 ]
 
 #: row-preserving projections: under ``count()`` Catalyst prunes the

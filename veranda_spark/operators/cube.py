@@ -155,3 +155,137 @@ def tile_algebra(
             )
 
     return joined.mapInPandas(compute, schema=TILE_SCHEMA)
+
+
+def temporal_stats(
+    tiles: DataFrame,
+    stats: tuple = ("mean", "std", "min", "max", "count", "slope"),
+    nodata: float = -9999.0,
+    time_col: str | None = None,
+) -> DataFrame:
+    """Per-pixel TEMPORAL statistics over a layer stack — the datacube
+    reduction behind sig0 time-series analysis (the reference's core
+    TUW-GEO workload: per-pixel mean/std/trend across a stack of
+    coregistered acquisitions; xarray idiom ``cube.mean('time')`` /
+    ``polyfit('time', 1)``).
+
+    Input rows follow TILE_SCHEMA — one canvas per (tile_id, var,
+    layer_id) as produced by ``burn_in(per_layer=True)`` or a tile-table
+    read-back.  ``time_col`` optionally names a numeric per-layer time
+    coordinate; otherwise ``layer_id`` is the time axis.
+
+    Output: one row per (tile_id, var, stat) with a float64 canvas;
+    pixels with no valid observation are ``nodata`` (``count`` is 0).
+    ``slope`` is the per-pixel OLS trend dvalue/dtime; pixels with <2
+    valid observations (or zero time variance) are ``nodata``.
+
+    Scale design (100 TB): ONE streaming pass — layers hash-partition on
+    (tile_id, var) and the kernel accumulates per-pixel SUFFICIENT
+    STATISTICS (n, Σv, Σv², Σt, Σt², Σt·v) layer by layer, so memory is
+    O(6 × tile_px) regardless of stack depth; the stack is never
+    materialized.  The single shuffle moves each canvas once.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    allowed = {"mean", "std", "min", "max", "count", "slope"}
+    bad = set(stats) - allowed
+    if bad:
+        raise ValueError(f"unknown stats {sorted(bad)}; allowed {sorted(allowed)}")
+    keys = ["tile_id"] + (["var"] if "var" in tiles.columns else [])
+    meta = [c for c in ("tile_row", "tile_col") if c in tiles.columns]
+    n_parts = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cols = keys + meta + ["layer_id", "bytes", "h", "w", "channels", "dtype"] + (
+        [time_col] if time_col else []
+    )
+    part = tiles.select(*cols).repartition(n_parts, *[F.col(k) for k in keys])
+
+    out_schema = (
+        "tile_id string, tile_row long, tile_col long, var string, "
+        "stat string, bytes binary, h int, w int, channels int, dtype string, "
+        "n_layers long"
+    )
+
+    def reduce_stack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, dict] = {}
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                key = tuple(getattr(row, k) for k in keys)
+                h, w, ch = int(row.h), int(row.w), int(row.channels)
+                shape = (h, w) if ch == 1 else (h, w, ch)
+                arr = np.frombuffer(row.bytes, dtype=row.dtype).reshape(shape)
+                nod = np.full((), nodata).astype(arr.dtype)[()]
+                v = arr.astype("float64")
+                valid = arr != nod
+                t = float(getattr(row, time_col)) if time_col else float(row.layer_id)
+                a = acc.get(key)
+                if a is None:
+                    a = acc[key] = {
+                        "h": h, "w": w, "ch": ch,
+                        "meta": tuple(int(getattr(row, m, 0)) for m in meta),
+                        "n": np.zeros(shape, "int64"),
+                        "sv": np.zeros(shape), "svv": np.zeros(shape),
+                        "st": np.zeros(shape), "stt": np.zeros(shape),
+                        "stv": np.zeros(shape),
+                        "mn": np.full(shape, np.inf),
+                        "mx": np.full(shape, -np.inf),
+                        "layers": 0,
+                    }
+                elif (a["h"], a["w"], a["ch"]) != (h, w, ch):
+                    raise ValueError(
+                        f"temporal_stats: misaligned stack on {key}: "
+                        f"{(a['h'], a['w'], a['ch'])} vs {(h, w, ch)}"
+                    )
+                vv = np.where(valid, v, 0.0)
+                a["n"] += valid
+                a["sv"] += vv
+                a["svv"] += vv * vv
+                a["st"] += np.where(valid, t, 0.0)
+                a["stt"] += np.where(valid, t * t, 0.0)
+                a["stv"] += np.where(valid, t * v, 0.0)
+                a["mn"] = np.where(valid & (v < a["mn"]), v, a["mn"])
+                a["mx"] = np.where(valid & (v > a["mx"]), v, a["mx"])
+                a["layers"] += 1
+        rows = []
+        for key, a in acc.items():
+            n = a["n"].astype("float64")
+            seen = a["n"] > 0
+            mean = np.where(seen, a["sv"] / np.where(seen, n, 1), nodata)
+            outs = {}
+            if "mean" in stats:
+                outs["mean"] = mean
+            if "std" in stats:
+                var = a["svv"] / np.where(seen, n, 1) - np.where(
+                    seen, mean, 0.0
+                ) ** 2
+                outs["std"] = np.where(seen, np.sqrt(np.maximum(var, 0.0)), nodata)
+            if "min" in stats:
+                outs["min"] = np.where(seen, a["mn"], nodata)
+            if "max" in stats:
+                outs["max"] = np.where(seen, a["mx"], nodata)
+            if "count" in stats:
+                outs["count"] = n
+            if "slope" in stats:
+                den = n * a["stt"] - a["st"] * a["st"]
+                ok = (a["n"] >= 2) & (np.abs(den) > 1e-12)
+                num = n * a["stv"] - a["st"] * a["sv"]
+                outs["slope"] = np.where(ok, num / np.where(ok, den, 1), nodata)
+            kd = dict(zip(keys, key))
+            tr, tc = (a["meta"] + (0, 0))[:2]
+            for st_name in stats:
+                rows.append(
+                    (
+                        kd["tile_id"], tr, tc, kd.get("var", "data"), st_name,
+                        np.ascontiguousarray(outs[st_name]).tobytes(),
+                        a["h"], a["w"], a["ch"], "float64", a["layers"],
+                    )
+                )
+        yield pd.DataFrame(
+            rows or None,
+            columns=["tile_id", "tile_row", "tile_col", "var", "stat",
+                     "bytes", "h", "w", "channels", "dtype", "n_layers"],
+        )
+
+    return part.mapInPandas(reduce_stack, schema=out_schema)
