@@ -209,22 +209,6 @@ def test_rotated_average_matches_polygon_clipping_reference(spark):
     assert dst.is_rotated
 
 
-def test_reproject_footprints_rejects_rotated_grids(spark):
-    # review r5 #2: silently dropping rot terms would shift every
-    # footprint by row*rot_x — must raise instead
-    from veranda_spark.grid import reproject_footprints
-
-    flat = RegularGrid(ul_x=0.0, ul_y=0.0, psx=1.0, psy=1.0)
-    df = spark.createDataFrame(
-        [(1, 4, 6, 8, 10)],
-        "image_id long, px_col0 long, px_row0 long, w long, h long",
-    )
-    with pytest.raises(NotImplementedError, match="axis-aligned"):
-        reproject_footprints(df, ROT, flat)
-    with pytest.raises(NotImplementedError, match="axis-aligned"):
-        reproject_footprints(df, flat, ROT)
-
-
 def test_pass2_guards(spark):
     # review r5 pass-2: select_bbox / write_tiles_checkpointed raise on
     # rotated grids; singular geotransforms and degenerate LCC cones
@@ -414,3 +398,75 @@ def test_rotated_zonal_table_matches_dict_variant(spark):
     b = {r["polygon_id"]: (r["n_px"], round(r["mean_val"], 9))
          for r in zonal_stats_table(df, g, ptab, auto_decode=False).collect()}
     assert a == b and len(a) >= 1
+
+
+def test_rotated_reproject_footprints_covers_corners(spark):
+    # round-5c: footprint remap between rotated frames — the dst pixel
+    # window must cover every src corner (mapped through BOTH affines)
+    # and be tight to one pixel
+    from veranda_spark.grid import reproject_footprints
+
+    src = RegularGrid(ul_x=5.0, ul_y=-3.0, psx=2.0, psy=3.0,
+                      rot_x=0.7, rot_y=-0.4)
+    dst = RegularGrid(ul_x=-10.0, ul_y=20.0, psx=1.5, psy=1.5,
+                      rot_x=-0.5, rot_y=0.9)
+    df = spark.createDataFrame(
+        [(1, 4, 6, 8, 10), (2, 50, 30, 12, 7)],
+        "image_id long, px_col0 long, px_row0 long, w long, h long",
+    )
+    out = {r["image_id"]: r for r in reproject_footprints(df, src, dst).collect()}
+    for row in df.collect():
+        c0, r0, w, h = row["px_col0"], row["px_row0"], row["w"], row["h"]
+        for (c, r) in ((c0, r0), (c0 + w, r0), (c0, r0 + h), (c0 + w, r0 + h)):
+            x = src.ul_x + c * src.psx + r * src.rot_x
+            y = src.ul_y + c * src.rot_y - r * src.psy
+            pc, pr = dst.world_to_px_np(np.array([x]), np.array([y]))
+            o = out[row["image_id"]]
+            assert o["px_col0"] - 1e-9 <= pc[0] <= o["px_col0"] + o["w"] + 1e-9
+            assert o["px_row0"] - 1e-9 <= pr[0] <= o["px_row0"] + o["h"] + 1e-9
+        # tight: window no more than 1 px larger than the corner hull
+        pcs, prs = [], []
+        for (c, r) in ((c0, r0), (c0 + w, r0), (c0, r0 + h), (c0 + w, r0 + h)):
+            x = src.ul_x + c * src.psx + r * src.rot_x
+            y = src.ul_y + c * src.rot_y - r * src.psy
+            pc, pr = dst.world_to_px_np(np.array([x]), np.array([y]))
+            pcs.append(pc[0]); prs.append(pr[0])
+        o = out[row["image_id"]]
+        assert o["w"] <= (max(pcs) - min(pcs)) + 2
+        assert o["h"] <= (max(prs) - min(prs)) + 2
+
+
+def test_rotated_cross_crs_footprint(spark):
+    # cross-CRS + rotated DST grid: boundary samples convert to dst
+    # PIXEL coords through the inverse affine before min/max
+    from veranda_spark.functions.crs import NP, transform as tx
+    from veranda_spark.grid import reproject_footprints
+
+    src = RegularGrid(ul_x=-180.0, ul_y=85.0, psx=0.01, psy=0.01,
+                      sref="EPSG:4326")
+    import math
+    th = math.radians(20.0)
+    dst = RegularGrid(
+        ul_x=-20037508.34, ul_y=20037508.34,
+        psx=1000.0 * math.cos(th), rot_x=1000.0 * math.sin(th),
+        rot_y=1000.0 * math.sin(th), psy=1000.0 * math.cos(th),
+        sref="EPSG:3857",
+    )
+    df = spark.createDataFrame(
+        [(1, 19200, 4000, 500, 400)],
+        "image_id long, px_col0 long, px_row0 long, w long, h long",
+    )
+    o = reproject_footprints(df, src, dst).collect()[0]
+    # dense boundary of the original footprint must land inside the
+    # dst pixel window
+    t = np.linspace(0.0, 1.0, 81)
+    lon0, lat0 = -180.0 + 19200 * 0.01, 85.0 - 4000 * 0.01
+    lon1, lat1 = lon0 + 500 * 0.01, lat0 - 400 * 0.01
+    lons = np.concatenate([lon0 + (lon1 - lon0) * t, lon0 + (lon1 - lon0) * t,
+                           np.full_like(t, lon0), np.full_like(t, lon1)])
+    lats = np.concatenate([np.full_like(t, lat0), np.full_like(t, lat1),
+                           lat0 + (lat1 - lat0) * t, lat0 + (lat1 - lat0) * t])
+    xs, ys = tx(NP, "EPSG:4326", "EPSG:3857", lons, lats)
+    pcs, prs = dst.world_to_px_np(xs, ys)
+    assert o["px_col0"] <= pcs.min() and o["px_col0"] + o["w"] >= pcs.max()
+    assert o["px_row0"] <= prs.min() and o["px_row0"] + o["h"] >= prs.max()

@@ -403,13 +403,49 @@ def reproject_footprints(
     a warp; resampling stays with read_window's target grid.  Unsupported
     CRS pairs still raise loudly.
 
-    Rotated grids raise loudly (round-5 guard policy: no silently
-    dropped rot terms) — warp_window handles rotated frames with real
-    pixel resampling; footprint-only remapping between sheared frames is
-    not implemented."""
-    require_axis_aligned(src, "reproject_footprints (src grid)")
-    require_axis_aligned(dst, "reproject_footprints (dst grid)")
+    Rotated grids (round 5c): same-CRS remaps route the four corners
+    through the full affine and its inverse (covering bbox in the DST
+    pixel frame — min/max must happen in pixel space under rotation);
+    the cross-CRS path converts every boundary sample to dst pixel
+    coords the same way.  On north-up grids both reduce bit-identically
+    to the round-3 formulas (division by a positive pixel size commutes
+    with min/max exactly)."""
+
+    def _dst_px(x, y):
+        if not dst.is_rotated:
+            return (
+                (x - F.lit(dst.ul_x)) / F.lit(dst.psx),
+                (F.lit(dst.ul_y) - y) / F.lit(dst.psy),
+            )
+        return dst._inv_affine(x - F.lit(dst.ul_x), y - F.lit(dst.ul_y))
+
     same = src.sref is None or dst.sref is None or src.sref == dst.sref
+    if same and (src.is_rotated or dst.is_rotated):
+        c0, r0 = F.col("px_col0"), F.col("px_row0")
+        corners = [
+            (c0, r0), (c0 + F.col("w"), r0),
+            (c0, r0 + F.col("h")), (c0 + F.col("w"), r0 + F.col("h")),
+        ]
+        pcs, prs = [], []
+        for c, r in corners:
+            x = F.lit(src.ul_x) + c * F.lit(src.psx) + r * F.lit(src.rot_x)
+            y = F.lit(src.ul_y) + c * F.lit(src.rot_y) - r * F.lit(src.psy)
+            pc, pr = _dst_px(x, y)
+            pcs.append(pc)
+            prs.append(pr)
+        new_col0 = F.floor(F.least(*pcs)).cast("long")
+        new_row0 = F.floor(F.least(*prs)).cast("long")
+        return (
+            df.withColumn("_nc", new_col0)
+            .withColumn("_nr", new_row0)
+            .withColumn("_nw", F.ceil(F.greatest(*pcs)) - F.col("_nc"))
+            .withColumn("_nh", F.ceil(F.greatest(*prs)) - F.col("_nr"))
+            .withColumn("w", F.col("_nw").cast(dict(df.dtypes)["w"]))
+            .withColumn("h", F.col("_nh").cast(dict(df.dtypes)["h"]))
+            .withColumn("px_col0", F.col("_nc"))
+            .withColumn("px_row0", F.col("_nr"))
+            .drop("_nc", "_nr", "_nw", "_nh")
+        )
     if same:
         x0 = F.lit(src.ul_x) + F.col("px_col0") * F.lit(src.psx)
         y0 = F.lit(src.ul_y) - F.col("px_row0") * F.lit(src.psy)
@@ -427,8 +463,10 @@ def reproject_footprints(
 
     def world(col_px, row_px):
         return (
-            F.lit(src.ul_x) + col_px * F.lit(src.psx),
-            F.lit(src.ul_y) - row_px * F.lit(src.psy),
+            F.lit(src.ul_x) + col_px * F.lit(src.psx)
+            + row_px * F.lit(src.rot_x),
+            F.lit(src.ul_y) + col_px * F.lit(src.rot_y)
+            - row_px * F.lit(src.psy),
         )
 
     # Projected edges bow outward between corners (a constant-northing
@@ -466,12 +504,13 @@ def reproject_footprints(
     txy = [
         transform(SPARK, src.sref, dst.sref, *world(c, r)) for c, r in boundary
     ]
-    xmin = F.least(*[x for x, _ in txy])
-    xmax = F.greatest(*[x for x, _ in txy])
-    ymin = F.least(*[y for _, y in txy])
-    ymax = F.greatest(*[y for _, y in txy])
-    new_col0 = F.floor((xmin - F.lit(dst.ul_x)) / F.lit(dst.psx)).cast("long")
-    new_row0 = F.floor((F.lit(dst.ul_y) - ymax) / F.lit(dst.psy)).cast("long")
+    pxy = [_dst_px(x, y) for x, y in txy]
+    pc_min = F.least(*[pc for pc, _ in pxy])
+    pc_max = F.greatest(*[pc for pc, _ in pxy])
+    pr_min = F.least(*[pr for _, pr in pxy])
+    pr_max = F.greatest(*[pr for _, pr in pxy])
+    new_col0 = F.floor(pc_min).cast("long")
+    new_row0 = F.floor(pr_min).cast("long")
     # ALL four outputs are computed into temp columns while the ORIGINAL
     # w/h/px_* columns are still intact: xmin/ymax/... reference
     # F.col("w")/F.col("h"), so replacing w before computing h would make
@@ -480,14 +519,8 @@ def reproject_footprints(
     return (
         df.withColumn("_new_col0", new_col0)
         .withColumn("_new_row0", new_row0)
-        .withColumn(
-            "_new_w",
-            F.ceil((xmax - F.lit(dst.ul_x)) / F.lit(dst.psx)) - F.col("_new_col0"),
-        )
-        .withColumn(
-            "_new_h",
-            F.ceil((F.lit(dst.ul_y) - ymin) / F.lit(dst.psy)) - F.col("_new_row0"),
-        )
+        .withColumn("_new_w", F.ceil(pc_max) - F.col("_new_col0"))
+        .withColumn("_new_h", F.ceil(pr_max) - F.col("_new_row0"))
         .withColumn("w", F.col("_new_w").cast(dict(df.dtypes)["w"]))
         .withColumn("h", F.col("_new_h").cast(dict(df.dtypes)["h"]))
         .withColumn("px_col0", F.col("_new_col0"))
