@@ -210,19 +210,9 @@ def test_rotated_average_matches_polygon_clipping_reference(spark):
 
 
 def test_pass2_guards(spark):
-    # review r5 pass-2: select_bbox / write_tiles_checkpointed raise on
-    # rotated grids; singular geotransforms and degenerate LCC cones
-    # fail loudly
-    from veranda_spark.io.lineage import write_tiles_checkpointed
-
-    df = spark.createDataFrame(
-        [(1, 4, 6, 8, 10)],
-        "image_id long, px_col0 long, px_row0 long, w long, h long",
-    )
-
-    with pytest.raises(NotImplementedError, match="axis-aligned"):
-        write_tiles_checkpointed(df, "/tmp/x", grid=ROT)
-
+    # review r5 pass-2: singular geotransforms and degenerate LCC cones
+    # fail loudly (the rotated-grid guards of pass 2 were later upgraded
+    # to REAL support in 5b/5c — their functional tests live below)
     # singular geotransform: rot_x*rot_y == -psx*psy
     bad = RegularGrid(psx=1.0, psy=1.0, rot_x=2.0, rot_y=-0.5)
     with pytest.raises(ValueError, match="singular geotransform"):
@@ -470,3 +460,49 @@ def test_rotated_cross_crs_footprint(spark):
     pcs, prs = dst.world_to_px_np(xs, ys)
     assert o["px_col0"] <= pcs.min() and o["px_col0"] + o["w"] >= pcs.max()
     assert o["px_row0"] <= prs.min() and o["px_row0"] + o["h"] >= prs.max()
+
+
+def test_rotated_geotiff_placement_roundtrip(spark, tmp_path):
+    # round-5c: the FULL geotransform (incl. rot) rides
+    # ModelTransformationTag through the tile sink, and footprint
+    # recovery inverts it exactly on a matching rotated grid
+    from veranda_spark.functions.tiff import tiff_encode, tiff_geotrans
+    from veranda_spark.io.lineage import read_tiles, write_tiles_checkpointed
+    from veranda_spark.operators.raster import burn_in
+    from veranda_spark.sources.register import footprints_from_geotiff
+
+    g = RegularGrid(ul_x=100.0, ul_y=500.0, psx=2.0, psy=3.0,
+                    rot_x=0.7, rot_y=-0.4,
+                    tile_cols=16, tile_rows=16, n_tile_cols=4, n_tile_rows=4)
+    arr = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    imgs = spark.createDataFrame(
+        [(1, arr.tobytes(), 16, 16, "raw", "uint8", 8, 8)],
+        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
+        "px_col0 long, px_row0 long",
+    )
+    tiles = burn_in(imgs, g, per_layer=False)
+    base = str(tmp_path / "sink")
+    write_tiles_checkpointed(tiles, base, lossy_fmt="tiff", grid=g)
+    got = read_tiles(spark, base).collect()
+    assert len(got) >= 1
+    for r in got:
+        gt = tiff_geotrans(bytes(r["bytes"]))
+        tr, tc = int(r["tile_row"]), int(r["tile_col"])
+        assert gt == g.tile_geotrans(tr, tc), (tr, tc, gt)
+
+    # recovery: payload geotransform → (px_col0, px_row0) on the grid
+    payloads = spark.createDataFrame(
+        [(int(r["tile_row"]) * 100 + int(r["tile_col"]), bytes(r["bytes"]),
+          16, 16, "tiff")
+         for r in got],
+        "image_id long, bytes binary, w int, h int, fmt string",
+    )
+    rec = footprints_from_geotiff(payloads, g).collect()
+    for r in rec:
+        tr, tc = divmod(int(r["image_id"]), 100)
+        assert r["px_col0"] == tc * 16 and r["px_row0"] == tr * 16
+
+    # rot mismatch between payload and grid fails loudly
+    flat = RegularGrid(ul_x=100.0, ul_y=500.0, psx=2.0, psy=3.0)
+    with pytest.raises(Exception, match="rotation"):
+        footprints_from_geotiff(payloads, flat).collect()

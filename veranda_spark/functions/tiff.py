@@ -578,12 +578,23 @@ def tiff_encode_cog(
 # these tags carry the affine placement.
 
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
+#: ModelTransformationTag (DOUBLE[16]) — the FULL 4x4 raster→model
+#: affine; the GeoTIFF mechanism for rotated/sheared geotransforms
+#: (PixelScale+Tiepoint cannot express rotation)
+_MODEL_TRANSFORMATION = 34264
 
 
 def tiff_geotrans(data: bytes) -> tuple | None:
-    """(ul_x, psx, 0, ul_y, 0, -psy) GDAL-style geotransform from the
-    geo tags of IFD 0, or None if untagged."""
+    """GDAL-style geotransform ``(gt0..gt5)`` from the geo tags of
+    IFD 0, or None if untagged.  ModelTransformationTag (rotated
+    grids) takes precedence over PixelScale+Tiepoint, mirroring GDAL's
+    reader priority."""
     t = _read_ifds(data, _tiff_bo(data))[0]
+    if _MODEL_TRANSFORMATION in t:
+        m = [float(v) for v in t[_MODEL_TRANSFORMATION][:16]]
+        # row-major 4x4: x = m0*i + m1*j + m3 ; y = m4*i + m5*j + m7
+        # (i = col, j = row) → gt = (m3, m0, m1, m7, m4, m5)
+        return (m[3], m[0], m[1], m[7], m[4], m[5])
     if _MODEL_PIXEL_SCALE not in t or _MODEL_TIEPOINT not in t:
         return None
     sx, sy = float(t[_MODEL_PIXEL_SCALE][0]), float(t[_MODEL_PIXEL_SCALE][1])
@@ -594,8 +605,22 @@ def tiff_geotrans(data: bytes) -> tuple | None:
     return (ul_x, sx, 0.0, ul_y, 0.0, -sy)
 
 
-def _geo_entries(geo: tuple[float, float, float, float]) -> list[tuple]:
-    """geo = (ul_x, ul_y, psx, psy) → tag entries (type 12 = DOUBLE)."""
+def _geo_entries(geo: tuple) -> list[tuple]:
+    """``geo`` = (ul_x, ul_y, psx, psy) → PixelScale+Tiepoint tags, or a
+    6-tuple GDAL geotransform (ul_x, psx, rot1, ul_y, rot2, -psy) —
+    rotated transforms emit ModelTransformationTag (type 12 = DOUBLE),
+    the only GeoTIFF encoding that can carry rot terms."""
+    if len(geo) == 6:
+        gt0, gt1, gt2, gt3, gt4, gt5 = (float(v) for v in geo)
+        if gt2 != 0.0 or gt4 != 0.0:
+            return [(
+                _MODEL_TRANSFORMATION, 12,
+                [gt1, gt2, 0.0, gt0,
+                 gt4, gt5, 0.0, gt3,
+                 0.0, 0.0, 0.0, 0.0,
+                 0.0, 0.0, 0.0, 1.0],
+            )]
+        geo = (gt0, gt3, gt1, -gt5)  # north-up: keep the minimal pair
     ul_x, ul_y, psx, psy = (float(v) for v in geo)
     return [
         (_MODEL_PIXEL_SCALE, 12, [psx, psy, 0.0]),

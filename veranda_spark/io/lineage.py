@@ -176,13 +176,10 @@ def write_tiles_checkpointed(
 
     if scope not in ("table", "run"):
         raise ValueError(f"scope {scope!r}")
-    if grid is not None:
-        # the 4-tuple geo placement cannot carry rot terms; silently
-        # dropping them would mis-georeference every encoded tile
-        # (round-5 guard policy — review r5 pass-2 #2)
-        from veranda_spark.grid import require_axis_aligned
-
-        require_axis_aligned(grid, "write_tiles_checkpointed(grid=...)")
+    # rotated grids flow through the FULL 6-value tile geotransform,
+    # which the TIFF writer encodes as ModelTransformationTag; north-up
+    # grids keep the minimal PixelScale+Tiepoint pair bit-identically
+    # (round 5c — the last rotation guard, now real support)
     spark = tiles.sparkSession
     run_id = run_id or f"run_{int(time.time() * 1000)}"
     attempt_id = uuid.uuid4().hex[:16]
@@ -241,12 +238,7 @@ def write_tiles_checkpointed(
                             f"got {canvas.dtype} for tile {row.tile_id}"
                         )
                     geo = (
-                        (
-                            grid.ul_x + int(row.tile_col) * grid.tile_cols * grid.psx,
-                            grid.ul_y - int(row.tile_row) * grid.tile_rows * grid.psy,
-                            grid.psx,
-                            grid.psy,
-                        )
+                        grid.tile_geotrans(int(row.tile_row), int(row.tile_col))
                         if grid is not None
                         else None
                     )

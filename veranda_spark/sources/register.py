@@ -130,6 +130,8 @@ def footprints_from_geotiff(
     schema += ", px_col0 long, px_row0 long"
 
     ul_x, ul_y, psx, psy = grid.ul_x, grid.ul_y, grid.psx, grid.psy
+    rot_x, rot_y = grid.rot_x, grid.rot_y
+    det = -(psx * psy + rot_x * rot_y)
 
     def recover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -141,22 +143,26 @@ def footprints_from_geotiff(
                     rows.append(None)
                     continue
                 gx, gpsx, grot1, gy, grot2, gpsy_neg = gt
-                if abs(grot1) > 1e-12 or abs(grot2) > 1e-12:
-                    # round-5 guard policy: never silently drop rot
-                    # terms — a sheared payload on a north-up grid
-                    # would mis-place every pixel
+                if abs(grot1 - rot_x) > 1e-9 or abs(grot2 - rot_y) > 1e-9:
+                    # rot terms must MATCH the grid's (round 5c:
+                    # ModelTransformationTag payloads register against
+                    # an equally sheared grid; a mismatch would
+                    # mis-place every pixel — fail loudly)
                     raise ValueError(
-                        f"payload geotransform has rotation ({grot1}, "
-                        f"{grot2}); register against a rotated grid via "
-                        "warp_window, not footprint recovery"
+                        f"payload geotransform rotation ({grot1}, "
+                        f"{grot2}) != grid ({rot_x}, {rot_y}); "
+                        "warp to the grid's frame first"
                     )
                 if abs(gpsx - psx) > 1e-9 or abs(-gpsy_neg - psy) > 1e-9:
                     raise ValueError(
                         f"payload pixel size ({gpsx}, {-gpsy_neg}) != grid "
                         f"({psx}, {psy}); reproject first"
                     )
-                cols.append(int(round((gx - ul_x) / psx)))
-                rows.append(int(round((ul_y - gy) / psy)))
+                # inverse affine of the payload ORIGIN (north-up reduces
+                # to the round-3 formulas exactly)
+                dx, dy = gx - ul_x, gy - ul_y
+                cols.append(int(round((-psy * dx - rot_x * dy) / det)))
+                rows.append(int(round((-rot_y * dx + psx * dy) / det)))
             out = pdf.copy()
             out["px_col0"] = pd.array(cols, dtype="Int64")
             out["px_row0"] = pd.array(rows, dtype="Int64")
