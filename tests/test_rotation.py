@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from veranda_spark.grid import RegularGrid, require_axis_aligned
+from veranda_spark.grid import RegularGrid
 from veranda_spark.operators.raster import warp_window
 
 ROT = RegularGrid(
@@ -87,12 +87,6 @@ def test_rotated_tiles_df_bbox_covers_corners(spark):
                 y = ROT.ul_y + c * ROT.rot_y - r * ROT.psy
                 assert t["xmin"] - 1e-9 <= x <= t["xmax"] + 1e-9
                 assert t["ymin"] - 1e-9 <= y <= t["ymax"] + 1e-9
-
-
-def test_axis_aligned_guards_raise():
-    with pytest.raises(NotImplementedError, match="axis-aligned"):
-        require_axis_aligned(ROT, "zonal_stats")
-    require_axis_aligned(RegularGrid(), "ok")  # no-op for north-up
 
 
 # ---- rotation-exact average resampling -------------------------------------

@@ -368,21 +368,6 @@ class RegularGrid:
         )
 
 
-def require_axis_aligned(grid: "RegularGrid", op: str) -> None:
-    """Loud guard for operators whose world↔pixel math assumes a
-    north-up, axis-aligned grid.  Rotated geotransforms are supported in
-    tile assignment, pixel-center/footprint math and warp_window — warp
-    a rotated source to a north-up grid first for everything else."""
-    if grid.is_rotated:
-        raise NotImplementedError(
-            f"{op} assumes an axis-aligned (north-up) grid; this grid has "
-            f"rot_x={grid.rot_x}, rot_y={grid.rot_y}. Supported on rotated "
-            "grids: tile assignment (tile_of_xy/px_col/px_row), pixel-"
-            "center math (x_center/y_center), tiles_df, warp_window — "
-            "warp to a north-up grid before polygon masking/zonal stats."
-        )
-
-
 def reproject_footprints(
     df: DataFrame, src: "RegularGrid", dst: "RegularGrid"
 ) -> DataFrame:
