@@ -1168,7 +1168,13 @@ def q_temporal_stats(spark, sf_dir):
     from veranda_spark.operators.cube import temporal_stats
     from veranda_spark.operators.raster import burn_in
 
-    imgs = generate_images(spark, 300)
+    # a REAL stack: 5 acquisition layers per tile (review r5 pass-4 #2:
+    # without layer_id, burn_in composites everything into one layer and
+    # the temporal accumulation never runs)
+    imgs = generate_images(spark, 300).withColumn(
+        "layer_id",
+        (F.xxhash64("image_id") % 5 + 5) % 5 + 1,
+    )
     tiles = burn_in(imgs, GRID, per_layer=True)
     out = temporal_stats(tiles)
     return out.select(

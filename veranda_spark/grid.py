@@ -476,15 +476,25 @@ def reproject_footprints(
     offs += [(dc, h_ * f) for f in fracs for dc in (zero, w_)]
     src_kind = parse_sref(src.sref)
     if src_kind and src_kind["kind"] == "utm":
-        cm_dc = F.greatest(
-            F.lit(0.0),
-            F.least(
-                (F.lit((UTM_FALSE_EASTING - src.ul_x) / src.psx)
-                 - c0).cast("double"),
-                w_.cast("double"),
-            ),
-        )
-        offs += [(cm_dc, zero), (cm_dc, h_)]
+        # the central-meridian crossing of each horizontal edge: solve
+        # x(c) = FE along that edge.  With rot_x the crossing column
+        # depends on the edge's ROW (x = ul_x + c·psx + r·rot_x), so
+        # top and bottom edges get their own clamped offsets (review r5
+        # pass-4 #3: a shared row-free offset would miss the latitude
+        # extremum on rotated UTM sources)
+        def _cm_dc(row_px):
+            return F.greatest(
+                F.lit(0.0),
+                F.least(
+                    (
+                        (F.lit(UTM_FALSE_EASTING - src.ul_x)
+                         - row_px * F.lit(src.rot_x)) / F.lit(src.psx)
+                        - c0
+                    ).cast("double"),
+                    w_.cast("double"),
+                ),
+            )
+        offs += [(_cm_dc(r0), zero), (_cm_dc(r0 + h_), h_)]
     boundary = [(c0 + dc, r0 + dr) for dc, dr in offs]
     txy = [
         transform(SPARK, src.sref, dst.sref, *world(c, r)) for c, r in boundary

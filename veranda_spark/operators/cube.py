@@ -223,7 +223,7 @@ def temporal_stats(
                 a = acc.get(key)
                 if a is None:
                     a = acc[key] = {
-                        "h": h, "w": w, "ch": ch,
+                        "h": h, "w": w, "ch": ch, "dt": str(arr.dtype),
                         "meta": tuple(int(getattr(row, m, 0)) for m in meta),
                         "n": np.zeros(shape, "int64"),
                         "sv": np.zeros(shape), "svv": np.zeros(shape),
@@ -233,10 +233,16 @@ def temporal_stats(
                         "mx": np.full(shape, -np.inf),
                         "layers": 0,
                     }
-                elif (a["h"], a["w"], a["ch"]) != (h, w, ch):
+                elif (a["h"], a["w"], a["ch"], a["dt"]) != (
+                    h, w, ch, str(arr.dtype)
+                ):
+                    # dtype matters too: the stored-nodata sentinel wraps
+                    # per dtype (-9999 → 241 for uint8), so a mixed-dtype
+                    # stack would silently drop/keep the wrong pixels
                     raise ValueError(
                         f"temporal_stats: misaligned stack on {key}: "
-                        f"{(a['h'], a['w'], a['ch'])} vs {(h, w, ch)}"
+                        f"{(a['h'], a['w'], a['ch'], a['dt'])} vs "
+                        f"{(h, w, ch, str(arr.dtype))}"
                     )
                 vv = np.where(valid, v, 0.0)
                 a["n"] += valid
@@ -248,8 +254,14 @@ def temporal_stats(
                 a["mn"] = np.where(valid & (v < a["mn"]), v, a["mn"])
                 a["mx"] = np.where(valid & (v > a["mx"]), v, a["mx"])
                 a["layers"] += 1
-        rows = []
-        for key, a in acc.items():
+        out_cols = ["tile_id", "tile_row", "tile_col", "var", "stat",
+                    "bytes", "h", "w", "channels", "dtype", "n_layers"]
+        emitted = False
+        # emit one small frame PER KEY and free its accumulators as we
+        # go (review r5 pass-4 #5): peak memory stays O(one tile's
+        # planes), matching the documented claim — never partition-sized
+        for key in list(acc):
+            a = acc.pop(key)
             n = a["n"].astype("float64")
             seen = a["n"] > 0
             mean = np.where(seen, a["sv"] / np.where(seen, n, 1), nodata)
@@ -274,18 +286,17 @@ def temporal_stats(
                 outs["slope"] = np.where(ok, num / np.where(ok, den, 1), nodata)
             kd = dict(zip(keys, key))
             tr, tc = (a["meta"] + (0, 0))[:2]
-            for st_name in stats:
-                rows.append(
-                    (
-                        kd["tile_id"], tr, tc, kd.get("var", "data"), st_name,
-                        np.ascontiguousarray(outs[st_name]).tobytes(),
-                        a["h"], a["w"], a["ch"], "float64", a["layers"],
-                    )
+            rows = [
+                (
+                    kd["tile_id"], tr, tc, kd.get("var", "data"), st_name,
+                    np.ascontiguousarray(outs[st_name]).tobytes(),
+                    a["h"], a["w"], a["ch"], "float64", a["layers"],
                 )
-        yield pd.DataFrame(
-            rows or None,
-            columns=["tile_id", "tile_row", "tile_col", "var", "stat",
-                     "bytes", "h", "w", "channels", "dtype", "n_layers"],
-        )
+                for st_name in stats
+            ]
+            emitted = True
+            yield pd.DataFrame(rows, columns=out_cols)
+        if not emitted:
+            yield pd.DataFrame(None, columns=out_cols)
 
     return part.mapInPandas(reduce_stack, schema=out_schema)
