@@ -1183,6 +1183,84 @@ def q_temporal_stats(spark, sf_dir):
     )
 
 
+def q_temporal_oracle(spark, sf_dir):
+    # round-5: ORACLE-GRADED temporal reduction.  A formula stack —
+    # value(p, t) = a(p)·t + b(p) with a = (p·3)%7−3, b = (p·5)%251,
+    # t = layer_id ∈ {1..4} — makes every per-pixel statistic exactly
+    # derivable in closed form: slope = a (num = 20a over den = 20 —
+    # fp-exact because the quotient is an integer), 2·mean = 5a + 2b
+    # (integer), 16·std² = 20a² (exact: variance = 1.25a²).  The engine
+    # runs the REAL streaming accumulation (temporal_stats) and
+    # bucketizes each stat canvas; DuckDB derives the same buckets from
+    # (a, b) directly — a fully independent check.
+    import numpy as np
+    import pandas as pd
+
+    from veranda_spark.operators.cube import temporal_stats
+
+    TR, TC, TS, L = 2, 4, 64, 4  # 2x4 tiles of 64x64, 4 layers
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                t_idx, layer = divmod(i, L)
+                tr, tc = divmod(t_idx, TC)
+                rr, cc = np.mgrid[0:TS, 0:TS]
+                p = (tr * TS + rr) * (TC * TS) + (tc * TS + cc)
+                a = (p * 3) % 7 - 3
+                b = (p * 5) % 251
+                v = (a * (layer + 1) + b).astype("float64")
+                rows.append(
+                    (f"{tr}_{tc}", tr, tc, "data", layer + 1,
+                     v.tobytes(), TS, TS, 1, "float64", 1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_id", "tile_row", "tile_col", "var",
+                         "layer_id", "bytes", "h", "w", "channels",
+                         "dtype", "n_images"],
+            )
+
+    tiles = spark.range(TR * TC * L).mapInPandas(
+        gen,
+        schema="tile_id string, tile_row long, tile_col long, var string, "
+               "layer_id int, bytes binary, h int, w int, channels int, "
+               "dtype string, n_images long",
+    )
+    stats = temporal_stats(tiles, stats=("mean", "slope", "std"))
+
+    def bucketize(it):
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                v = np.frombuffer(row.bytes, dtype=row.dtype).reshape(
+                    row.h, row.w
+                )
+                if row.stat == "mean":
+                    bk = np.rint(2.0 * v)
+                elif row.stat == "slope":
+                    bk = np.rint(v)
+                else:  # std: 16·std² = 20a² is an exact integer
+                    bk = np.rint(16.0 * v * v)
+                vals, counts = np.unique(bk.astype("int64"),
+                                         return_counts=True)
+                out.extend(
+                    (row.tile_id, row.stat, int(bv), int(n))
+                    for bv, n in zip(vals, counts)
+                )
+            yield pd.DataFrame(
+                out or None,
+                columns=["tile_id", "stat", "bucket", "n_px"],
+            )
+
+    return stats.mapInPandas(
+        bucketize,
+        schema="tile_id string, stat string, bucket long, n_px long",
+    )
+
+
 def q_cog_roundtrip(spark, sf_dir):
     # S4: COG-shape export loop in-flight — burn-in canvases re-encode as
     # tiled multi-IFD TIFF with geo tags, then decode + geotransform
@@ -1480,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_aeqd": q_reproject_aeqd,
         "reproject_lcc": q_reproject_lcc,
         "resample_average": q_resample_average,
+        "temporal_oracle": q_temporal_oracle,
         "quicklook": q_quicklook,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1525,9 +1604,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups", "doc_logprob", "decontaminate", "doc_repetition",
         "contrastive_pairs", "merge_upsert", "stratified_sample",
         "hash_split", "doc_chunks", "reproject_aeqd", "reproject_lcc",
-        "resample_average",
+        "resample_average", "temporal_oracle",
     ]
-    tail = ["cell_ring", "parent_cell", "grouping_sets_orders"]
+    # running_window joins the tail in round 5: §2.5 window coverage is
+    # already graded three times over (window_rank, range_window,
+    # sessionize), making it the most redundant oracle when
+    # temporal_oracle takes a graded slot
+    tail = ["cell_ring", "parent_cell", "running_window",
+            "grouping_sets_orders"]
     first = [k for k in priority if k in q and k in ora]
     rest_o = [
         k for k in q if k in ora and k not in first and k not in tail
@@ -1855,6 +1939,29 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor(6600000.0 + rho0
                         - af*pow(tt,n)*cos(n*radians(lon-3.0))) AS bigint) AS lcc_y_m
             FROM proj
+        """,
+        "temporal_oracle": """
+            WITH px AS (
+              SELECT tr, tc,
+                     ((tr*64 + r) * 256 + (tc*64 + c)) AS p
+              FROM range(2) t1(tr), range(4) t2(tc),
+                   range(64) t3(r), range(64) t4(c)
+            ), ab AS (
+              -- value(p, t) = a*t + b: every temporal statistic has a
+              -- closed form, so the oracle never runs an accumulation —
+              -- slope = a, 2*mean = 5a + 2b, 16*std^2 = 20a^2
+              SELECT tr, tc, (p*3) % 7 - 3 AS a, (p*5) % 251 AS b FROM px
+            ), buckets AS (
+              SELECT tr, tc, 'mean' AS stat, 5*a + 2*b AS bucket FROM ab
+              UNION ALL
+              SELECT tr, tc, 'slope', a FROM ab
+              UNION ALL
+              SELECT tr, tc, 'std', 20*a*a FROM ab
+            )
+            SELECT concat(cast(tr AS varchar), '_', cast(tc AS varchar)) AS tile_id,
+                   stat, cast(bucket AS bigint) AS bucket,
+                   cast(count(*) AS bigint) AS n_px
+            FROM buckets GROUP BY 1, 2, 3
         """,
         "resample_average": """
             SELECT cast(floor(r/4) AS bigint) AS out_r,
