@@ -786,3 +786,39 @@ def test_aeqd_polar_aspect_roundtrip():
     rho = np.hypot(x, y)
     want = 6378137.0 * np.radians(90.0 + lat)
     np.testing.assert_allclose(rho, want, rtol=1e-12)
+
+
+def test_advice_r5_crs_fixes():
+    # ADVICE r5: (a) angular-UNIT guard must fire even when PRIMEM
+    # carries a nested AUTHORITY clause (the common GDAL WKT1 shape);
+    # (b) sinusoidal inverse wraps longitude; (c) explicit k0=0 in the
+    # TMERC shorthand is a loud degenerate, omitted k0 still defaults.
+    from veranda_spark.functions.crs import NP, parse_sref, transform
+
+    grad_auth = ED50_GEOGCS.replace(
+        'PRIMEM["Greenwich",0]',
+        'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]]',
+    ).replace(
+        'UNIT["degree",0.0174532925199433]',
+        'UNIT["grad",0.015707963267948967,AUTHORITY["EPSG","9105"]]',
+    )
+    with pytest.raises(ValueError, match="not degrees"):
+        parse_sref(grad_auth)
+    # degree WKT with AUTHORITY-bearing PRIMEM still parses fine
+    deg_auth = ED50_GEOGCS.replace(
+        'PRIMEM["Greenwich",0]',
+        'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]]',
+    )
+    assert parse_sref(deg_auth)["kind"] == "lonlat"
+
+    # sinusoidal inverse: an out-of-domain x (lam > pi) folds back into
+    # (-180, 180] instead of landing a world-width off
+    R = 6371007.181
+    x = np.array([R * np.radians(200.0)])  # lam = 200 deg at the equator
+    lon, lat = transform(NP, "SINU:0", "EPSG:4326", x, np.array([0.0]))
+    assert -180.0 < lon[0] <= 180.0 and abs(lon[0] - (-160.0)) < 1e-6
+
+    with pytest.raises(ValueError, match="degenerate"):
+        parse_sref("TMERC:0,9,0")
+    assert parse_sref("TMERC:0,9")["k0"] == 1.0
+    assert parse_sref("TMERC:0,9,0.9996")["k0"] == 0.9996

@@ -102,3 +102,35 @@ def test_pyfiles_zip_runs_under_spark_submit(spark, tmp_path):
         a = np.frombuffer(t["bytes"], dtype=t["dtype"])
         chk = (chk + int(a[a != -9999].astype("uint64").sum())) % (1 << 61)
     assert marker[0] == f"PYFILES_OK tiles={len(tiles)} chk={chk}"
+
+
+def test_committed_zip_matches_source_tree():
+    """ADVICE r5 (medium): the committed dist/veranda_spark.zip went
+    stale silently.  Guard: every packaged .py must be byte-equal to the
+    source tree and the file SETS must match — a stale zip fails here
+    with the exact fix (`python tools/build_pyfiles.py`)."""
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(root, "dist", "veranda_spark.zip")
+    assert os.path.exists(zip_path), "dist/veranda_spark.zip missing — run python tools/build_pyfiles.py"
+    src = set()
+    for dirpath, _dirs, files in os.walk(os.path.join(root, "veranda_spark")):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                src.add(os.path.relpath(full, root).replace(os.sep, "/"))
+    with zipfile.ZipFile(zip_path) as zf:
+        packaged = set(zf.namelist())
+        assert packaged == src, (
+            f"zip/source file-set drift (run python tools/build_pyfiles.py): "
+            f"only-in-zip={sorted(packaged - src)} only-in-src={sorted(src - packaged)}"
+        )
+        stale = []
+        for name in sorted(src):
+            with open(os.path.join(root, name), "rb") as f:
+                if zf.read(name) != f.read():
+                    stale.append(name)
+        assert not stale, f"stale files in dist zip (run python tools/build_pyfiles.py): {stale}"

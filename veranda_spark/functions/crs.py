@@ -524,8 +524,14 @@ def _check_geogcs_conventions(wkt: str) -> None:
             f"non-Greenwich prime meridian {pm.group(1)!r} "
             f"({pm.group(2)}°) is not supported"
         )
-    un = re.search(
-        r'PRIMEM\[[^\]]*\],\s*UNIT\["([^"]*)",\s*([-+0-9.eE]+)', wkt
+    # the angular UNIT is the first UNIT after the GEOGCS token (WKT1
+    # nests GEOGCS before PROJECTION/linear-UNIT); anchoring on PRIMEM's
+    # closing bracket misses the common GDAL shape where PRIMEM carries
+    # a nested AUTHORITY[...] clause (ADVICE r5 #2)
+    g = wkt.upper().find("GEOGCS")
+    un = (
+        re.search(r'UNIT\["([^"]*)",\s*([-+0-9.eE]+)', wkt[g:])
+        if g >= 0 else None
     )
     if un is not None:
         if abs(float(un.group(2)) - 0.0174532925199433) > 1e-9:
@@ -768,7 +774,11 @@ def sinu_to_lonlat(mt: Any, x, y, p: dict):
     near_pole = mt.abs(cp) < 1e-12
     denom = a * mt.where(near_pole, 1.0, cp) / mt.sqrt(1 - e2 * sp * sp)
     lam = (x - p["fe"]) / denom
-    lon = mt.where(near_pole, p["lon0"], p["lon0"] + mt.degrees(lam))
+    # fold through _wrap_lon like every other inverse: an out-of-domain
+    # x must not land a world-width off when chained (ADVICE r5 #3)
+    lon = mt.where(
+        near_pole, p["lon0"], _wrap_lon(mt, p["lon0"] + mt.degrees(lam))
+    )
     lat = mt.degrees(phi)
     return lon, lat
 
@@ -901,7 +911,12 @@ def parse_sref(sref: str) -> dict | None:
         p = _parse_shorthand(sref, "tmerc", 2, ["lat0", "lon0", "k0", "fe", "fn"])
         if p is None:
             return None
-        if p["k0"] == 0.0:
+        n_given = len(sref.split(":", 1)[1].split(","))
+        if n_given >= 3 and p["k0"] == 0.0:
+            # an EXPLICIT zero scale is degenerate — fail loudly like
+            # the LCC/Albers cone cases (ADVICE r5 #4)
+            raise ValueError("TMERC shorthand: explicit k0=0 is degenerate")
+        if n_given < 3:
             p["k0"] = 1.0  # unscaled TM when omitted
         return {**p, **wgs}
     if u.startswith("LCC:"):
