@@ -822,3 +822,134 @@ def test_advice_r5_crs_fixes():
         parse_sref("TMERC:0,9,0")
     assert parse_sref("TMERC:0,9")["k0"] == 1.0
     assert parse_sref("TMERC:0,9,0.9996")["k0"] == 0.9996
+
+
+# ---- round-6: Mercator 1SP/2SP + Equirectangular ---------------------------
+
+
+def test_mercator_invariants_and_roundtrip():
+    import math
+
+    from veranda_spark.functions.crs import (
+        NP, WGS84_A, WGS84_E2, lonlat_to_merc, parse_sref, transform,
+    )
+
+    rng = np.random.default_rng(60)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-80, 80, 500)
+
+    # 1SP on the SPHERE (e2=0) is exactly Web Mercator's formula
+    sph = {"a": WGS84_A, "e2": 0.0, "lat_ts": 0.0, "lon0": 0.0,
+           "k0": 1.0, "fe": 0.0, "fn": 0.0}
+    x, y = lonlat_to_merc(NP, lon, lat, sph)
+    np.testing.assert_allclose(x, WGS84_A * np.radians(lon), rtol=1e-14)
+    np.testing.assert_allclose(
+        y, WGS84_A * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)),
+        rtol=1e-12, atol=1e-6,
+    )
+
+    # EPSG:3395 round-trip, and conformality: local scale along a
+    # parallel equals k(phi) = k0 * sqrt(1-e2 sin^2 phi)/cos(phi)
+    x, y = transform(NP, "EPSG:4326", "EPSG:3395", lon, lat)
+    lo, la = transform(NP, "EPSG:3395", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    phi = math.radians(45.0)
+    d = 1e-6
+    x1, _ = transform(NP, "EPSG:4326", "EPSG:3395",
+                      np.array([10.0, 10.0 + d]), np.array([45.0, 45.0]))
+    nu = WGS84_A / math.sqrt(1 - WGS84_E2 * math.sin(phi) ** 2)
+    ground = nu * math.cos(phi) * math.radians(d)
+    k_want = math.sqrt(1 - WGS84_E2 * math.sin(phi) ** 2) / math.cos(phi)
+    assert abs((x1[1] - x1[0]) / ground - k_want) < 1e-7
+
+    # 2SP: true scale (k=1) at lat_ts, both hemispheres of the parallel
+    for lat_probe in (30.0, -30.0):
+        x2, _ = transform(NP, "EPSG:4326", "MERC:30,0",
+                          np.array([10.0, 10.0 + d]),
+                          np.array([lat_probe, lat_probe]))
+        phi_p = math.radians(lat_probe)
+        nu_p = WGS84_A / math.sqrt(1 - WGS84_E2 * math.sin(phi_p) ** 2)
+        k = (x2[1] - x2[0]) / (nu_p * math.cos(phi_p) * math.radians(d))
+        assert abs(k - 1.0) < 1e-7, (lat_probe, k)
+
+    # degenerate guards
+    with pytest.raises(ValueError, match="degenerate"):
+        parse_sref("MERC:90,0")
+
+
+def test_equirectangular_invariants_and_roundtrip():
+    from veranda_spark.functions.crs import NP, WGS84_A, WGS84_E2, transform
+
+    rng = np.random.default_rng(61)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-89, 89, 500)
+    x, y = transform(NP, "EPSG:4326", "EPSG:4087", lon, lat)
+    lo, la = transform(NP, "EPSG:4087", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    # y is the TRUE meridian arc: compare vs numerical quadrature of
+    # M'(phi) = a(1-e2)/(1-e2 sin^2 phi)^(3/2)
+    phi = np.radians(np.linspace(0, 80, 9))
+    _, ym = transform(NP, "EPSG:4326", "EPSG:4087",
+                      np.zeros(9), np.degrees(phi))
+    for p, got in zip(phi, ym):
+        t = np.linspace(0.0, p, 20001)
+        integ = np.trapz(
+            WGS84_A * (1 - WGS84_E2) / (1 - WGS84_E2 * np.sin(t) ** 2) ** 1.5, t
+        )
+        assert abs(got - integ) < 0.01, (p, got, integ)
+
+    # x spacing: nu(lat_ts) * cos(lat_ts) per radian of longitude
+    x2, _ = transform(NP, "EPSG:4326", "EQC:45,0",
+                      np.array([0.0, 1.0]), np.array([70.0, 70.0]))
+    import math
+    nu1cos = WGS84_A * math.cos(math.radians(45)) / math.sqrt(
+        1 - WGS84_E2 * math.sin(math.radians(45)) ** 2)
+    assert abs((x2[1] - x2[0]) - nu1cos * math.radians(1.0)) < 1e-6
+
+    # the deprecated Plate Carrée alias maps to the same grid
+    xa, ya = transform(NP, "EPSG:4326", "EPSG:32662", lon, lat)
+    np.testing.assert_array_equal(xa, x)
+    np.testing.assert_array_equal(ya, y)
+
+
+def test_merc_eqc_wkt_and_column_backend(spark):
+    import pyspark.sql.functions as F
+
+    from veranda_spark.functions.crs import NP, SPARK, parse_sref, transform
+
+    merc_wkt = (
+        'PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],'
+        'PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]'
+    )
+    p = parse_sref(merc_wkt)
+    assert p["kind"] == "merc" and p["k0"] == 1.0
+    eqc_wkt = (
+        'PROJCS["WGS 84 / World Equidistant Cylindrical",GEOGCS["WGS 84",'
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Equirectangular"],PARAMETER["standard_parallel_1",0],'
+        'PARAMETER["central_meridian",0],PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    assert parse_sref(eqc_wkt)["kind"] == "eqc"
+
+    rng = np.random.default_rng(62)
+    lon = rng.uniform(-150, 150, 120)
+    lat = rng.uniform(-75, 75, 120)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)],
+        "lon double, lat double",
+    )
+    for dst in ("EPSG:3395", "EPSG:4087", "MERC:30,10", "EQC:45,-20"):
+        xs, ys = transform(SPARK, "EPSG:4326", dst, F.col("lon"), F.col("lat"))
+        got = df.select(xs.alias("x"), ys.alias("y")).collect()
+        ex, ey = transform(NP, "EPSG:4326", dst, lon, lat)
+        np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
+        np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)

@@ -614,6 +614,23 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
                 "sp1": sp1, "sp2": sp2, "fe": fe, "fn": fn}
     if name == "sinusoidal":
         return {"kind": "sinu", **base, "lon0": lon0, "fe": fe, "fn": fn}
+    if name in ("mercator_1sp", "mercator"):
+        if params.get("scale_factor", 1.0) == 0.0:
+            raise ValueError("Mercator_1SP: scale_factor=0 is degenerate")
+        return {"kind": "merc", **base, "lat_ts": 0.0, "lon0": lon0,
+                "k0": params.get("scale_factor", 1.0), "fe": fe, "fn": fn}
+    if name == "mercator_2sp":
+        ts = params.get("standard_parallel_1", lat0)
+        if abs(abs(ts) - 90.0) < 1e-9:
+            raise ValueError("Mercator_2SP: standard parallel at a pole "
+                             "is degenerate")
+        return {"kind": "merc", **base, "lat_ts": ts, "lon0": lon0,
+                "k0": 1.0, "fe": fe, "fn": fn}
+    if name in ("equirectangular", "equidistant_cylindrical",
+                "plate_carree"):
+        ts = params.get("standard_parallel_1", lat0)
+        return {"kind": "eqc", **base, "lat_ts": ts, "lon0": lon0,
+                "fe": fe, "fn": fn}
     return None
 
 
@@ -783,6 +800,80 @@ def sinu_to_lonlat(mt: Any, x, y, p: dict):
     return lon, lat
 
 
+# ---- Mercator 1SP/2SP (ellipsoidal, Snyder 1987 §7) ------------------------
+#
+# EPSG:3395 (World Mercator, variant A: k0 explicit) and the variant-B
+# parameterization (true scale at a standard parallel lat_ts).  The
+# reference reaches these through GDAL/osr (native/geotiff.py:151-186);
+# here the closed forms run as Column math.  Web Mercator stays the
+# separate spherical fast path (lonlat_to_webmerc).
+
+
+def _merc_k0eff(p: dict) -> float:
+    """Effective scale: k0·m(lat_ts) — variant A has lat_ts=0 (m=1),
+    variant B carries no k0 (defaults 1) and true scale at lat_ts
+    (EPSG method 9805: k0 = cosφ1/√(1−e²sin²φ1))."""
+    e2 = p["e2"]
+    phi1 = math.radians(p.get("lat_ts", 0.0))
+    m1 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+    return p.get("k0", 1.0) * m1
+
+
+def lonlat_to_merc(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → ellipsoidal Mercator (x, y);
+    ``p = {a, e2, lat_ts, lon0, k0, fe, fn}``.  Poles map to ±inf (the
+    projection's own domain limit), matching GDAL behavior."""
+    a, e2 = p["a"], p["e2"]
+    e = math.sqrt(e2)
+    ak = a * _merc_k0eff(p)
+    phi = mt.radians(lat)
+    s = e * mt.sin(phi)
+    t = mt.tan(math.pi / 4 - phi / 2) * mt.pow((1 + s) / (1 - s), e / 2)
+    x = p["fe"] + ak * mt.radians(_wrap_lon(mt, lon - p["lon0"]))
+    y = p["fn"] - ak * mt.log(t)
+    return x, y
+
+
+def merc_to_lonlat(mt: Any, x, y, p: dict):
+    """Inverse via the conformal-latitude series (Snyder 7-13 / 3-5)."""
+    ak = p["a"] * _merc_k0eff(p)
+    t = mt.exp(-(y - p["fn"]) / ak)
+    chi = math.pi / 2 - 2.0 * mt.atan(t)
+    lat = mt.degrees(_conformal_to_geodetic(mt, chi, p["e2"]))
+    lon = _wrap_lon(mt, p["lon0"] + mt.degrees((x - p["fe"]) / ak))
+    return lon, lat
+
+
+# ---- Equirectangular / Equidistant Cylindrical (EPSG method 1028) ----------
+#
+# EPSG:4087 (WGS 84 / World Equidistant Cylindrical) and the deprecated
+# EPSG:32662 Plate Carrée alias.  x is linear in λ at the lat_ts
+# parallel's transverse radius, y is the true meridian arc — the same
+# _meridian_arc/_footpoint_latitude pair the TM and sinusoidal paths use.
+
+
+def _eqc_nu1cos(p: dict) -> float:
+    e2 = p["e2"]
+    phi1 = math.radians(p.get("lat_ts", 0.0))
+    return p["a"] * math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+
+
+def lonlat_to_eqc(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → equidistant cylindrical (x, y);
+    ``p = {a, e2, lat_ts, lon0, fe, fn}``."""
+    x = p["fe"] + _eqc_nu1cos(p) * mt.radians(_wrap_lon(mt, lon - p["lon0"]))
+    y = p["fn"] + _meridian_arc(mt, mt.radians(lat), p["a"], p["e2"])
+    return x, y
+
+
+def eqc_to_lonlat(mt: Any, x, y, p: dict):
+    phi = _footpoint_latitude(mt, y - p["fn"], p["a"], p["e2"])
+    lon = _wrap_lon(
+        mt, p["lon0"] + mt.degrees((x - p["fe"]) / _eqc_nu1cos(p))
+    )
+    return lon, mt.degrees(phi)
+
+
 # ---- datum shifts: TOWGS84 7-parameter Helmert via ECEF --------------------
 #
 # The reference gets datum transformations from GDAL/osr; this engine
@@ -937,6 +1028,15 @@ def parse_sref(sref: str) -> dict | None:
         # SINU:lon0[,fe,fn] on the MODIS authalic sphere (e2 = 0)
         p = _parse_shorthand(sref, "sinu", 1, ["lon0", "fe", "fn"])
         return None if p is None else {**p, "a": 6371007.181, "e2": 0.0}
+    if u.startswith("MERC:"):
+        # MERC:lat_ts,lon0[,fe,fn] — lat_ts=0 is the 1SP k0=1 form
+        p = _parse_shorthand(sref, "merc", 2, ["lat_ts", "lon0", "fe", "fn"])
+        if p is not None and abs(abs(p["lat_ts"]) - 90.0) < 1e-9:
+            raise ValueError("MERC shorthand: lat_ts at a pole is degenerate")
+        return None if p is None else {**p, "k0": 1.0, **wgs}
+    if u.startswith("EQC:"):
+        p = _parse_shorthand(sref, "eqc", 2, ["lat_ts", "lon0", "fe", "fn"])
+        return None if p is None else {**p, **wgs}
     if not u.startswith("EPSG:"):
         return None
     try:
@@ -977,6 +1077,16 @@ def parse_sref(sref: str) -> dict | None:
         # datum shift applied, same policy as ETRS89/RGF93)
         return {"kind": "aea", **grs, "lat0": 23.0, "lon0": -96.0,
                 "sp1": 29.5, "sp2": 45.5, "fe": 0.0, "fn": 0.0}
+    if code == 3395:
+        # WGS 84 / World Mercator (variant A, k0 = 1)
+        return {"kind": "merc", "a": WGS84_A, "e2": WGS84_E2,
+                "lat_ts": 0.0, "lon0": 0.0, "k0": 1.0,
+                "fe": 0.0, "fn": 0.0}
+    if code in (4087, 32662):
+        # WGS 84 / World Equidistant Cylindrical (EPSG method 1028);
+        # 32662 is the deprecated Plate Carrée alias of the same grid
+        return {"kind": "eqc", "a": WGS84_A, "e2": WGS84_E2,
+                "lat_ts": 0.0, "lon0": 0.0, "fe": 0.0, "fn": 0.0}
     return None
 
 
@@ -1003,6 +1113,10 @@ def to_lonlat(mt: Any, sref: dict, x, y):
         return aea_to_lonlat(mt, x, y, sref)
     if sref["kind"] == "sinu":
         return sinu_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "merc":
+        return merc_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "eqc":
+        return eqc_to_lonlat(mt, x, y, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -1029,6 +1143,10 @@ def from_lonlat(mt: Any, sref: dict, lon, lat):
         return lonlat_to_aea(mt, lon, lat, sref)
     if sref["kind"] == "sinu":
         return lonlat_to_sinu(mt, lon, lat, sref)
+    if sref["kind"] == "merc":
+        return lonlat_to_merc(mt, lon, lat, sref)
+    if sref["kind"] == "eqc":
+        return lonlat_to_eqc(mt, lon, lat, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -1041,10 +1159,12 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
             f"unsupported CRS pair {src_sref!r} → {dst_sref!r}: supported "
             "are EPSG:4326, EPSG:3857, EPSG:326xx/327xx (UTM), EPSG:3035, "
             "EPSG:2154, EPSG:3413/3031 (polar stereographic), EPSG:5070 "
-            "(CONUS Albers), and PROJCS WKT (or KIND:… shorthand) for "
-            "AEQD, Transverse_Mercator, Lambert_Conformal_Conic, "
-            "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
-            "Albers_Conic_Equal_Area and Sinusoidal"
+            "(CONUS Albers), EPSG:3395 (World Mercator), EPSG:4087/32662 "
+            "(equidistant cylindrical), and PROJCS WKT (or KIND:… "
+            "shorthand) for AEQD, Transverse_Mercator, "
+            "Lambert_Conformal_Conic, Lambert_Azimuthal_Equal_Area, "
+            "Polar_Stereographic, Albers_Conic_Equal_Area, Sinusoidal, "
+            "Mercator_1SP/2SP and Equirectangular"
         )
     lon, lat = to_lonlat(mt, s, x, y)
     # datum legs: only active when a sref declares a non-zero TOWGS84 —
