@@ -204,22 +204,42 @@ def q_pip_table(spark, sf_dir):
 
 
 def q_reproject(spark, sf_dir):
-    # round-2 CRS surface: affine footprint re-map between two grids
-    # sharing a CRS — pure integer-producing arithmetic, SQL-oracle'd
+    # round-6 consolidation (VERDICT r5 #1): BOTH reproject semantics —
+    # the grid→grid affine footprint re-map (round 2) and the real
+    # cross-CRS Web-Mercator Column math (round 3) — in one oracle slot,
+    # joined on the shared synthetic id.  `reproject_crs` stays a
+    # rows-only queries() entry so bench.py's ROUND3 timing series stays
+    # comparable round-over-round.
+    from veranda_spark.functions.crs import SPARK, lonlat_to_webmerc
     from veranda_spark.grid import reproject_footprints
 
     src = RegularGrid(ul_x=0.0, ul_y=0.0, psx=1.0, psy=1.0, sref="EPSG:4326")
     dst = RegularGrid(ul_x=-10.0, ul_y=10.0, psx=0.5, psy=0.5, sref="EPSG:4326")
-    n = 2000
-    imgs = spark.range(n).select(
+    base = spark.range(2000)
+    imgs = base.select(
         F.col("id").alias("image_id"),
         ((F.col("id") * 7919) % WORLD_W).alias("px_col0"),
         ((F.col("id") * 104729) % WORLD_H).alias("px_row0"),
         ((F.col("id") % 3) * 16 + 16).alias("w"),
         ((F.col("id") % 3) * 16 + 16).alias("h"),
     )
-    out = reproject_footprints(imgs, src, dst)
-    return out.select("image_id", "px_col0", "px_row0", "w", "h")
+    fp = reproject_footprints(imgs, src, dst).select(
+        "image_id", "px_col0", "px_row0", "w", "h"
+    )
+    pts = base.select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 35000) / 100.0 - 175.0).alias("lon"),
+        (((F.col("id") * 104729) % 16800) / 100.0 - 84.0).alias("lat"),
+    )
+    mx, my = lonlat_to_webmerc(SPARK, F.col("lon"), F.col("lat"))
+    crs = pts.select(
+        "point_id",
+        F.floor(mx).cast("long").alias("merc_x_m"),
+        F.floor(my).cast("long").alias("merc_y_m"),
+    )
+    return fp.join(crs, fp["image_id"] == crs["point_id"]).select(
+        "image_id", "px_col0", "px_row0", "w", "h", "merc_x_m", "merc_y_m"
+    )
 
 
 def q_reproject_crs(spark, sf_dir):
@@ -456,14 +476,29 @@ def q_anti_join(spark, sf_dir):
 
 
 def q_event_type_stats(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    # round-6 consolidation (VERDICT r5 #1): §A2/A3 multi-measure aggs +
+    # §2.4 grouping sets in ONE oracle slot — the same five measures now
+    # roll through ROLLUP and CUBE over (event_type, event year); the
+    # rollup rows where yr IS NULL reproduce the original per-type stats
+    # exactly, so nothing the old oracle graded is lost.  Replaces the
+    # separate grouping_sets_orders entry (green r1-r4, truncated r5).
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "yr", F.year("ts").cast("long")
+    )
+    aggs = [
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 3).alias("avg_value"),
         F.round(F.min("value"), 3).alias("min_value"),
         F.round(F.max("value"), 3).alias("max_value"),
         F.count_distinct("user_id").alias("n_users"),
+    ]
+    r = ev.rollup("event_type", "yr").agg(*aggs).withColumn(
+        "gset", F.lit("rollup")
     )
+    c = ev.cube("event_type", "yr").agg(*aggs).withColumn(
+        "gset", F.lit("cube")
+    )
+    return r.unionByName(c)
 
 
 # ---- documents / text ops ----------------------------------------------------
@@ -535,21 +570,48 @@ def q_median_price(spark, sf_dir):
 
 
 def q_range_window(spark, sf_dir):
-    # §2.5 RANGE frame: events per user in the trailing 10 minutes
-    # (integer count over a time-range frame — order-independent)
-    from pyspark.sql import Window
-
+    # §2.5 RANGE frame + ROWS running frame in ONE oracle slot (round-6
+    # consolidation, VERDICT r5 #1 — absorbs the former running_window
+    # entry, green r1-r4, truncated r5).  Normalized to (frame, id, grp,
+    # val): the 'range' rows count events per user in the trailing 10
+    # minutes; the 'rows' rows carry the first-two running o_totalprice
+    # sums per customer (row_number + ROWS UNBOUNDED PRECEDING).
     e = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
+    wr = (
+        W.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-600, 0)
     )
-    return e.select(
-        "event_id",
-        "user_id",
-        F.count("*").over(w).alias("n_trailing_10m"),
+    rng = e.select(
+        F.lit("range").alias("frame"),
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("grp"),
+        F.count("*").over(wr).cast("double").alias("val"),
     )
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    run = (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "running",
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(W.unboundedPreceding, 0)
+                ),
+                2,
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.lit("rows").alias("frame"),
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("grp"),
+            F.col("running").alias("val"),
+        )
+    )
+    return rng.unionByName(run)
 
 
 def q_pivot_events(spark, sf_dir):
@@ -579,11 +641,14 @@ def q_json_extract(spark, sf_dir):
 def q_doc_quality(spark, sf_dir):
     # oracle-friendly quality features: token count band + non-alnum
     # ratio + BPE-ish token count (absorbed from the former
-    # doc_bpe_tokens entry — same per-doc grain, one oracle slot)
-    from veranda_spark.functions.text import bpe_token_count
+    # doc_bpe_tokens entry) + whitespace/char counts (absorbed from the
+    # former doc_tokens entry in round 6, VERDICT r5 #1 — doc_tokens
+    # stays a rows-only queries() entry for bench headline continuity).
+    # Same per-doc grain, one oracle slot.
+    from veranda_spark.functions.text import bpe_token_count, char_count, token_count
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = token_count(F.col("text"))
     nonalnum = F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", ""))
     ratio = F.round(nonalnum / F.greatest(F.length("text"), F.lit(1)), 6)
     return d.select(
@@ -592,6 +657,7 @@ def q_doc_quality(spark, sf_dir):
         ratio.alias("nonalnum_ratio"),
         (toks >= 30).cast("int").alias("len_ok"),
         bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        char_count(F.col("text")).alias("n_chars2"),
     )
 
 
@@ -949,6 +1015,36 @@ def q_reproject_lcc(spark, sf_dir):
         "point_id",
         F.floor(lx).cast("long").alias("lcc_x_m"),
         F.floor(ly).cast("long").alias("lcc_y_m"),
+    )
+
+
+def q_reproject_merc(spark, sf_dir):
+    # round-6: ellipsoidal Mercator variant B (EPSG method 9805, true
+    # scale at lat_ts=41 with a non-zero central meridian that exercises
+    # the conditional longitude fold) + equidistant cylindrical (EPSG
+    # method 1028, lat_ts=30) — the two CRS families added this round,
+    # oracle-graded like reproject_lcc: DuckDB recomputes the closed
+    # forms (Snyder 7-7/7-8 and the meridian-arc series 3-21) from the
+    # same WGS84 constants; floor-to-meter absorbs libm ulp differences.
+    from veranda_spark.functions.crs import SPARK, transform
+
+    pts = spark.range(2000).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 35000) / 100.0 - 175.0).alias("lon"),
+        (((F.col("id") * 104729) % 16600) / 100.0 - 83.0).alias("lat"),
+    )
+    mx, my = transform(
+        SPARK, "EPSG:4326", "MERC:41,12.5", F.col("lon"), F.col("lat")
+    )
+    ex, ey = transform(
+        SPARK, "EPSG:4326", "EQC:30,7.5", F.col("lon"), F.col("lat")
+    )
+    return pts.select(
+        "point_id",
+        F.floor(mx).cast("long").alias("merc_x_m"),
+        F.floor(my).cast("long").alias("merc_y_m"),
+        F.floor(ex).cast("long").alias("eqc_x_m"),
+        F.floor(ey).cast("long").alias("eqc_y_m"),
     )
 
 
@@ -1394,58 +1490,45 @@ def q_select_bbox(spark, sf_dir):
     )
 
 
-def q_cell_ring(spark, sf_dir):
-    # ring_cells (H3 grid_disk analog): points within a 2-ring of each query cell
-    from veranda_spark.cells import cell_id, ring_cells
+def q_cell_ops(spark, sf_dir):
+    # round-6 consolidation (VERDICT r5 #1): ring_cells (H3 grid_disk
+    # analog) + parent_cell re-aggregation — the two cell-arithmetic
+    # oracles green in r1-r4 but truncated past the driver's 50-entry
+    # gate in r5 — in ONE slot, normalized to (grp, n, s) with an
+    # 'r_'/'p_' tag so both semantics hash every round.
+    from veranda_spark.cells import cell_id, parent_cell, ring_cells
 
-    pts = _points(spark, sf_dir).withColumn("cell", cell_id(F.col("px"), F.col("py"), CELL_RES))
+    pts = _points(spark, sf_dir).withColumn(
+        "cell", cell_id(F.col("px"), F.col("py"), CELL_RES)
+    )
     qs = _queries_df(spark).withColumn(
-        "ring_cell", F.explode(ring_cells(cell_id(F.col("qx"), F.col("qy"), CELL_RES), 2, CELL_RES))
+        "ring_cell",
+        F.explode(
+            ring_cells(cell_id(F.col("qx"), F.col("qy"), CELL_RES), 2, CELL_RES)
+        ),
     )
-    j = pts.join(F.broadcast(qs), pts["cell"] == qs["ring_cell"])
-    return j.groupBy("query_id").agg(
-        F.count("*").alias("n_in_ring"), F.sum("point_id").alias("sum_ids")
+    ring = (
+        pts.join(F.broadcast(qs), pts["cell"] == qs["ring_cell"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.sum("point_id").alias("s"))
+        .select(
+            F.concat(F.lit("r_"), F.col("query_id").cast("string")).alias("grp"),
+            "n",
+            "s",
+        )
     )
-
-
-def q_parent_cell(spark, sf_dir):
-    # parent_cell: res-6 histogram re-aggregated to res-8 == direct res-8
-    from veranda_spark.cells import cell_id, parent_cell
-
-    pts = _points(spark, sf_dir).withColumn("cell6", cell_id(F.col("px"), F.col("py"), CELL_RES))
-    h6 = pts.groupBy("cell6").agg(F.count("*").alias("n"))
-    return (
+    h6 = pts.groupBy(F.col("cell").alias("cell6")).agg(F.count("*").alias("n6"))
+    parent = (
         h6.withColumn("cell8", parent_cell(F.col("cell6"), 8))
         .groupBy("cell8")
-        .agg(F.sum("n").alias("n_points"))
+        .agg(F.sum("n6").alias("n"))
+        .select(
+            F.concat(F.lit("p_"), F.col("cell8").cast("string")).alias("grp"),
+            "n",
+            F.lit(0).cast("long").alias("s"),
+        )
     )
-
-
-def q_running_window(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    out = (
-        o.withColumn("rn", F.row_number().over(w))
-        .withColumn("running", F.round(F.sum("o_totalprice").over(
-            w.rowsBetween(W.unboundedPreceding, 0)), 2))
-        .filter(F.col("rn") <= 2)
-    )
-    return out.select("o_custkey", "o_orderkey", "rn", "running")
-
-
-def q_grouping_sets_orders(spark, sf_dir):
-    # §2.4 grouping sets: ROLLUP and CUBE over (status, priority) in one
-    # oracle slot (round-4 consolidation), tagged by grouping-set family
-    o = _t(spark, sf_dir, "orders")
-    r = o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("rev"),
-    ).withColumn("gset", F.lit("rollup"))
-    c = o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("rev"),
-    ).withColumn("gset", F.lit("cube"))
-    return r.unionByName(c)
+    return ring.unionByName(parent)
 
 
 def q_quicklook(spark, sf_dir):
@@ -1510,7 +1593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygon": q_pip_triangle,
         "pip_table": q_pip_table,
         "reproject": q_reproject,
-        "reproject_crs": q_reproject_crs,
         "zonal_table": q_zonal_table,
         "cell_histogram": q_cell_histogram,
         "knn": q_knn,
@@ -1529,7 +1611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "event_type_stats": q_event_type_stats,
         # documents / text
-        "doc_tokens": q_doc_tokens,
         "doc_text_profile": q_doc_text_profile,
         "pivot_events": q_pivot_events,
         "median_price": q_median_price,
@@ -1550,13 +1631,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         # embeddings
         "select_bbox": q_select_bbox,
-        "cell_ring": q_cell_ring,
-        "parent_cell": q_parent_cell,
-        "running_window": q_running_window,
-        "grouping_sets_orders": q_grouping_sets_orders,
-        # round-4/5 capability oracles
+        "cell_ops": q_cell_ops,
+        # round-4/5/6 capability oracles
         "reproject_aeqd": q_reproject_aeqd,
         "reproject_lcc": q_reproject_lcc,
+        "reproject_merc": q_reproject_merc,
         "resample_average": q_resample_average,
         "temporal_oracle": q_temporal_oracle,
         "quicklook": q_quicklook,
@@ -1564,7 +1643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivfpq": q_ann_ivfpq,
         "label_centroid_sim": q_label_centroid_sim,
-        # rows-only pixel/sketch ops (no SQL analog)
+        # rows-only pixel/sketch ops (no SQL analog) — plus two bench
+        # continuity entries whose oracle semantics were folded into
+        # doc_quality / reproject in round 6 (VERDICT r5 #1)
+        "doc_tokens": q_doc_tokens,
+        "reproject_crs": q_reproject_crs,
         "burn_in_tiles": q_burn_in_tiles,
         "tile_algebra": q_tile_algebra,
         "cog_roundtrip": q_cog_roundtrip,
@@ -1587,38 +1670,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
     }
     ora = set(oracle_sql().keys())
-    # within the oracle block, flagship + capability entries come first
-    # and trivia comes LAST: the driver's gate grades the first ~50 dict
-    # entries, and round 5 carries 53 oracle entries — the `tail` names
-    # are the ones allowed to fall off (rollup/cell arithmetic variants
-    # whose operators are also covered by pytest), never ann/reproject/
-    # zonal capability oracles
-    priority = [
-        "tile_assign", "select_tiles", "px_window", "pip_polygon",
-        "pip_table", "reproject", "reproject_crs", "cell_histogram", "knn",
-        "point_in_tile", "salted_join", "zonal_points", "zonal_table",
-        "tile_cover_counts",
-        "tpch_q1", "join_agg", "sessionize", "asof_join", "interval_join",
-        "ann_topk", "ann_ivf", "label_centroid_sim", "dedup_exact",
-        "phash_neardup",
-        "neardup_groups", "doc_logprob", "decontaminate", "doc_repetition",
-        "contrastive_pairs", "merge_upsert", "stratified_sample",
-        "hash_split", "doc_chunks", "reproject_aeqd", "reproject_lcc",
-        "resample_average", "temporal_oracle",
-    ]
-    # running_window joins the tail in round 5: §2.5 window coverage is
-    # already graded three times over (window_rank, range_window,
-    # sessionize), making it the most redundant oracle when
-    # temporal_oracle takes a graded slot
-    tail = ["cell_ring", "parent_cell", "running_window",
-            "grouping_sets_orders"]
-    first = [k for k in priority if k in q and k in ora]
-    rest_o = [
-        k for k in q if k in ora and k not in first and k not in tail
-    ]
-    tail_o = [k for k in tail if k in q and k in ora]
+    # Round-6 consolidation (VERDICT r5 #1): every oracle SEMANTIC now
+    # fits inside the driver's ~50-entry correctness gate — the former
+    # trivia tail (cell_ring/parent_cell → cell_ops, running_window →
+    # range_window, grouping_sets_orders → event_type_stats, doc_tokens
+    # → doc_quality, reproject_crs → reproject) rides inside compound
+    # oracles, so nothing is ever truncated.  The assert keeps future
+    # additions honest: grow past 50 and this fails loudly instead of
+    # silently dropping a grade.
+    assert len(ora) <= 50, (
+        f"{len(ora)} oracle entries exceed the driver's ~50-entry gate — "
+        "consolidate (see VERDICT r5 #1) before adding more"
+    )
+    oracle_keys = [k for k in q if k in ora]
     rows_only = [k for k in q if k not in ora]
-    return {k: q[k] for k in first + rest_o + tail_o + rows_only}
+    return {k: q[k] for k in oracle_keys + rows_only}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1684,21 +1750,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(point_id) as bigint) AS sum_ids
             FROM hits GROUP BY 1
         """,
-        "reproject_crs": """
-            SELECT i AS point_id,
-                   cast(floor(radians(((i*7919) % 35000) / 100.0 - 175.0)
-                              * 6378137.0) as bigint) AS merc_x_m,
-                   cast(floor(ln(tan(radians(((i*104729) % 16800) / 100.0 - 84.0)
-                                     / 2.0 + pi() / 4.0))
-                              * 6378137.0) as bigint) AS merc_y_m
-            FROM range(2000) t(i)
-        """,
         "reproject": """
             SELECT i AS image_id,
                    cast(floor((((i*7919) % 4096) * 1.0 - (-10.0)) / 0.5) as bigint) AS px_col0,
                    cast(floor((10.0 - (0.0 - ((i*104729) % 2048) * 1.0)) / 0.5) as bigint) AS px_row0,
                    cast(ceil(((i % 3) * 16 + 16) * (1.0 / 0.5)) as bigint) AS w,
-                   cast(ceil(((i % 3) * 16 + 16) * (1.0 / 0.5)) as bigint) AS h
+                   cast(ceil(((i % 3) * 16 + 16) * (1.0 / 0.5)) as bigint) AS h,
+                   cast(floor(radians(((i*7919) % 35000) / 100.0 - 175.0)
+                              * 6378137.0) as bigint) AS merc_x_m,
+                   cast(floor(ln(tan(radians(((i*104729) % 16800) / 100.0 - 84.0)
+                                     / 2.0 + pi() / 4.0))
+                              * 6378137.0) as bigint) AS merc_y_m
             FROM range(2000) t(i)
         """,
         "cell_histogram": f"""
@@ -1816,7 +1878,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE px >= 1000 AND px < 2000 AND py >= 300 AND py < 1500
         """,
-        "cell_ring": f"""
+        "cell_ops": f"""
             WITH pts AS ({PTS_SQL}), qs AS ({QRY_SQL}),
             ring AS (
               SELECT query_id,
@@ -1826,37 +1888,17 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT unnest(generate_series(-2,2)) AS d) dx,
                    (SELECT unnest(generate_series(-2,2)) AS d) dy
             )
-            SELECT query_id, count(*) AS n_in_ring,
-                   cast(sum(point_id) as bigint) AS sum_ids
+            SELECT 'r_' || cast(query_id AS varchar) AS grp,
+                   count(*) AS n,
+                   cast(sum(point_id) as bigint) AS s
             FROM ring JOIN pts
               ON cast(floor(px/64) as bigint) = rix
              AND cast(floor(py/64) as bigint) = riy
-            GROUP BY 1
-        """,
-        "parent_cell": f"""
-            WITH pts AS ({PTS_SQL})
-            SELECT {cell8_expr} AS cell8, count(*) AS n_points
-            FROM pts GROUP BY 1
-        """,
-        "running_window": """
-            SELECT o_custkey, o_orderkey, rn, running FROM (
-              SELECT o_custkey, o_orderkey,
-                     row_number() OVER w AS rn,
-                     round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                        ORDER BY o_orderdate ASC, o_orderkey ASC
-                        ROWS UNBOUNDED PRECEDING), 2) AS running
-              FROM orders
-              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-            ) WHERE rn <= 2
-        """,
-        "grouping_sets_orders": """
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS rev, 'rollup' AS gset
-            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            GROUP BY query_id
             UNION ALL
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS rev, 'cube' AS gset
-            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            SELECT 'p_' || cast({cell8_expr} AS varchar) AS grp,
+                   count(*) AS n, cast(0 as bigint) AS s
+            FROM pts GROUP BY {cell8_expr}
         """,
         "reproject_aeqd": """
             WITH pts AS (
@@ -1939,6 +1981,53 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor(6600000.0 + rho0
                         - af*pow(tt,n)*cos(n*radians(lon-3.0))) AS bigint) AS lcc_y_m
             FROM proj
+        """,
+        "reproject_merc": """
+            WITH pts AS (
+              SELECT i AS point_id,
+                     ((i*7919) % 35000) / 100.0 - 175.0 AS lon,
+                     ((i*104729) % 16600) / 100.0 - 83.0 AS lat
+              FROM range(2000) t(i)
+            ), ell AS (
+              -- WGS84: e2 = f(2-f), f = 1/298.257223563
+              SELECT (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2,
+                     sqrt((1.0/298.257223563)*(2.0 - 1.0/298.257223563)) AS e
+            ), k AS (
+              -- variant-B Mercator scale at lat_ts=41 (EPSG 9805) and
+              -- the EQC transverse-radius term at lat_ts=30 (EPSG 1028)
+              SELECT e2, e, e2*e2 AS e4, e2*e2*e2 AS e6,
+                     6378137.0 * (cos(radians(41.0))
+                       / sqrt(1 - e2*sin(radians(41.0))*sin(radians(41.0)))) AS ak,
+                     6378137.0 * cos(radians(30.0))
+                       / sqrt(1 - e2*sin(radians(30.0))*sin(radians(30.0))) AS nu1cos
+              FROM ell
+            ), d AS (
+              -- conditional single-fold longitude wrap, mirroring the
+              -- engine's _wrap_lon (bit-identical for in-range deltas)
+              SELECT point_id, lat, e2, e, e4, e6, ak, nu1cos,
+                     CASE WHEN lon - 12.5 > 180 THEN lon - 12.5 - 360
+                          WHEN lon - 12.5 < -180 THEN lon - 12.5 + 360
+                          ELSE lon - 12.5 END AS dm,
+                     CASE WHEN lon - 7.5 > 180 THEN lon - 7.5 - 360
+                          WHEN lon - 7.5 < -180 THEN lon - 7.5 + 360
+                          ELSE lon - 7.5 END AS de
+              FROM pts, k
+            )
+            SELECT point_id,
+                   cast(floor(ak * radians(dm)) AS bigint) AS merc_x_m,
+                   cast(floor(0.0 - ak * ln(
+                        tan(pi()/4 - radians(lat)/2)
+                        * pow((1 + e*sin(radians(lat)))
+                              / (1 - e*sin(radians(lat))), e/2)
+                   )) AS bigint) AS merc_y_m,
+                   cast(floor(nu1cos * radians(de)) AS bigint) AS eqc_x_m,
+                   cast(floor(6378137.0 * (
+                        (1 - e2/4 - 3*e4/64 - 5*e6/256) * radians(lat)
+                        - (3*e2/8 + 3*e4/32 + 45*e6/1024) * sin(2*radians(lat))
+                        + (15*e4/256 + 45*e6/1024) * sin(4*radians(lat))
+                        - (35*e6/3072) * sin(6*radians(lat))
+                   )) AS bigint) AS eqc_y_m
+            FROM d
         """,
         "temporal_oracle": """
             WITH px AS (
@@ -2043,18 +2132,26 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         """,
         "event_type_stats": """
-            SELECT event_type, count(*) AS n_events,
+            WITH base AS (
+              SELECT event_type, cast(year(ts) AS bigint) AS yr,
+                     value, user_id
+              FROM events
+            )
+            SELECT event_type, yr, count(*) AS n_events,
                    round(avg(value), 3) AS avg_value,
                    round(min(value), 3) AS min_value,
                    round(max(value), 3) AS max_value,
-                   count(DISTINCT user_id) AS n_users
-            FROM events GROUP BY 1
-        """,
-        "doc_tokens": r"""
-            SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                   length(text) AS n_chars2
-            FROM documents
+                   count(DISTINCT user_id) AS n_users,
+                   'rollup' AS gset
+            FROM base GROUP BY ROLLUP (event_type, yr)
+            UNION ALL
+            SELECT event_type, yr, count(*) AS n_events,
+                   round(avg(value), 3) AS avg_value,
+                   round(min(value), 3) AS min_value,
+                   round(max(value), 3) AS max_value,
+                   count(DISTINCT user_id) AS n_users,
+                   'cube' AS gset
+            FROM base GROUP BY CUBE (event_type, yr)
         """,
         "doc_text_profile": r"""
             WITH hits AS (
@@ -2094,13 +2191,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "range_window": r"""
-            SELECT event_id, user_id,
-                   count(*) OVER (
+            SELECT 'range' AS frame, event_id AS id, user_id AS grp,
+                   cast(count(*) OVER (
                      PARTITION BY user_id
                      ORDER BY cast(epoch(ts) AS bigint)
                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
-                   ) AS n_trailing_10m
+                   ) AS double) AS val
             FROM events
+            UNION ALL
+            SELECT 'rows' AS frame, o_orderkey AS id, o_custkey AS grp,
+                   running AS val
+            FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER w AS rn,
+                     round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS UNBOUNDED PRECEDING), 2) AS running
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+            ) WHERE rn <= 2
         """,
         "pivot_events": r"""
             SELECT user_id,
@@ -2126,7 +2235,8 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS len_ok,
                    len(regexp_extract_all(text,
                        '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+)',
-                       0)) AS n_bpe
+                       0)) AS n_bpe,
+                   length(text) AS n_chars2
             FROM documents
         """,
         "doc_chunks": r"""
