@@ -1407,6 +1407,85 @@ def q_cog_roundtrip(spark, sf_dir):
     return out
 
 
+def q_nc_roundtrip(spark, sf_dir):
+    # S6/S7: NetCDF-classic container loop in-flight (VERDICT r5 #2) —
+    # burn-in canvases become per-tile CDF-1 stacks (time/y/x coords,
+    # geotransform grid-mapping var, CF time units), a record is
+    # APPENDED along the unlimited dim (the reference's mode='a'
+    # semantics, test_netcdf4.py:39-51), then decode verifies payload,
+    # record count, recovered geotransform and decoded times; rows-only
+    # (byte containers have no SQL analog)
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from veranda_spark.fixtures import generate_images
+    from veranda_spark.functions.netcdf import (
+        nc_append,
+        nc_decode_stack,
+        nc_encode_stack,
+        nc_geotrans,
+    )
+    from veranda_spark.operators.raster import burn_in
+
+    tiles = burn_in(generate_images(spark, 400), GRID, per_layer=False)
+    g = GRID
+    units = "days since 2020-01-01 00:00:00"
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                canvas = np.frombuffer(row.bytes, dtype=row.dtype).reshape(
+                    row.h, row.w
+                ).astype("float32")
+                gt = (
+                    g.ul_x + int(row.tile_col) * g.tile_cols * g.psx, g.psx,
+                    0.0,
+                    g.ul_y - int(row.tile_row) * g.tile_rows * g.psy, 0.0,
+                    -g.psy,
+                )
+                t0 = np.array(["2020-01-05", "2020-01-07"],
+                              dtype="datetime64[ns]")
+                blob = nc_encode_stack(
+                    {"sig": np.stack([canvas, canvas * 2.0])},
+                    record_values=t0, time_units=units, geotrans=gt,
+                    sref=str(g.sref),
+                )
+                blob = nc_append(blob, {"vars": {
+                    "time": {"dims": ("time",),
+                             "data": np.array([9.0])},  # day 9 offset
+                    "sig": {"dims": ("time", "y", "x"),
+                            "data": (canvas + 1.0)[None, :, :]},
+                }})
+                ds = nc_decode_stack(blob)
+                sig = ds["vars"]["sig"]["data"]
+                exact = int(
+                    np.array_equal(sig[0], canvas)
+                    and np.array_equal(sig[1], canvas * 2.0)
+                    and np.array_equal(sig[2], canvas + 1.0)
+                    and str(ds["vars"]["time"]["data"][2])
+                    == "2020-01-10T00:00:00.000000000"
+                )
+                rec_gt = nc_geotrans(blob)
+                rows.append(
+                    (row.tile_id, exact, int(sig.shape[0]), len(blob),
+                     float(rec_gt[0]), float(rec_gt[3]))
+                )
+            yield pd.DataFrame(
+                rows or None,
+                columns=["tile_id", "exact", "n_records", "n_bytes",
+                         "ul_x", "ul_y"],
+            )
+
+    return tiles.mapInPandas(
+        roundtrip,
+        schema="tile_id string, exact int, n_records int, n_bytes long, "
+               "ul_x double, ul_y double",
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     from veranda_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1651,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_in_tiles": q_burn_in_tiles,
         "tile_algebra": q_tile_algebra,
         "cog_roundtrip": q_cog_roundtrip,
+        "nc_roundtrip": q_nc_roundtrip,
         "warp_crs": q_warp_crs,
         "warp_cubic": q_warp_cubic,
         "warp_rotated": q_warp_rotated,

@@ -1,0 +1,467 @@
+"""NetCDF-classic codec tests.
+
+Two validation strategies (no netCDF4/scipy/xarray in the sandbox):
+
+1. SPEC GOLDENS — tiny files hand-assembled byte-by-byte in the test
+   from the public Unidata classic-format spec, independently of the
+   codec, asserted equal to nc_encode output and parsed by nc_decode.
+2. REFERENCE SEMANTICS — the behaviors pinned by the reference's
+   tests/raster/native/netcdf/test_netcdf4.py:5-119 (round-trip,
+   auto-decode sig*2+3, unlimited-dim append doubling, time units,
+   x/y coordinate formula, non-temporal record dim), reproduced on the
+   ncds/stack API.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from veranda_spark.functions.netcdf import (
+    GM_VAR,
+    decode_time,
+    encode_time,
+    nc_append,
+    nc_decode,
+    nc_decode_stack,
+    nc_encode,
+    nc_encode_stack,
+    nc_geotrans,
+    nc_info,
+    nc_xy_coords,
+)
+
+
+# ---- spec goldens ----------------------------------------------------------
+
+
+def _name(s: str) -> bytes:
+    b = s.encode()
+    pad = (-len(b)) % 4
+    return struct.pack(">I", len(b)) + b + b"\x00" * pad
+
+
+def test_golden_fixed_var_bytes():
+    # CDF-1, dim x=2, one int16 fixed var 'v' = [1, 2]; header is 80
+    # bytes so begin=80; data 00 01 00 02 (already 4-aligned)
+    golden = (
+        b"CDF\x01"
+        + struct.pack(">I", 0)                      # numrecs
+        + struct.pack(">II", 0x0A, 1) + _name("x")  # dim list
+        + struct.pack(">I", 2)
+        + struct.pack(">II", 0, 0)                  # global atts ABSENT
+        + struct.pack(">II", 0x0B, 1) + _name("v")  # var list
+        + struct.pack(">I", 1) + struct.pack(">I", 0)   # ndims, dimid
+        + struct.pack(">II", 0, 0)                  # var atts ABSENT
+        + struct.pack(">I", 3)                      # NC_SHORT
+        + struct.pack(">I", 4)                      # vsize (2*2 → pad 4)
+        + struct.pack(">I", 80)                     # begin
+        + struct.pack(">hh", 1, 2)
+    )
+    ncds = {
+        "dims": {"x": 2},
+        "vars": {"v": {"dims": ("x",), "data": np.array([1, 2], dtype="int16"),
+                       "attrs": {}}},
+        "attrs": {},
+    }
+    assert nc_encode(ncds) == golden
+    back = nc_decode(golden)
+    assert back["dims"] == {"x": 2}
+    np.testing.assert_array_equal(back["vars"]["v"]["data"], [1, 2])
+
+
+def test_golden_single_record_var_unpadded():
+    # the spec's exceptional case: ONE record variable of a small type
+    # (int16 scalar per record) packs records WITHOUT padding — vsize=2
+    # and record r starts at begin + 2*r
+    golden = (
+        b"CDF\x01"
+        + struct.pack(">I", 3)
+        + struct.pack(">II", 0x0A, 1) + _name("t") + struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 0x0B, 1) + _name("r")
+        + struct.pack(">I", 1) + struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 3)                      # NC_SHORT
+        + struct.pack(">I", 2)                      # vsize UNPADDED
+        + struct.pack(">I", 80)
+        + struct.pack(">hhh", 5, 6, 7)
+    )
+    ncds = {
+        "dims": {"t": None},
+        "vars": {"r": {"dims": ("t",),
+                       "data": np.array([5, 6, 7], dtype="int16"),
+                       "attrs": {}}},
+        "attrs": {},
+    }
+    assert nc_encode(ncds) == golden
+    back = nc_decode(golden)
+    assert back["numrecs"] == 3
+    np.testing.assert_array_equal(back["vars"]["r"]["data"], [5, 6, 7])
+
+
+def test_two_record_vars_interleave_with_padding():
+    # 'a' int8[3] per record (raw 3 → padded 4) and 'b' int16[1] (raw 2
+    # → padded 4): recsize 8, slabs interleave a0 b0 a1 b1
+    a = np.arange(6, dtype="int8").reshape(2, 3)
+    b = np.array([[100], [200]], dtype="int16")
+    ncds = {
+        "dims": {"t": None, "k": 3, "m": 1},
+        "vars": {
+            "a": {"dims": ("t", "k"), "data": a, "attrs": {}},
+            "b": {"dims": ("t", "m"), "data": b, "attrs": {}},
+        },
+        "attrs": {},
+    }
+    data = nc_encode(ncds)
+    info = nc_info(data)
+    assert info["numrecs"] == 2
+    # record section bytes: a-slab padded to 4, then b-slab padded to 4
+    tail = data[-16:]
+    assert tail == (
+        bytes([0, 1, 2, 0]) + struct.pack(">h", 100) + b"\x00\x00"
+        + bytes([3, 4, 5, 0]) + struct.pack(">h", 200) + b"\x00\x00"
+    )
+    back = nc_decode(data)
+    np.testing.assert_array_equal(back["vars"]["a"]["data"], a)
+    np.testing.assert_array_equal(back["vars"]["b"]["data"], b)
+
+
+def test_attrs_roundtrip_all_types():
+    ncds = {
+        "dims": {"x": 1},
+        "vars": {"v": {"dims": ("x",), "data": np.zeros(1, dtype="float32"),
+                       "attrs": {"unit": "dB", "count": 7, "gain": 2.5,
+                                 "vec": np.array([1.0, 2.0], dtype="float32")}}},
+        "attrs": {"title": "stack", "version": 3},
+    }
+    back = nc_decode(nc_encode(ncds))
+    assert back["attrs"] == {"title": "stack", "version": 3}
+    va = back["vars"]["v"]["attrs"]
+    assert va["unit"] == "dB" and va["count"] == 7 and va["gain"] == 2.5
+    np.testing.assert_array_equal(va["vec"], [1.0, 2.0])
+
+
+def test_cdf2_roundtrip_and_version_byte():
+    ncds = {
+        "dims": {"x": 4},
+        "vars": {"v": {"dims": ("x",),
+                       "data": np.arange(4, dtype="float64"), "attrs": {}}},
+        "attrs": {},
+    }
+    data = nc_encode(ncds, version=2)
+    assert data[:4] == b"CDF\x02"
+    back = nc_decode(data)
+    assert back["version"] == 2
+    np.testing.assert_array_equal(back["vars"]["v"]["data"], np.arange(4.0))
+
+
+def test_streaming_numrecs_derived():
+    # a writer that died mid-stream leaves numrecs = 0xFFFFFFFF; the
+    # reader derives the count from the file size
+    ncds = {
+        "dims": {"t": None, "x": 2},
+        "vars": {"v": {"dims": ("t", "x"),
+                       "data": np.arange(6, dtype="int32").reshape(3, 2),
+                       "attrs": {}}},
+        "attrs": {},
+    }
+    data = bytearray(nc_encode(ncds))
+    data[4:8] = b"\xff\xff\xff\xff"
+    back = nc_decode(bytes(data))
+    assert back["numrecs"] == 3
+    np.testing.assert_array_equal(
+        back["vars"]["v"]["data"], np.arange(6).reshape(3, 2)
+    )
+
+
+# ---- loud gates ------------------------------------------------------------
+
+
+def test_hdf5_and_cdf5_gated():
+    with pytest.raises(NotImplementedError, match="HDF5"):
+        nc_decode(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="CDF-5"):
+        nc_decode(b"CDF\x05" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="CDF magic"):
+        nc_decode(b"NOPE" + b"\x00" * 16)
+
+
+def test_int64_rejected():
+    ncds = {"dims": {"x": 1},
+            "vars": {"v": {"dims": ("x",), "data": np.zeros(1, dtype="int64"),
+                           "attrs": {}}}, "attrs": {}}
+    with pytest.raises(ValueError, match="CDF-5"):
+        nc_encode(ncds)
+
+
+def test_shape_and_layout_validation():
+    with pytest.raises(ValueError, match="one record dim"):
+        nc_encode({"dims": {"t": None, "u": None}, "vars": {}, "attrs": {}})
+    with pytest.raises(ValueError, match="first dim"):
+        nc_encode({
+            "dims": {"t": None, "x": 2},
+            "vars": {"v": {"dims": ("x", "t"),
+                           "data": np.zeros((2, 1), dtype="int32"),
+                           "attrs": {}}}, "attrs": {}})
+    with pytest.raises(ValueError, match="does not match"):
+        nc_encode({
+            "dims": {"x": 3},
+            "vars": {"v": {"dims": ("x",),
+                           "data": np.zeros(2, dtype="int32"),
+                           "attrs": {}}}, "attrs": {}})
+
+
+def test_cdf1_offset_overflow_raises():
+    # declare a >2 GiB fixed var without materializing it: shape checks
+    # run against dims, so use a tiny array only if shapes match — here
+    # we go through the public API with a fake big dim and a matching
+    # lazily-shaped array is impossible, so assert the guard via two
+    # record-less vars whose computed offsets overflow
+    big = np.lib.stride_tricks.as_strided(
+        np.zeros(1, dtype="float64"), shape=(300_000_000,), strides=(0,)
+    )
+    ncds = {"dims": {"x": 300_000_000},
+            "vars": {"a": {"dims": ("x",), "data": big, "attrs": {}},
+                     "b": {"dims": ("x",), "data": big, "attrs": {}}},
+            "attrs": {}}
+    with pytest.raises(ValueError, match="CDF-1"):
+        nc_encode(ncds)
+
+
+# ---- reference semantics (test_netcdf4.py parity) --------------------------
+
+
+def _three_var(shape=(6, 8, 10), attrs=None):
+    data = np.ones(shape, dtype="float32")
+    attrs = attrs or {}
+    return {
+        name: data.copy() for name in ("sig", "inc", "azi")
+    }, attrs
+
+
+def test_read_write_roundtrip():
+    # reference test_read_write (test_netcdf4.py:5-15): three vars with
+    # per-var dtypes/nodata; read returns the written values
+    arrays, _ = _three_var()
+    data = nc_encode_stack(
+        arrays,
+        nodatavals={"inc": -9999, "azi": -9999},
+        dtypes={"inc": "int32", "azi": "int32"},
+        var_attrs={"sig": {"unit": "dB"}, "inc": {"unit": "degree"}},
+    )
+    ds = nc_decode_stack(data)
+    for name in ("sig", "inc", "azi"):
+        np.testing.assert_array_equal(ds["vars"][name]["data"], arrays[name])
+    assert ds["vars"]["inc"]["data"].dtype == np.int32
+    assert ds["vars"]["sig"]["attrs"]["unit"] == "dB"
+    assert ds["vars"]["inc"]["attrs"]["_FillValue"] == -9999
+
+
+def test_use_auto_decoding():
+    # reference test_use_auto_decoding (test_netcdf4.py:17-25): attrs
+    # carried by the dataset are pass-through on write; auto_decode read
+    # applies x*scale+offset — sig*2+3, inc*2, azi (fill only) verbatim
+    arrays, _ = _three_var()
+    data = nc_encode_stack(
+        arrays,
+        var_attrs={
+            "sig": {"unit": "dB", "scale_factor": 2, "add_offset": 3,
+                    "fill_value": -9999},
+            "inc": {"unit": "degree", "_FillValue": -9999,
+                    "scale_factor": 2, "add_offset": 0},
+            "azi": {"unit": "degree", "_FillValue": -9999},
+        },
+    )
+    ds = nc_decode_stack(data, auto_decode=True)
+    np.testing.assert_array_equal(ds["vars"]["sig"]["data"],
+                                  arrays["sig"] * 2 + 3)
+    np.testing.assert_array_equal(ds["vars"]["inc"]["data"],
+                                  arrays["inc"] * 2)
+    np.testing.assert_array_equal(ds["vars"]["azi"]["data"], arrays["azi"])
+
+
+def test_ignore_auto_decoding():
+    arrays, _ = _three_var()
+    data = nc_encode_stack(
+        arrays,
+        var_attrs={"sig": {"scale_factor": 2, "add_offset": 3}},
+    )
+    ds = nc_decode_stack(data, auto_decode=False)
+    np.testing.assert_array_equal(ds["vars"]["sig"]["data"], arrays["sig"])
+
+
+def test_append_doubles_stack():
+    # reference test_append_to_existing_netcdf (test_netcdf4.py:39-51)
+    sig = np.arange(2 * 3 * 4, dtype="float32").reshape(2, 3, 4)
+    data = nc_encode_stack({"sig": sig, "inc": sig + 1.0})
+    h = nc_info(data)
+    appended = nc_append(data, {
+        "vars": {
+            "sig": {"dims": ("time", "y", "x"), "data": sig},
+            "inc": {"dims": ("time", "y", "x"), "data": sig + 1.0},
+            "time": {"dims": ("time",),
+                     "data": np.arange(2, dtype="float64")},
+        }
+    })
+    ds = nc_decode(appended)
+    assert ds["numrecs"] == 2 * h["numrecs"]
+    np.testing.assert_array_equal(
+        ds["vars"]["sig"]["data"], np.concatenate([sig, sig], axis=0)
+    )
+    np.testing.assert_array_equal(
+        ds["vars"]["inc"]["data"],
+        np.concatenate([sig + 1.0, sig + 1.0], axis=0),
+    )
+
+
+def test_append_validates():
+    sig = np.ones((2, 2, 2), dtype="float32")
+    data = nc_encode_stack({"sig": sig})
+    with pytest.raises(ValueError, match="missing record variable"):
+        nc_append(data, {"vars": {"sig": {"dims": (), "data": sig}}})
+    full = {"time": {"dims": ("time",), "data": np.zeros(1)},
+            "sig": {"dims": ("time", "y", "x"),
+                    "data": np.ones((1, 2, 2), dtype="int32")}}
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        nc_append(data, {"vars": full})
+    full["sig"]["data"] = np.ones((1, 3, 3), dtype="float32")
+    with pytest.raises(ValueError, match="shape mismatch"):
+        nc_append(data, {"vars": full})
+    fixed_only = nc_encode({"dims": {"x": 1},
+                            "vars": {"v": {"dims": ("x",),
+                                           "data": np.zeros(1, dtype="int32"),
+                                           "attrs": {}}}, "attrs": {}})
+    with pytest.raises(ValueError, match="no record dimension"):
+        nc_append(fixed_only, {"vars": {}})
+
+
+def test_time_units_roundtrip():
+    # reference test_time_units (test_netcdf4.py:82-90)
+    units = "days since 2000-01-01 00:00:00"
+    times = np.array(["2000-01-01", "2000-01-02", "2000-01-05"],
+                     dtype="datetime64[ns]")
+    enc = encode_time(times, units)
+    np.testing.assert_array_equal(enc, [0.0, 1.0, 4.0])
+    np.testing.assert_array_equal(decode_time(enc, units), times)
+
+    sig = np.ones((3, 2, 2), dtype="float32")
+    data = nc_encode_stack({"sig": sig}, record_values=times,
+                           time_units=units)
+    ds = nc_decode_stack(data)
+    np.testing.assert_array_equal(ds["vars"]["time"]["data"], times)
+
+    with pytest.raises(ValueError, match="time units"):
+        encode_time(times, "fortnights since 2000-01-01")
+    # sub-day epoch + hours granularity
+    u2 = "hours since 1987-06-05 13:30:00"
+    t2 = decode_time(np.array([0.0, 1.5]), u2)
+    assert str(t2[0]) == "1987-06-05T13:30:00.000000000"
+    assert str(t2[1]) == "1987-06-05T15:00:00.000000000"
+
+
+def test_xy_coordinate_formula():
+    # reference test_computation_of_x_and_y_coordinates
+    # (test_netcdf4.py:96-117): pixel-center coords, including the
+    # same-axis index in the rotation term
+    geotrans = (3000000.0, 500.0, 0.0, 1800000.0, 0.0, -500.0)
+    n = 10
+    x, y = nc_xy_coords(geotrans, n, n)
+    exp_x = geotrans[0] + (0.5 + np.arange(n)) * geotrans[1] \
+        + (0.5 + np.arange(n)) * geotrans[2]
+    exp_y = geotrans[3] + (0.5 + np.arange(n)) * geotrans[4] \
+        + (0.5 + np.arange(n)) * geotrans[5]
+    np.testing.assert_array_equal(x, exp_x)
+    np.testing.assert_array_equal(y, exp_y)
+
+    sig = np.ones((2, n, n), dtype="float32")
+    data = nc_encode_stack({"sig": sig}, geotrans=geotrans)
+    ds = nc_decode(data)
+    np.testing.assert_array_equal(ds["vars"]["x"]["data"], exp_x)
+    np.testing.assert_array_equal(ds["vars"]["y"]["data"], exp_y)
+
+
+def test_non_temporal_record_dim():
+    # reference test_non_temporal_read_and_write (test_netcdf4.py:120+):
+    # stack_dims={'layer': None}
+    sig = np.arange(3 * 2 * 2, dtype="float32").reshape(3, 2, 2)
+    data = nc_encode_stack({"sig": sig}, record_dim="layer")
+    ds = nc_decode_stack(data)
+    assert ds["dims"]["layer"] is None
+    np.testing.assert_array_equal(ds["vars"]["layer"]["data"],
+                                  [0.0, 1.0, 2.0])
+    np.testing.assert_array_equal(ds["vars"]["sig"]["data"], sig)
+
+
+def test_geotrans_recovery():
+    geotrans = (100.0, 2.0, 0.0, 500.0, 0.0, -2.0)
+    sig = np.ones((1, 4, 6), dtype="float32")
+    data = nc_encode_stack({"sig": sig}, geotrans=geotrans,
+                           sref="EPSG:32633")
+    assert nc_geotrans(data) == geotrans
+    info = nc_info(data)
+    assert info["vars"][GM_VAR]["attrs"]["crs_wkt"] == "EPSG:32633"
+
+    # fallback: derive from x/y coord spacing when the gm var is absent
+    x, y = nc_xy_coords(geotrans, 6, 4)
+    plain = nc_encode({
+        "dims": {"y": 4, "x": 6},
+        "vars": {"x": {"dims": ("x",), "data": x, "attrs": {}},
+                 "y": {"dims": ("y",), "data": y, "attrs": {}},
+                 "v": {"dims": ("y", "x"),
+                       "data": np.zeros((4, 6), dtype="float32"),
+                       "attrs": {}}},
+        "attrs": {}})
+    assert nc_geotrans(plain) == pytest.approx(geotrans)
+
+    no_geo = nc_encode_stack({"sig": sig})
+    assert nc_geotrans(no_geo) is None
+
+
+def test_info_shapes_and_dtypes():
+    sig = np.ones((5, 3, 4), dtype="float32")
+    data = nc_encode_stack({"sig": sig}, dtypes={"sig": "int16"})
+    info = nc_info(data)
+    assert info["vars"]["sig"]["shape"] == (5, 3, 4)
+    assert info["vars"]["sig"]["dims"] == ("time", "y", "x")
+    assert info["vars"]["sig"]["dtype"] == "int16"
+    assert info["dims"] == {"time": None, "y": 3, "x": 4}
+
+
+# ---- Spark wiring ----------------------------------------------------------
+
+
+def test_spark_sniff_and_footprint_recovery(spark):
+    # .nc payloads built per-row, sniffed by register, and placed on the
+    # grid from their own GeoTransform — the reference's register⋈mosaic
+    # georeferencing path for NetCDF (mosaic/netcdf.py reader), via the
+    # same Arrow pass as the GeoTIFF twin
+    from veranda_spark.grid import RegularGrid
+    from veranda_spark.sources.register import (
+        footprints_from_netcdf,
+        sniff_fmt,
+    )
+
+    g = RegularGrid(ul_x=100.0, ul_y=400.0, psx=2.0, psy=2.0,
+                    tile_cols=64, tile_rows=64, n_tile_cols=8, n_tile_rows=8)
+    rows = []
+    for i in range(6):
+        col0, row0 = 32 * i, 16 * i
+        gt = (100.0 + 2.0 * col0, 2.0, 0.0, 400.0 - 2.0 * row0, 0.0, -2.0)
+        sig = np.full((1, 4, 4), float(i), dtype="float32")
+        rows.append((i, nc_encode_stack({"sig": sig}, geotrans=gt)))
+    df = spark.createDataFrame(rows, "image_id long, bytes binary")
+    fmts = df.select(sniff_fmt(df["bytes"]).alias("fmt")).distinct().collect()
+    assert [r["fmt"] for r in fmts] == ["nc"]
+    rec = {r["image_id"]: r for r in footprints_from_netcdf(df, g).collect()}
+    for i in range(6):
+        assert rec[i]["px_col0"] == 32 * i
+        assert rec[i]["px_row0"] == 16 * i
+
+    hdf = spark.createDataFrame(
+        [(0, b"\x89HDF\r\n\x1a\n" + b"\x00" * 16)],
+        "image_id long, bytes binary",
+    )
+    assert hdf.select(
+        sniff_fmt(hdf["bytes"]).alias("fmt")
+    ).first()["fmt"] == "hdf5"

@@ -35,6 +35,10 @@ def sniff_fmt(data_col: F.Column) -> F.Column:
         .when(head4 == F.lit(b"PK\x03\x04"), "zip")
         .when(F.substring(data_col, 1, 2).isin(F.lit(b"II"), F.lit(b"MM")), "tiff")
         .when(F.substring(data_col, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpg")
+        .when(head4.isin(F.lit(b"CDF\x01"), F.lit(b"CDF\x02")), "nc")
+        # netCDF-4 rides the HDF5 container — sniffed so triage can
+        # route it to the loud nc_decode gate instead of "raw"
+        .when(head4 == F.lit(b"\x89HDF"), "hdf5")
         .otherwise("raw")
     )
 
@@ -119,11 +123,29 @@ def footprints_from_geotiff(
     A loud error is raised when a payload's pixel size disagrees with the
     grid (mixed-resolution registers need reproject_footprints first).
     """
+    from veranda_spark.functions.tiff import tiff_geotrans
+
+    return _footprints_from_geotrans(df, grid, bytes_col, tiff_geotrans)
+
+
+def footprints_from_netcdf(
+    df: DataFrame, grid: RegularGrid, bytes_col: str = "bytes"
+) -> DataFrame:
+    """footprints_from_geotiff's `.nc` twin: placement from the classic
+    NetCDF payload's grid-mapping GeoTransform attr (or its x/y
+    coordinate-variable spacing) — the reference's netCDF georeferencing
+    (native/netcdf.py:199-245 spatial attrs / coord variables)."""
+    from veranda_spark.functions.netcdf import nc_geotrans
+
+    return _footprints_from_geotrans(df, grid, bytes_col, nc_geotrans)
+
+
+def _footprints_from_geotrans(
+    df: DataFrame, grid: RegularGrid, bytes_col: str, geotrans_of
+) -> DataFrame:
     from typing import Iterator
 
     import pandas as pd
-
-    from veranda_spark.functions.tiff import tiff_geotrans
 
     base = df.drop("px_col0", "px_row0")
     schema = ", ".join(f.name + " " + f.dataType.simpleString() for f in base.schema)
@@ -137,7 +159,7 @@ def footprints_from_geotiff(
         for pdf in it:
             cols, rows = [], []
             for payload in pdf[bytes_col]:
-                gt = tiff_geotrans(bytes(payload))
+                gt = geotrans_of(bytes(payload))
                 if gt is None:
                     cols.append(None)
                     rows.append(None)
