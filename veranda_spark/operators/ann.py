@@ -84,6 +84,62 @@ def _train_sample(c: DataFrame, sample_rows: int, seed: int) -> np.ndarray:
     return np.stack([r["emb"] for r in rows])
 
 
+def _cosine_rank(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _cell_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (the corpus encoder)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    return cell_of
+
+
+def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
+    def cells_of_query(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        return pd.Series(
+            [list(np.argsort(row)[:nprobe].astype("int32")) for row in d]
+        )
+
+    return F.pandas_udf(cells_of_query, T.ArrayType(T.IntegerType()))
+
+
+def _ivf_cosine_score(
+    ck: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int,
+    query_id: str,
+    query_emb: str,
+) -> DataFrame:
+    """Probe + exact-cosine rank over a cell-keyed corpus — shared by
+    the train-per-call path (ivf_topk) and the persisted-index path."""
+    probe_udf = _probe_cells_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_emb).cast("array<double>").alias("qemb"),
+    ).withColumn("cell", F.explode(probe_udf(F.col("qemb"))))
+    scored = ck.join(F.broadcast(q), "cell").withColumn(
+        "cos", F.round(cosine(F.col("emb"), F.col("qemb")), 6)
+    )
+    return _cosine_rank(scored, k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -100,39 +156,17 @@ def ivf_topk(
     """IVF-bucketed approximate top-k: corpus rows carry a centroid-cell
     key; each query scans only its nprobe nearest cells.  At 100 TB the
     cell key is the table's partition column, so the probe is partition
-    pruning, not a scan."""
+    pruning, not a scan.  Trains per call — when one corpus serves many
+    query batches, build_ivf_index + query_ivf_index amortize the
+    training and assignment."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("emb")
     )
     sample = _train_sample(c, sample_rows, seed)
     centroids = _kmeans(sample, nlist, seed=seed)
-
-    @F.pandas_udf(T.IntegerType())
-    def cell_of(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1).astype("int32"))
-
-    def cells_of_query(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        return pd.Series([list(np.argsort(row)[:nprobe].astype("int32")) for row in d])
-
-    probe_udf = F.pandas_udf(cells_of_query, T.ArrayType(T.IntegerType()))
-
-    ck = c.withColumn("cell", cell_of(F.col("emb")))
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_emb).cast("array<double>").alias("qemb"),
-    ).withColumn("cell", F.explode(probe_udf(F.col("qemb"))))
-    scored = ck.join(F.broadcast(q), "cell").withColumn(
-        "cos", F.round(cosine(F.col("emb"), F.col("qemb")), 6)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+    ck = c.withColumn("cell", _cell_udf(centroids)(F.col("emb")))
+    return _ivf_cosine_score(
+        ck, queries, centroids, k, nprobe, query_id, query_emb
     )
 
 
@@ -242,7 +276,22 @@ def ivf_pq_topk(
     if rot is not None:
         train = train @ rot.T
     books = _train_pq(train, m, ncodes, seed=seed)  # (m, ncodes, sub)
-    sub = dim // m
+
+    enc = c.select(
+        "vec_id",
+        _pq_encode_udf(centroids, books, rot, residual)(F.col("emb")).alias("e"),
+    ).select("vec_id", "e.cell", "e.codes")
+    return _pq_adc_score(
+        enc, c, queries, centroids, books, rot, residual,
+        k, nprobe, refine, query_id, query_emb,
+    )
+
+
+def _pq_encode_udf(
+    centroids: np.ndarray, books: np.ndarray, rot, residual: bool
+):
+    """Arrow-batched IVF-PQ corpus encoder → (cell, codes[m])."""
+    m, sub = books.shape[0], books.shape[2]
 
     def _rotate(mat: np.ndarray) -> np.ndarray:
         return mat if rot is None else mat @ rot.T
@@ -264,6 +313,18 @@ def ivf_pq_topk(
             _rotate(mat - centroids[cell] if residual else mat)
         )
         return pd.DataFrame({"cell": cell, "codes": list(codes)})
+
+    return encode
+
+
+def _pq_probe_udf(
+    centroids: np.ndarray, books: np.ndarray, rot, residual: bool, nprobe: int
+):
+    """Per-query probe cells + flattened (m × ncodes) ADC lookup tables."""
+    m, ncodes, sub = books.shape
+
+    def _rotate(mat: np.ndarray) -> np.ndarray:
+        return mat if rot is None else mat @ rot.T
 
     def _lut_of(vecs: np.ndarray) -> np.ndarray:
         luts = np.empty((len(vecs), m * ncodes), dtype="float64")
@@ -293,13 +354,29 @@ def ivf_pq_topk(
             out.append(probes)
         return pd.Series(out)
 
-    probe = F.pandas_udf(
+    return F.pandas_udf(
         probe_lut, "array<struct<cell: int, lut: array<double>>>"
     )
 
-    enc = c.select("vec_id", encode(F.col("emb")).alias("e")).select(
-        "vec_id", "e.cell", "e.codes"
-    )
+
+def _pq_adc_score(
+    enc: DataFrame,
+    c_emb: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    rot,
+    residual: bool,
+    k: int,
+    nprobe: int,
+    refine: int,
+    query_id: str,
+    query_emb: str,
+) -> DataFrame:
+    """ADC scan over (cell, codes) + exact re-rank of the refine·k
+    survivors — shared by ivf_pq_topk and the persisted-index path."""
+    ncodes = books.shape[1]
+    probe = _pq_probe_udf(centroids, books, rot, residual, nprobe)
     q0 = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_emb).cast("array<double>").alias("qemb"),
@@ -322,12 +399,199 @@ def ivf_pq_topk(
         .filter(F.col("crank") <= refine * k)
         .select("query_id", "vec_id", "qemb")
     )
-    exact = cand.join(c, "vec_id").withColumn(
+    exact = cand.join(c_emb.select("vec_id", "emb"), "vec_id").withColumn(
         "cos", F.round(cosine(F.col("emb"), F.col("qemb")), 6)
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+    return _cosine_rank(exact, k)
+
+
+# ---- persisted IVF / IVF-PQ index (build once, query many) -----------------
+
+
+def _index_paths(path: str) -> tuple[str, str]:
+    import os
+
+    return os.path.join(path, "codes"), os.path.join(path, "meta")
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    pq: bool = False,
+    m: int = 8,
+    ncodes: int = 32,
+    residual: bool = True,
+    opq: bool = False,
+    opq_iters: int = 5,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> int:
+    """Train ONCE and persist (VERDICT r5 #3): ivf_topk / ivf_pq_topk
+    retrain k-means and re-assign the whole corpus per call — fine for a
+    single batch, wasteful when many query batches hit the same corpus.
+    This writes two managed versioned tables (io/table.py machinery,
+    same time-travel/compaction semantics as every other table):
+
+    * ``<path>/codes`` — (vec_id, emb, cell[, codes]) PARTITIONED BY the
+      IVF cell, so a query batch's probe set becomes parquet partition
+      pruning; with pq=True the ADC scan column-prunes to
+      (vec_id, cell, codes) and embeddings are only read for the
+      refine·k candidates.
+    * ``<path>/meta`` — centroids, PQ codebooks, OPQ rotation rows and a
+      JSON param row; dim-sized, collected driver-side at query time.
+
+    Returns the codes-table version."""
+    import json
+
+    from veranda_spark.io.table import create_table
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    )
+    sample = _train_sample(c, sample_rows, seed)
+    centroids = _kmeans(sample, nlist, seed=seed)
+    dim = sample.shape[1]
+    books = rot = None
+    if pq:
+        ncodes = min(ncodes, max(2, len(sample) // 4))
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        if residual:
+            assign = (
+                ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)
+            )
+            train = sample - centroids[assign]
+        else:
+            train = sample
+        rot = _train_opq(train, m, ncodes, seed, iters=opq_iters) if opq else None
+        if rot is not None:
+            train = train @ rot.T
+        books = _train_pq(train, m, ncodes, seed=seed)
+
+    if pq:
+        ck = c.select(
+            "vec_id", "emb",
+            _pq_encode_udf(centroids, books, rot, residual)(F.col("emb")).alias("e"),
+        ).select("vec_id", "emb", "e.cell", "e.codes")
+    else:
+        ck = c.select(
+            "vec_id", "emb", _cell_udf(centroids)(F.col("emb")).alias("cell")
+        )
+    codes_path, meta_path = _index_paths(path)
+    v = create_table(ck, codes_path, partition_by="cell")
+
+    rows: list[tuple] = [(
+        "param", None, None, None,
+        json.dumps({"nlist": int(len(centroids)), "pq": bool(pq),
+                    "m": int(m), "ncodes": int(ncodes),
+                    "residual": bool(residual), "opq": bool(opq),
+                    "dim": int(dim), "seed": int(seed)}),
+    )]
+    for i, cvec in enumerate(centroids):
+        rows.append(("centroid", i, None, [float(x) for x in cvec], None))
+    if books is not None:
+        for j in range(books.shape[0]):
+            for code in range(books.shape[1]):
+                rows.append(
+                    ("book", j, code, [float(x) for x in books[j, code]], None)
+                )
+    if rot is not None:
+        for i, rvec in enumerate(rot):
+            rows.append(("rot", i, None, [float(x) for x in rvec], None))
+    meta = spark.createDataFrame(
+        rows, "kind string, i int, j int, vec array<double>, sval string"
+    )
+    create_table(meta, meta_path)
+    return v
+
+
+def load_ivf_index(spark, path: str) -> dict:
+    """Driver-side index metadata: params + centroids (+ codebooks +
+    rotation).  Dim-sized — the same collect class as the salt maps and
+    k-means training sample, never the corpus."""
+    import json
+
+    from veranda_spark.io.table import read_table
+
+    _, meta_path = _index_paths(path)
+    rows = read_table(spark, meta_path).collect()
+    params = None
+    cents: dict[int, list] = {}
+    books: dict[tuple[int, int], list] = {}
+    rot: dict[int, list] = {}
+    for r in rows:
+        if r["kind"] == "param":
+            params = json.loads(r["sval"])
+        elif r["kind"] == "centroid":
+            cents[r["i"]] = r["vec"]
+        elif r["kind"] == "book":
+            books[(r["i"], r["j"])] = r["vec"]
+        elif r["kind"] == "rot":
+            rot[r["i"]] = r["vec"]
+    if params is None or not cents:
+        raise ValueError(f"no index metadata at {path}")
+    idx = {
+        "params": params,
+        "centroids": np.array([cents[i] for i in sorted(cents)]),
+        "books": None,
+        "rot": None,
+    }
+    if books:
+        m, ncodes = params["m"], params["ncodes"]
+        idx["books"] = np.array(
+            [[books[(j, code)] for code in range(ncodes)] for j in range(m)]
+        )
+    if rot:
+        idx["rot"] = np.array([rot[i] for i in sorted(rot)])
+    return idx
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    query_id: str = "query_id",
+    query_emb: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Serve a query batch from a persisted index: NO k-means job, NO
+    corpus assignment pass — the only corpus work is a partition-pruned
+    scan of the probed cells.  The probe-cell union across the batch is
+    collected (≤ nlist ints) and pushed as a literal IN filter so the
+    parquet reader prunes cell= directories up front (hand-rolled
+    dynamic partition pruning); the per-query cell match then happens in
+    the join exactly as in the train-per-call paths."""
+    from veranda_spark.io.table import read_table
+
+    idx = load_ivf_index(spark, path)
+    p = idx["params"]
+    codes_path, _ = _index_paths(path)
+    codes = read_table(spark, codes_path, version)
+
+    probe_udf = _probe_cells_udf(idx["centroids"], nprobe)
+    q0 = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_emb).cast("array<double>").alias("qemb"),
+    )
+    qcells = q0.select(F.explode(probe_udf(F.col("qemb"))).alias("cell"))
+    probed = [r["cell"] for r in qcells.distinct().collect()]
+    pruned = codes.filter(F.col("cell").isin(probed))
+
+    if p["pq"]:
+        enc = pruned.select("vec_id", "cell", "codes")
+        return _pq_adc_score(
+            enc, pruned, q0, idx["centroids"], idx["books"], idx["rot"],
+            p["residual"], k, nprobe, refine, "query_id", "qemb",
+        )
+    return _ivf_cosine_score(
+        pruned.select("vec_id", "emb", "cell"), q0, idx["centroids"],
+        k, nprobe, "query_id", "qemb",
     )
