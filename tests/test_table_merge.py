@@ -668,3 +668,98 @@ def test_relocate_noop_on_link_mode_tables(spark, base):
     assert removed == [1, 2]
     assert list_versions(base) == [3, 4]
     assert _rows(read_table(spark, base)) == before
+
+
+def test_stale_heartbeat_claim_self_heals(spark, base):
+    # VERDICT r5 #5: a compactor that crashes mid-rewrite leaves a claim
+    # carrying a heartbeat promise (hb_s).  Once the claim mtime goes
+    # stale past stale_hb_multiple*hb_s, the stream's owner-scoped
+    # recovery sweeps it — the stream self-heals without manual
+    # recover_orphans(path).
+    import json
+    import time
+
+    from veranda_spark.io.table import recover_orphans
+
+    d = os.path.join(base, "_versions", "000002")
+    os.makedirs(d)
+    cp = os.path.join(d, "_claim.json")
+    with open(cp, "w") as f:
+        json.dump({"owner": "compact_table:deadbeef", "hb_s": 5.0}, f)
+    # fresh claim (heartbeat current): never touched
+    assert recover_orphans(base, owner="merge_stream:x") == []
+    assert os.path.isdir(d), "live compactor's claim must survive"
+    # heartbeat visibly broken: mtime 12*hb_s+ old -> swept
+    old_t = time.time() - 3600
+    os.utime(cp, (old_t, old_t))
+    assert recover_orphans(base, owner="merge_stream:x") == [2]
+    assert not os.path.isdir(d)
+
+
+def test_foreign_claim_without_promise_never_swept(spark, base):
+    # The pass-2 safety is preserved: a claim WITHOUT hb_s (a manual /
+    # pre-heartbeat-era writer made no liveness promise) is never
+    # age-swept no matter how stale its mtime.
+    import json
+    import time
+
+    from veranda_spark.io.table import recover_orphans
+
+    d = os.path.join(base, "_versions", "000002")
+    os.makedirs(d)
+    cp = os.path.join(d, "_claim.json")
+    with open(cp, "w") as f:
+        json.dump({"owner": "compact_table:nopromise"}, f)
+    old_t = time.time() - 7200
+    os.utime(cp, (old_t, old_t))
+    os.utime(d, (old_t, old_t))
+    assert recover_orphans(base, owner="merge_stream:x") == []
+    assert os.path.isdir(d)
+
+
+def test_claim_heartbeat_refreshes_mtime(tmp_path):
+    # The _claim_heartbeat context refreshes the claim file's mtime
+    # while the body runs, and stops when the body exits.
+    import time
+
+    from veranda_spark.io.table import _claim_heartbeat, _write_claim
+
+    d = str(tmp_path / "v2")
+    os.makedirs(d)
+    _write_claim(d, "compact_table:hb", hb_s=0.1)
+    cp = os.path.join(d, "_claim.json")
+    old_t = time.time() - 100
+    os.utime(cp, (old_t, old_t))
+    with _claim_heartbeat(d, hb_s=0.1):
+        time.sleep(0.5)
+        live_mtime = os.stat(cp).st_mtime
+    assert time.time() - live_mtime < 10, "heartbeat must refresh mtime"
+    after = os.stat(cp).st_mtime
+    time.sleep(0.4)
+    assert os.stat(cp).st_mtime == after, "heartbeat must stop on exit"
+
+
+def test_stream_self_heals_after_compactor_crash(spark, base, tmp_path):
+    # End-to-end: dead-compactor debris on the table; the CDC stream's
+    # next batch recovers it automatically and the merge commits.
+    import json
+    import time
+
+    from veranda_spark.streaming.append import merge_batch_handler
+
+    d = os.path.join(base, "_versions", "000002")
+    os.makedirs(d)
+    cp = os.path.join(d, "_claim.json")
+    with open(cp, "w") as f:
+        json.dump({"owner": "compact_table:crashed", "hb_s": 5.0}, f)
+    old_t = time.time() - 3600
+    os.utime(cp, (old_t, old_t))
+    handle = merge_batch_handler(
+        base, keys=["k"], checkpoint_dir=str(tmp_path / "ck"),
+        partition_by="p",
+    )
+    batch = spark.createDataFrame([(3, 3, "streamed3")],
+                                  "k long, p long, val string")
+    handle(batch, 0)  # would raise FileExistsError without self-heal
+    got = _rows(read_table(spark, base))
+    assert (3, 3, "streamed3") in got and (3, 3, "v3") not in got

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -271,7 +272,15 @@ def _write_manifest(new_dir: str, entries: list[dict]) -> None:
     os.replace(tmp, _manifest_path(new_dir))
 
 
-def _write_claim(vdir: str, owner: str | None) -> None:
+#: Heartbeat refresh period stamped into claims by merge_into /
+#: compact_table.  The stale-sweep threshold in ``recover_orphans`` is
+#: expressed in multiples of the CLAIM'S OWN declared ``hb_s`` (not this
+#: constant), so changing the default never makes old on-disk claims
+#: look stale.
+_CLAIM_HB_S = 5.0
+
+
+def _write_claim(vdir: str, owner: str | None, hb_s: float | None = None) -> None:
     """Stamp a freshly claimed version directory with the writer's
     identity (``_claim.json``).  Written immediately after the exclusive
     ``os.mkdir`` so an automated recoverer can tell WHOSE crash debris an
@@ -280,34 +289,83 @@ def _write_claim(vdir: str, owner: str | None) -> None:
     a readable claim always means a crash in the microsecond
     mkdir→claim window (or pre-claim-era debris) — which is what lets
     the age-gated unowned-orphan recovery below stay safe.
+
+    ``hb_s`` is the writer's PROMISE to refresh the claim file's mtime
+    at least every ``hb_s`` seconds while it is alive (see
+    ``_claim_heartbeat``).  Recording the interval in the claim itself
+    lets ``recover_orphans`` age-sweep a crashed writer's claim — a
+    claim whose mtime is many multiples of its own declared interval old
+    can only be dead — while claims WITHOUT the promise (manual writers,
+    crashed mid-stamp) keep the absolute never-touch safety.
+
     Leading-underscore name keeps it invisible to parquet scans, like
     ``_manifest.json``."""
     p = os.path.join(vdir, "_claim.json")
     tmp = p + ".tmp"
+    body: dict = {"owner": owner}
+    if hb_s is not None:
+        body["hb_s"] = hb_s
     with open(tmp, "w") as f:
-        json.dump({"owner": owner}, f)
+        json.dump(body, f)
     os.replace(tmp, p)
 
 
-def _claim_info(vdir: str) -> tuple[bool, str | None]:
-    """(has_readable_claim, owner).  A PRESENT claim with a null owner
-    (``merge_into(owner=None)``) is distinct from NO claim: the former
-    is some other writer — live or crashed — and owner-scoped recovery
-    must never touch it (review r5 pass-2 #1: a long manual merge's
-    st_mtime can go stale past any grace window while Spark writes
-    inside the dir); only a MISSING claim marks the microsecond
-    mkdir-window debris the age gate may clear."""
+def _claim_info(vdir: str) -> tuple[bool, str | None, float | None]:
+    """(has_readable_claim, owner, hb_s).  A PRESENT claim with a null
+    owner (``merge_into(owner=None)``) is distinct from NO claim: the
+    former is some other writer — live or crashed — and owner-scoped
+    recovery must never touch it UNLESS the claim itself declares a
+    heartbeat promise (``hb_s``) it has visibly broken (review r5 pass-2
+    #1: a long manual NON-heartbeating merge's st_mtime can go stale
+    past any grace window while Spark writes inside the dir); only a
+    MISSING claim marks the microsecond mkdir-window debris the
+    unowned-age gate may clear."""
     try:
         with open(os.path.join(vdir, "_claim.json")) as f:
-            return True, json.load(f).get("owner")
+            body = json.load(f)
+        hb = body.get("hb_s")
+        return True, body.get("owner"), float(hb) if hb is not None else None
     except (FileNotFoundError, ValueError):
-        return False, None
+        return False, None, None
+
+
+class _claim_heartbeat:
+    """Context manager: while the body runs, a daemon thread refreshes
+    the claim file's mtime every ``hb_s`` seconds (``os.utime`` — cheap,
+    atomic metadata-only).  The writer's Spark jobs run synchronously in
+    the claiming process, so the thread dying with the process is
+    exactly the liveness signal: mtime stops advancing ⇒ writer crashed.
+    Exceptions in the body propagate; the thread always stops."""
+
+    def __init__(self, vdir: str, hb_s: float = _CLAIM_HB_S):
+        self._path = os.path.join(vdir, "_claim.json")
+        self._hb_s = hb_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        # refresh at half the promised interval so one missed wakeup
+        # (GC pause, scheduler hiccup) still keeps the promise
+        while not self._stop.wait(self._hb_s / 2.0):
+            try:
+                os.utime(self._path)
+            except OSError:
+                return  # claim gone (committed/recovered) — nothing to do
+
+    def __enter__(self) -> "_claim_heartbeat":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=self._hb_s)
 
 
 def recover_orphans(
     path: str,
     owner: str | None = None,
     unowned_grace_s: float = 300.0,
+    stale_hb_multiple: float = 12.0,
 ) -> list[int]:
     """Delete uncommitted (orphan) version directories left by crashed
     merges.  Run this before retrying a merge that failed its exclusive
@@ -327,12 +385,22 @@ def recover_orphans(
       window can only be a crash in that microsecond gap or
       pre-claim-era debris, never a live writer; without this the
       stream would wedge forever on such debris (every batch raising
-      FileExistsError).
+      FileExistsError), and
+    - foreign claims that DECLARE a heartbeat promise (``hb_s`` in the
+      claim — merge_into/compact_table refresh the claim file's mtime
+      every ``hb_s`` seconds while alive) whose claim mtime is more
+      than ``stale_hb_multiple × hb_s`` seconds old.  A live writer
+      refreshes at ``hb_s/2``; a claim a dozen intervals stale can only
+      be a crashed one, so a compactor that dies mid-rewrite no longer
+      wedges a live CDC stream until manual recovery — the stream
+      self-heals on its next batch.
 
-    A claim held by a DIFFERENT owner is never touched — deleting
-    another writer's live claim would let both commit into the same
-    version directory, the exact corruption the exclusive-mkdir
-    protocol exists to prevent."""
+    A foreign claim WITHOUT the heartbeat marker is never touched (the
+    writer made no liveness promise to judge it by — a long manual
+    merge's mtime legitimately goes stale while Spark writes inside the
+    dir); deleting another live writer's claim would let both commit
+    into the same version directory, the exact corruption the
+    exclusive-mkdir protocol exists to prevent."""
     import time
 
     cur = current_version(path)
@@ -344,16 +412,22 @@ def recover_orphans(
             continue
         vdir = os.path.join(_versions_dir(path), name)
         if owner is not None:
-            has_claim, claim = _claim_info(vdir)
+            has_claim, claim, hb_s = _claim_info(vdir)
             if not (has_claim and claim == owner):
-                if has_claim:
-                    continue  # another writer's claim (owner may be
-                    #           null = manual merge) — never touch
                 try:
-                    age = time.time() - os.stat(vdir).st_mtime
+                    stamp = (
+                        os.path.join(vdir, "_claim.json")
+                        if has_claim else vdir
+                    )
+                    age = time.time() - os.stat(stamp).st_mtime
                 except OSError:
                     continue  # vanished concurrently
-                if age < unowned_grace_s:
+                if has_claim:
+                    # foreign claim: sweepable ONLY on a visibly broken
+                    # heartbeat promise; no promise → never touch
+                    if hb_s is None or age < stale_hb_multiple * hb_s:
+                        continue
+                elif age < unowned_grace_s:
                     continue  # possibly a just-claimed dir mid-stamp
         shutil.rmtree(vdir)
         removed.append(int(name))
@@ -414,76 +488,77 @@ def merge_into(
     os.mkdir(new_dir)
     # stamp ownership right away so an automated recoverer (the CDC
     # stream) can clear THIS writer's crash debris and nobody else's
-    _write_claim(new_dir, owner)
+    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S)
 
-    if partition_by:
-        # partitions touched by the update batch: the updates' own
-        # partition values PLUS the current partition of any matched key
-        # (a key may move across partitions)
-        upd_parts = updates.select(partition_by).distinct()
-        moved_parts = (
-            tgt.join(updates.select(keys).distinct(), keys, "left_semi")
-            .select(partition_by)
-            .distinct()
-        )
-        # collect each value twice: raw (for the typed isin filter) and
-        # SPARK's cast-to-string (for directory-name matching — the
-        # partition writer names directories with Spark's own string
-        # rendering, which differs from Python str() for bool
-        # ('true' vs 'True') and some floats)
-        aff_rows = (
-            upd_parts.union(moved_parts)
-            .distinct()
-            .select(
-                F.col(partition_by).alias("_v"),
-                F.col(partition_by).cast("string").alias("_s"),
+    with _claim_heartbeat(new_dir):
+        if partition_by:
+            # partitions touched by the update batch: the updates' own
+            # partition values PLUS the current partition of any matched key
+            # (a key may move across partitions)
+            upd_parts = updates.select(partition_by).distinct()
+            moved_parts = (
+                tgt.join(updates.select(keys).distinct(), keys, "left_semi")
+                .select(partition_by)
+                .distinct()
             )
-            .collect()
-        )
-        affected = [r["_v"] for r in aff_rows]
-        affected_strs = [r["_s"] for r in aff_rows]
-        part_vers = _old_partitions(path, cur, partition_by)
-        # compare DECODED directory values against the affected set:
-        # escaped characters and the NULL partition would otherwise be
-        # linked as "untouched" AND rewritten → duplicated rows
-        aff_vals = [a for a in affected if a is not None]  # raw typed values
-        aff_set = {s for s in affected_strs if s is not None}  # Spark-rendered
-        aff_null = any(a is None for a in affected)
-        touched_names = {
-            name for name in part_vers
-            if (
-                (v := _unescape_partition_dir(name)) is None and aff_null
-            ) or (v is not None and v in aff_set)
-        }
-        manifest_entries = _carry_untouched(
-            path, new_dir, part_vers, touched_names, commit_mode
-        )
-        # null-safe affected filter: isin() never matches NULL
-        aff_cond = F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
-        if aff_null:
-            aff_cond = aff_cond | F.col(partition_by).isNull()
-        tgt_aff = tgt.filter(aff_cond)
-        # every update row's partition is in `affected` by construction
-        merged = tgt_aff.join(
-            updates.select(keys).distinct(), keys, "left_anti"
-        ).unionByName(updates)
-        (
-            merged.write.mode("append")
-            .partitionBy(partition_by)
-            .parquet(new_dir)
-        )
-        if manifest_entries:
-            _write_manifest(new_dir, manifest_entries)
-    else:
-        merged = tgt.join(
-            updates.select(keys).distinct(), keys, "left_anti"
-        ).unionByName(updates)
-        # append INTO the claimed (empty) dir — mode("overwrite") would
-        # delete the directory first, voiding the exclusive-mkdir claim
-        # and reopening the concurrent-writer lost-update window
-        merged.write.mode("append").parquet(new_dir)
+            # collect each value twice: raw (for the typed isin filter) and
+            # SPARK's cast-to-string (for directory-name matching — the
+            # partition writer names directories with Spark's own string
+            # rendering, which differs from Python str() for bool
+            # ('true' vs 'True') and some floats)
+            aff_rows = (
+                upd_parts.union(moved_parts)
+                .distinct()
+                .select(
+                    F.col(partition_by).alias("_v"),
+                    F.col(partition_by).cast("string").alias("_s"),
+                )
+                .collect()
+            )
+            affected = [r["_v"] for r in aff_rows]
+            affected_strs = [r["_s"] for r in aff_rows]
+            part_vers = _old_partitions(path, cur, partition_by)
+            # compare DECODED directory values against the affected set:
+            # escaped characters and the NULL partition would otherwise be
+            # linked as "untouched" AND rewritten → duplicated rows
+            aff_vals = [a for a in affected if a is not None]  # raw typed values
+            aff_set = {s for s in affected_strs if s is not None}  # Spark-rendered
+            aff_null = any(a is None for a in affected)
+            touched_names = {
+                name for name in part_vers
+                if (
+                    (v := _unescape_partition_dir(name)) is None and aff_null
+                ) or (v is not None and v in aff_set)
+            }
+            manifest_entries = _carry_untouched(
+                path, new_dir, part_vers, touched_names, commit_mode
+            )
+            # null-safe affected filter: isin() never matches NULL
+            aff_cond = F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
+            if aff_null:
+                aff_cond = aff_cond | F.col(partition_by).isNull()
+            tgt_aff = tgt.filter(aff_cond)
+            # every update row's partition is in `affected` by construction
+            merged = tgt_aff.join(
+                updates.select(keys).distinct(), keys, "left_anti"
+            ).unionByName(updates)
+            (
+                merged.write.mode("append")
+                .partitionBy(partition_by)
+                .parquet(new_dir)
+            )
+            if manifest_entries:
+                _write_manifest(new_dir, manifest_entries)
+        else:
+            merged = tgt.join(
+                updates.select(keys).distinct(), keys, "left_anti"
+            ).unionByName(updates)
+            # append INTO the claimed (empty) dir — mode("overwrite") would
+            # delete the directory first, voiding the exclusive-mkdir claim
+            # and reopening the concurrent-writer lost-update window
+            merged.write.mode("append").parquet(new_dir)
 
-    _commit(path, new_v)
+        _commit(path, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
 
@@ -524,9 +599,13 @@ def compact_table(
     deleted mid-write.  The two writers still race on the version
     number: whichever claims ``cur+1`` second fails loudly with
     FileExistsError (retry after the other commits).  A compactor that
-    CRASHES leaves its claim behind; the stream then fails loudly until
-    an operator clears it with ``recover_orphans(path)`` (all-orphans
-    mode, writers stopped).
+    CRASHES leaves its claim behind, but the claim carries a heartbeat
+    promise (mtime refreshed every ``_CLAIM_HB_S`` seconds while the
+    compactor lives — ``_claim_heartbeat``); once the mtime goes stale
+    past the promise, the stream's owner-scoped ``recover_orphans``
+    sweeps it and the stream SELF-HEALS on its next batch — no manual
+    recovery needed.  A live-but-slow compactor keeps heartbeating, so
+    its claim is never raced.
     """
     if commit_mode not in ("auto", "link", "manifest"):
         raise ValueError(f"commit_mode must be auto|link|manifest, got {commit_mode!r}")
@@ -572,11 +651,12 @@ def compact_table(
         new_v = cur + 1
         new_dir = _version_path(path, new_v)
         os.mkdir(new_dir)  # exclusive claim, same protocol as merge_into
-        _write_claim(new_dir, owner)
-        read_table(spark, path).coalesce(max_files).write.mode(
-            "append"
-        ).parquet(new_dir)
-        _commit(path, new_v)
+        _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S)
+        with _claim_heartbeat(new_dir):
+            read_table(spark, path).coalesce(max_files).write.mode(
+                "append"
+            ).parquet(new_dir)
+            _commit(path, new_v)
         return {"version": new_v, "compacted": 1, "files_before": before,
                 "files_after": _count_parquet(new_dir)}
 
@@ -593,37 +673,38 @@ def compact_table(
     new_v = cur + 1
     new_dir = _version_path(path, new_v)
     os.mkdir(new_dir)
-    _write_claim(new_dir, owner)
-    manifest_entries = _carry_untouched(
-        path, new_dir, part_vers, touched, commit_mode
-    )
-    # rewrite the oversized partitions: the predicate is over the
-    # partition column only, so Catalyst PRUNES the scan to exactly the
-    # touched partition directories (O(compacted bytes), not O(table)).
-    # The hash repartition on the partition column lands each value in
-    # one task, so the partitioned write emits ONE file per compacted
-    # partition (max_files is the trigger threshold, not an output
-    # count — documented above).
-    tgt = read_table(spark, path)
-    touched_vals = [_unescape_partition_dir(n) for n in touched]
-    has_null = any(v is None for v in touched_vals)
-    vals = [v for v in touched_vals if v is not None]
-    cond = (
-        F.col(partition_by).cast("string").isin(vals)
-        if vals else F.lit(False)
-    )
-    if has_null:
-        cond = cond | F.col(partition_by).isNull()
-    (
-        tgt.filter(cond)
-        .repartition(len(touched), partition_by)
-        .write.mode("append")
-        .partitionBy(partition_by)
-        .parquet(new_dir)
-    )
-    if manifest_entries:
-        _write_manifest(new_dir, manifest_entries)
-    _commit(path, new_v)
+    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S)
+    with _claim_heartbeat(new_dir):
+        manifest_entries = _carry_untouched(
+            path, new_dir, part_vers, touched, commit_mode
+        )
+        # rewrite the oversized partitions: the predicate is over the
+        # partition column only, so Catalyst PRUNES the scan to exactly the
+        # touched partition directories (O(compacted bytes), not O(table)).
+        # The hash repartition on the partition column lands each value in
+        # one task, so the partitioned write emits ONE file per compacted
+        # partition (max_files is the trigger threshold, not an output
+        # count — documented above).
+        tgt = read_table(spark, path)
+        touched_vals = [_unescape_partition_dir(n) for n in touched]
+        has_null = any(v is None for v in touched_vals)
+        vals = [v for v in touched_vals if v is not None]
+        cond = (
+            F.col(partition_by).cast("string").isin(vals)
+            if vals else F.lit(False)
+        )
+        if has_null:
+            cond = cond | F.col(partition_by).isNull()
+        (
+            tgt.filter(cond)
+            .repartition(len(touched), partition_by)
+            .write.mode("append")
+            .partitionBy(partition_by)
+            .parquet(new_dir)
+        )
+        if manifest_entries:
+            _write_manifest(new_dir, manifest_entries)
+        _commit(path, new_v)
     after = sum(
         _count_parquet(_partition_src(path, name, v, rel))
         for name, (v, rel) in _old_partitions(path, new_v, partition_by).items()

@@ -197,11 +197,15 @@ def merge_batch_handler(
         # a crash between the version-dir claim and its commit leaves an
         # orphan that would fail merge_into's exclusive claim forever.
         # Owner-scoped recovery clears ONLY this stream's own crash
-        # debris (claims stamped with claim_owner) — a claim held by a
-        # concurrently running compact_table or manual merge_into is
-        # left alone, and the subsequent merge_into then fails loudly
-        # with FileExistsError instead of two writers committing mixed
-        # data into one version directory.
+        # debris (claims stamped with claim_owner) plus foreign claims
+        # with a visibly broken heartbeat promise (a compactor that
+        # crashed mid-rewrite — its claim's mtime stops refreshing, so
+        # the stream self-heals instead of wedging until manual
+        # recovery).  A LIVE compact_table or manual merge_into keeps
+        # its claim (heartbeating or no promise to judge), and the
+        # subsequent merge_into then fails loudly with FileExistsError
+        # instead of two writers committing mixed data into one version
+        # directory.
         recover_orphans(path, owner=claim_owner)
         merge_into(
             batch_df.sparkSession, path, batch_df, keys,
