@@ -21,6 +21,20 @@ def test_stitch_union_and_merge_variables(spark):
     assert {"bytes_sig", "bytes_inc"} <= set(m.columns)
 
 
+def test_merge_variables_explicit_names_skip_probe(spark):
+    # VERDICT r5 #7: explicit a_var/b_var must not run the .first()
+    # probe jobs.  Proof: a 'var' column that RAISES if ever evaluated —
+    # the merge still plans and counts fine because nothing touches it.
+    cube = simple_cube(n_layers=4)
+    a = cube_to_rows(spark, cube, var="sig").withColumn("tile_id", F.lit("0"))
+    b = cube_to_rows(spark, cube * 2, var="inc").withColumn("tile_id", F.lit("0"))
+    a_trap = a.withColumn("var", F.raise_error(F.lit("probe ran on a")))
+    b_trap = b.withColumn("var", F.raise_error(F.lit("probe ran on b")))
+    m = merge_variables(a_trap, b_trap, a_var="sig", b_var="inc")
+    assert m.count() == 4
+    assert {"bytes_sig", "bytes_inc"} <= set(m.columns)
+
+
 def test_append_layers_doubles_then_dedupes(spark):
     # append parity: writing the same layers twice must not duplicate
     # (mode='a' with overwrite-on-conflict); new layers extend the stack

@@ -500,3 +500,49 @@ def test_rotated_geotiff_placement_roundtrip(spark, tmp_path):
     flat = RegularGrid(ul_x=100.0, ul_y=500.0, psx=2.0, psy=3.0)
     with pytest.raises(Exception, match="rotation"):
         footprints_from_geotiff(payloads, flat).collect()
+
+
+def test_select_xy_direct(spark):
+    # VERDICT r5 #8: direct P5 coverage — axis-aligned, rotated, and the
+    # outside-mosaic warn case (reference base.py:437-483).
+    import warnings
+
+    from veranda_spark.operators.select import select_xy
+
+    rows = [(0, 0, 0, 10, 10), (1, 10, 0, 10, 10), (2, 0, 10, 10, 10),
+            (3, 10, 10, 10, 10)]
+    df = spark.createDataFrame(
+        rows, "image_id long, px_col0 long, px_row0 long, w long, h long"
+    )
+
+    # axis-aligned: world (108, 486) with ul=(100,500), ps=(2,3) → pixel
+    # (col 4, row 4) → footprint 0 only
+    flat = RegularGrid(ul_x=100.0, ul_y=500.0, psx=2.0, psy=3.0,
+                      tile_cols=10, tile_rows=10, n_tile_cols=2, n_tile_rows=2)
+    got = {r["image_id"] for r in select_xy(df, flat, 108.0, 486.0).collect()}
+    assert got == {0}
+    # boundary: pixel (10, 10) belongs to footprint 3 (floor semantics)
+    got = {r["image_id"] for r in select_xy(df, flat, 120.0, 470.0).collect()}
+    assert got == {3}
+
+    # rotated: solve the forward affine for a known pixel center and
+    # check the inverse lands back in exactly that footprint
+    g = RegularGrid(ul_x=100.0, ul_y=500.0, psx=2.0, psy=3.0,
+                    rot_x=0.7, rot_y=-0.4,
+                    tile_cols=10, tile_rows=10, n_tile_cols=2, n_tile_rows=2)
+    for (pc, pr), want in [((4.5, 4.5), {0}), ((14.5, 4.5), {1}),
+                           ((4.5, 14.5), {2}), ((14.5, 14.5), {3})]:
+        wx, wy = g.px_center_world_np(np.array([pc - 0.5]), np.array([pr - 0.5]))
+        got = {r["image_id"] for r in select_xy(df, g, float(wx[0]), float(wy[0])).collect()}
+        assert got == want, (pc, pr, got, want)
+
+    # outside the bounded mosaic: warns like the reference and selects 0
+    with pytest.warns(UserWarning, match="outside the spatial extent"):
+        out = select_xy(df, flat, 99999.0, 486.0)
+    assert out.count() == 0
+    # an UNBOUNDED grid has no extent to judge: no warn, empty result
+    unb = RegularGrid(ul_x=100.0, ul_y=500.0, psx=2.0, psy=3.0,
+                      tile_cols=10, tile_rows=10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert select_xy(df, unb, 99999.0, 486.0).count() == 0

@@ -27,12 +27,22 @@ def stitch_union(*parts: DataFrame) -> DataFrame:
 
 
 def merge_variables(
-    a: DataFrame, b: DataFrame, on: list[str] = ["tile_id", "layer_id"]
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str] = ["tile_id", "layer_id"],
+    a_var: str | None = None,
+    b_var: str | None = None,
 ) -> DataFrame:
     """Variable merge (data.merge analog): full outer join on the cube
-    dims; each side's payload columns are suffixed by its var name."""
-    a_var = a.select("var").first()["var"] if "var" in a.columns else "a"
-    b_var = b.select("var").first()["var"] if "var" in b.columns else "b"
+    dims; each side's payload columns are suffixed by its var name.
+
+    Pass ``a_var``/``b_var`` explicitly when known — the fallback probes
+    each side's ``var`` column with ``.first()``, which costs one Spark
+    job per unnamed side (VERDICT r5 #7)."""
+    if a_var is None:
+        a_var = a.select("var").first()["var"] if "var" in a.columns else "a"
+    if b_var is None:
+        b_var = b.select("var").first()["var"] if "var" in b.columns else "b"
     pa = a.select(
         *on, *[F.col(c).alias(f"{c}_{a_var}") for c in a.columns if c not in on + ["var"]]
     )

@@ -70,9 +70,26 @@ def select_px_window(
 def select_xy(df: DataFrame, grid: RegularGrid, x: float, y: float) -> DataFrame:
     """P5 (base.py:437-483): point select — rows whose footprint contains
     the pixel of (x, y).  Rotation-aware (round 5): the full inverse
-    geotransform resolves the pixel, so sheared grids select exactly."""
+    geotransform resolves the pixel, so sheared grids select exactly.
+
+    A point outside a BOUNDED grid's static extent warns like the
+    reference (base.py:479-480 "outside the spatial extent") and still
+    returns the (empty) filtered frame — same net result, but the user
+    hears why."""
     pcf, prf = grid.world_to_px_np(np.array([x]), np.array([y]))
     pc, pr = int(np.floor(pcf[0])), int(np.floor(prf[0]))
+    if (
+        grid.n_tile_cols > 0 and grid.n_tile_rows > 0
+        and not (
+            0 <= pc < grid.n_tile_cols * grid.tile_cols
+            and 0 <= pr < grid.n_tile_rows * grid.tile_rows
+        )
+    ):
+        import warnings
+
+        warnings.warn(
+            "Coordinates are outside the spatial extent of the raster mosaic."
+        )
     return select_px_window(df, pr, pc, 1, 1)
 
 
