@@ -1512,13 +1512,26 @@ def q_ann_ivf(spark, sf_dir):
     # IVF top-k against the exact brute-force top-k and emits a single
     # row whose recall_ok boolean the oracle pins to true — a hash
     # mismatch means the IVF index dropped below the recall bar.
-    from veranda_spark.operators.ann import brute_force_topk, ivf_topk
+    # Round 6 (VERDICT r5 #3): the graded path is now the PERSISTED
+    # index — build_ivf_index into a scratch dir, then query_ivf_index
+    # serves the batch with no k-means/assignment job (the realistic
+    # build-once/query-many shape).  Same seed/nlist/nprobe as the old
+    # train-per-call path, so the recall gate is unchanged.
+    import tempfile
+
+    from veranda_spark.operators.ann import (
+        brute_force_topk, build_ivf_index, query_ivf_index,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf = ivf_topk(e, q, k=5, nlist=16, nprobe=10).select("query_id", "vec_id")
+    idx_path = tempfile.mkdtemp(prefix="ivf_idx_")
+    build_ivf_index(e, idx_path, nlist=16)
+    ivf = query_ivf_index(
+        spark, idx_path, q, k=5, nprobe=10
+    ).select("query_id", "vec_id")
     brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
     hits = brute.join(
         ivf.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
@@ -1758,10 +1771,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracles, so nothing is ever truncated.  The assert keeps future
     # additions honest: grow past 50 and this fails loudly instead of
     # silently dropping a grade.
-    assert len(ora) <= 50, (
-        f"{len(ora)} oracle entries exceed the driver's ~50-entry gate — "
-        "consolidate (see VERDICT r5 #1) before adding more"
-    )
+    # explicit raise, not `assert` — python -O would strip an assert and
+    # silently reopen the truncation hole (review r6 #8)
+    if len(ora) > 50:
+        raise AssertionError(
+            f"{len(ora)} oracle entries exceed the driver's ~50-entry gate"
+            " — consolidate (see VERDICT r5 #1) before adding more"
+        )
     oracle_keys = [k for k in q if k in ora]
     rows_only = [k for k in q if k not in ora]
     return {k: q[k] for k in oracle_keys + rows_only}

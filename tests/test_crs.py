@@ -953,3 +953,46 @@ def test_merc_eqc_wkt_and_column_backend(spark):
         ex, ey = transform(NP, "EPSG:4326", dst, lon, lat)
         np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
         np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)
+
+
+def test_review_r6_wkt_fixes():
+    # review r6 #2: a PROJCS whose GEOGCS OMITS the angular UNIT must
+    # not be rejected by matching the PROJCS linear UNIT["metre",1];
+    # review r6 #4: bare PROJECTION["Mercator"] with standard_parallel_1
+    # (ESRI variant B) is honoured as the true-scale form, and the
+    # contradictory sp1+scale_factor combination fails loudly.
+    from veranda_spark.functions.crs import NP, parse_sref, transform
+
+    no_unit = (
+        'PROJCS["UTM 33N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],'
+        'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    p = parse_sref(no_unit)
+    assert p["kind"] == "tmerc" and p["lon0"] == 15.0
+
+    def esri_merc(extra):
+        return (
+            'PROJCS["World_Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",'
+            'SPHEROID["WGS 84",6378137,298.257223563]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Mercator"],'
+            'PARAMETER["standard_parallel_1",41],'
+            'PARAMETER["central_meridian",0],PARAMETER["false_easting",0],'
+            f'PARAMETER["false_northing",0],{extra}UNIT["metre",1]]'
+        )
+
+    p = parse_sref(esri_merc(""))
+    assert p["kind"] == "merc" and p["lat_ts"] == 41.0 and p["k0"] == 1.0
+    # the parsed form must project identically to the 2SP shorthand
+    lon = np.array([12.5, -80.0])
+    lat = np.array([35.0, -10.0])
+    xw, yw = transform(NP, "EPSG:4326", esri_merc(""), lon, lat)
+    xs, ys = transform(NP, "EPSG:4326", "MERC:41,0", lon, lat)
+    np.testing.assert_allclose(xw, xs, rtol=1e-12)
+    np.testing.assert_allclose(yw, ys, rtol=1e-12)
+    with pytest.raises(ValueError, match="ambiguous variant"):
+        parse_sref(esri_merc('PARAMETER["scale_factor",0.9],'))

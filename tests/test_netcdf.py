@@ -465,3 +465,28 @@ def test_spark_sniff_and_footprint_recovery(spark):
     assert hdf.select(
         sniff_fmt(hdf["bytes"]).alias("fmt")
     ).first()["fmt"] == "hdf5"
+
+
+def test_time_like_units_on_data_var_not_datetime_decoded():
+    # review r6 #3: a DATA variable whose units string matches the CF
+    # time pattern (an elapsed-seconds measurement, packed with a
+    # scale_factor) must flow through CF unpacking, NOT be decoded to
+    # absolute datetimes from still-packed values.  Only the record
+    # COORDINATE (1-D, named after its own dim) gets datetime decode.
+    elapsed = np.array([[[2.5, 3.0], [4.5, 0.0]]], dtype="float64")
+    data = nc_encode_stack(
+        {"elapsed": elapsed},
+        var_attrs={"elapsed": {"units": "seconds since 2020-01-01",
+                               "scale_factor": 2.0, "add_offset": 0.0}},
+    )
+    ds = nc_decode_stack(data, auto_decode=True)
+    got = ds["vars"]["elapsed"]["data"]
+    assert got.dtype.kind == "f", got.dtype
+    np.testing.assert_array_equal(got, elapsed * 2.0)
+    # the record coord itself still datetime-decodes
+    times = np.array(["2021-03-01", "2021-03-02"], dtype="datetime64[ns]")
+    sig = np.ones((2, 2, 2), dtype="float32")
+    d2 = nc_encode_stack({"sig": sig}, record_values=times,
+                         time_units="days since 2021-03-01")
+    ds2 = nc_decode_stack(d2, auto_decode=True)
+    np.testing.assert_array_equal(ds2["vars"]["time"]["data"], times)

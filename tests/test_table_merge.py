@@ -763,3 +763,35 @@ def test_stream_self_heals_after_compactor_crash(spark, base, tmp_path):
     handle(batch, 0)  # would raise FileExistsError without self-heal
     got = _rows(read_table(spark, base))
     assert (3, 3, "streamed3") in got and (3, 3, "v3") not in got
+
+
+def test_claim_heartbeat_survives_transient_oserror(tmp_path, monkeypatch):
+    # review r6 #5: a transient utime failure (ESTALE/EIO on network
+    # storage) must not permanently kill a LIVE writer's heartbeat —
+    # only FileNotFoundError (claim gone = committed/recovered) stops it.
+    import time
+
+    import veranda_spark.io.table as tbl
+
+    d = str(tmp_path / "v2")
+    os.makedirs(d)
+    tbl._write_claim(d, "compact_table:flaky", hb_s=0.1)
+    cp = os.path.join(d, "_claim.json")
+    old_t = time.time() - 100
+    os.utime(cp, (old_t, old_t))
+    real_utime = os.utime
+    fails = {"n": 0}
+
+    def flaky_utime(path, *a, **kw):
+        if fails["n"] < 3:
+            fails["n"] += 1
+            raise OSError(116, "Stale file handle", path)
+        return real_utime(path, *a, **kw)
+
+    monkeypatch.setattr(tbl.os, "utime", flaky_utime)
+    with tbl._claim_heartbeat(d, hb_s=0.1):
+        time.sleep(0.6)
+        assert fails["n"] == 3, "transient errors must have been retried"
+        assert time.time() - os.stat(cp).st_mtime < 10, (
+            "heartbeat must recover after transient errors"
+        )

@@ -527,10 +527,18 @@ def _check_geogcs_conventions(wkt: str) -> None:
     # the angular UNIT is the first UNIT after the GEOGCS token (WKT1
     # nests GEOGCS before PROJECTION/linear-UNIT); anchoring on PRIMEM's
     # closing bracket misses the common GDAL shape where PRIMEM carries
-    # a nested AUTHORITY[...] clause (ADVICE r5 #2)
-    g = wkt.upper().find("GEOGCS")
+    # a nested AUTHORITY[...] clause (ADVICE r5 #2).  The search must
+    # stop at the PROJECTION token: when the GEOGCS omits its UNIT, the
+    # next UNIT in the document is the PROJCS LINEAR one ("metre") and
+    # matching it would falsely reject a valid WKT (review r6 #2).
+    up = wkt.upper()
+    g = up.find("GEOGCS")
+    end = up.find("PROJECTION", g) if g >= 0 else -1
     un = (
-        re.search(r'UNIT\["([^"]*)",\s*([-+0-9.eE]+)', wkt[g:])
+        re.search(
+            r'UNIT\["([^"]*)",\s*([-+0-9.eE]+)',
+            wkt[g:end] if end >= 0 else wkt[g:],
+        )
         if g >= 0 else None
     )
     if un is not None:
@@ -617,6 +625,24 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
     if name in ("mercator_1sp", "mercator"):
         if params.get("scale_factor", 1.0) == 0.0:
             raise ValueError("Mercator_1SP: scale_factor=0 is degenerate")
+        # ESRI writes variant B as bare PROJECTION["Mercator"] with a
+        # standard_parallel_1 — honour it as the 2SP (true-scale) form;
+        # dropping it would scale every coordinate by 1/m(sp1) silently
+        # (review r6 #4).  An explicit non-unit scale_factor alongside
+        # it is contradictory (the two variants define scale
+        # differently) — fail loudly.
+        sp1 = params.get("standard_parallel_1")
+        if sp1 is not None and name == "mercator":
+            if params.get("scale_factor", 1.0) != 1.0:
+                raise ValueError(
+                    "Mercator: both standard_parallel_1 and a non-unit "
+                    "scale_factor given — ambiguous variant"
+                )
+            if abs(abs(sp1) - 90.0) < 1e-9:
+                raise ValueError("Mercator: standard parallel at a pole "
+                                 "is degenerate")
+            return {"kind": "merc", **base, "lat_ts": sp1, "lon0": lon0,
+                    "k0": 1.0, "fe": fe, "fn": fn}
         return {"kind": "merc", **base, "lat_ts": 0.0, "lon0": lon0,
                 "k0": params.get("scale_factor", 1.0), "fe": fe, "fn": fn}
     if name == "mercator_2sp":

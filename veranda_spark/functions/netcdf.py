@@ -711,9 +711,17 @@ def nc_decode_stack(data: bytes, auto_decode: bool = False) -> dict:
     ncds = nc_decode(data)
     for name, v in ncds["vars"].items():
         a = v["attrs"]
-        if "units" in a and isinstance(a["units"], str) and _UNITS_RE.match(
-            a["units"]
-        ):
+        # datetime-decode ONLY coordinate variables (1-D, named after
+        # their own dim — the CF convention for the record coord).  A
+        # DATA variable whose units happen to match the pattern (e.g. an
+        # elapsed-seconds measurement with a scale_factor) must flow
+        # into the CF unpacking below instead — decoding it as absolute
+        # datetimes from still-packed values is doubly wrong (review r6
+        # #3).
+        is_coord = len(v["dims"]) == 1 and v["dims"][0] == name
+        if is_coord and "units" in a and isinstance(
+            a["units"], str
+        ) and _UNITS_RE.match(a["units"]):
             v["data"] = decode_time(v["data"], a["units"])
             continue
         if not auto_decode or name == GM_VAR:

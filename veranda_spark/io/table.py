@@ -349,8 +349,16 @@ class _claim_heartbeat:
         while not self._stop.wait(self._hb_s / 2.0):
             try:
                 os.utime(self._path)
-            except OSError:
+            except FileNotFoundError:
                 return  # claim gone (committed/recovered) — nothing to do
+            except OSError:
+                # a TRANSIENT error (ESTALE/EIO on network FS) must not
+                # kill the heartbeat — a frozen mtime on a LIVE writer
+                # would get its claim swept and reopen the dual-commit
+                # corruption (review r6 #5).  Keep trying; persistent
+                # failure means the promise breaks, which is the honest
+                # signal (the writer's storage is gone anyway).
+                continue
 
     def __enter__(self) -> "_claim_heartbeat":
         self._thread.start()

@@ -118,23 +118,28 @@ def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
     return F.pandas_udf(cells_of_query, T.ArrayType(T.IntegerType()))
 
 
-def _ivf_cosine_score(
-    ck: DataFrame,
+def _explode_query_cells(
     queries: DataFrame,
     centroids: np.ndarray,
-    k: int,
     nprobe: int,
     query_id: str,
     query_emb: str,
 ) -> DataFrame:
-    """Probe + exact-cosine rank over a cell-keyed corpus — shared by
-    the train-per-call path (ivf_topk) and the persisted-index path."""
+    """(query_id, qemb, cell) — one row per (query, probed cell).  Built
+    ONCE per batch; the persisted-index path persists it so the prune
+    list and the join both read the same single UDF evaluation."""
     probe_udf = _probe_cells_udf(centroids, nprobe)
-    q = queries.select(
+    return queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_emb).cast("array<double>").alias("qemb"),
     ).withColumn("cell", F.explode(probe_udf(F.col("qemb"))))
-    scored = ck.join(F.broadcast(q), "cell").withColumn(
+
+
+def _ivf_cosine_score(ck: DataFrame, qx: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rank of a cell-keyed corpus against the pre-exploded
+    (query_id, qemb, cell) frame — shared by the train-per-call path
+    (ivf_topk) and the persisted-index path."""
+    scored = ck.join(F.broadcast(qx), "cell").withColumn(
         "cos", F.round(cosine(F.col("emb"), F.col("qemb")), 6)
     )
     return _cosine_rank(scored, k)
@@ -165,9 +170,8 @@ def ivf_topk(
     sample = _train_sample(c, sample_rows, seed)
     centroids = _kmeans(sample, nlist, seed=seed)
     ck = c.withColumn("cell", _cell_udf(centroids)(F.col("emb")))
-    return _ivf_cosine_score(
-        ck, queries, centroids, k, nprobe, query_id, query_emb
-    )
+    qx = _explode_query_cells(queries, centroids, nprobe, query_id, query_emb)
+    return _ivf_cosine_score(ck, qx, k)
 
 
 def _train_pq(sample: np.ndarray, m: int, ncodes: int, seed: int = 42) -> np.ndarray:
@@ -281,10 +285,11 @@ def ivf_pq_topk(
         "vec_id",
         _pq_encode_udf(centroids, books, rot, residual)(F.col("emb")).alias("e"),
     ).select("vec_id", "e.cell", "e.codes")
-    return _pq_adc_score(
-        enc, c, queries, centroids, books, rot, residual,
-        k, nprobe, refine, query_id, query_emb,
+    qp = _explode_query_luts(
+        queries, centroids, books, rot, residual, nprobe,
+        query_id, query_emb,
     )
+    return _pq_adc_score(enc, c, qp, books.shape[1], k, refine)
 
 
 def _pq_encode_udf(
@@ -359,31 +364,43 @@ def _pq_probe_udf(
     )
 
 
-def _pq_adc_score(
-    enc: DataFrame,
-    c_emb: DataFrame,
+def _explode_query_luts(
     queries: DataFrame,
     centroids: np.ndarray,
     books: np.ndarray,
     rot,
     residual: bool,
-    k: int,
     nprobe: int,
-    refine: int,
     query_id: str,
     query_emb: str,
 ) -> DataFrame:
-    """ADC scan over (cell, codes) + exact re-rank of the refine·k
-    survivors — shared by ivf_pq_topk and the persisted-index path."""
-    ncodes = books.shape[1]
+    """(query_id, qemb, cell, lut) — one row per (query, probed cell)
+    with the flattened ADC lookup table.  Built ONCE per batch; the
+    persisted-index path persists it so the prune list and the ADC join
+    both read the same single UDF evaluation."""
     probe = _pq_probe_udf(centroids, books, rot, residual, nprobe)
-    q0 = queries.select(
+    return queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_emb).cast("array<double>").alias("qemb"),
-    )
-    qp = q0.select(
+    ).select(
         "query_id", "qemb", F.explode(probe(F.col("qemb"))).alias("p")
-    ).select("query_id", "qemb", F.col("p.cell").alias("cell"), F.col("p.lut").alias("lut"))
+    ).select(
+        "query_id", "qemb",
+        F.col("p.cell").alias("cell"), F.col("p.lut").alias("lut"),
+    )
+
+
+def _pq_adc_score(
+    enc: DataFrame,
+    c_emb: DataFrame,
+    qp: DataFrame,
+    ncodes: int,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """ADC scan over (cell, codes) + exact re-rank of the refine·k
+    survivors — shared by ivf_pq_topk and the persisted-index path.
+    ``qp`` is the pre-exploded (query_id, qemb, cell, lut) frame."""
     # ADC: JVM-side lookup-table sum over the m code entries
     adc_terms = F.transform(
         F.col("codes"),
@@ -564,11 +581,13 @@ def query_ivf_index(
 ) -> DataFrame:
     """Serve a query batch from a persisted index: NO k-means job, NO
     corpus assignment pass — the only corpus work is a partition-pruned
-    scan of the probed cells.  The probe-cell union across the batch is
-    collected (≤ nlist ints) and pushed as a literal IN filter so the
-    parquet reader prunes cell= directories up front (hand-rolled
-    dynamic partition pruning); the per-query cell match then happens in
-    the join exactly as in the train-per-call paths."""
+    scan of the probed cells.  The exploded (query, probed-cell) frame
+    is built ONCE and persisted (query-batch-sized × nprobe — tiny);
+    the probe-cell union across the batch is collected from it (≤ nlist
+    ints) and pushed as a literal IN filter so the parquet reader prunes
+    cell= directories up front (hand-rolled dynamic partition pruning),
+    and the scoring join reuses the SAME cached frame — the probe UDF
+    runs exactly once per batch (review r6 #7)."""
     from veranda_spark.io.table import read_table
 
     idx = load_ivf_index(spark, path)
@@ -576,22 +595,22 @@ def query_ivf_index(
     codes_path, _ = _index_paths(path)
     codes = read_table(spark, codes_path, version)
 
-    probe_udf = _probe_cells_udf(idx["centroids"], nprobe)
-    q0 = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_emb).cast("array<double>").alias("qemb"),
-    )
-    qcells = q0.select(F.explode(probe_udf(F.col("qemb"))).alias("cell"))
-    probed = [r["cell"] for r in qcells.distinct().collect()]
+    if p["pq"]:
+        qx = _explode_query_luts(
+            queries, idx["centroids"], idx["books"], idx["rot"],
+            p["residual"], nprobe, query_id, query_emb,
+        )
+    else:
+        qx = _explode_query_cells(
+            queries, idx["centroids"], nprobe, query_id, query_emb
+        )
+    qx = qx.persist()
+    probed = [r["cell"] for r in qx.select("cell").distinct().collect()]
     pruned = codes.filter(F.col("cell").isin(probed))
 
     if p["pq"]:
         enc = pruned.select("vec_id", "cell", "codes")
         return _pq_adc_score(
-            enc, pruned, q0, idx["centroids"], idx["books"], idx["rot"],
-            p["residual"], k, nprobe, refine, "query_id", "qemb",
+            enc, pruned, qx, idx["books"].shape[1], k, refine
         )
-    return _ivf_cosine_score(
-        pruned.select("vec_id", "emb", "cell"), q0, idx["centroids"],
-        k, nprobe, "query_id", "qemb",
-    )
+    return _ivf_cosine_score(pruned.select("vec_id", "emb", "cell"), qx, k)
