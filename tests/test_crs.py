@@ -996,3 +996,198 @@ def test_review_r6_wkt_fixes():
     np.testing.assert_allclose(yw, ys, rtol=1e-12)
     with pytest.raises(ValueError, match="ambiguous variant"):
         parse_sref(esri_merc('PARAMETER["scale_factor",0.9],'))
+
+
+def test_hotine_oblique_mercator_known_point_and_invariants():
+    import math
+
+    from veranda_spark.functions.crs import (
+        NP, _hom_consts, lonlat_to_hom, parse_sref, to_lonlat, transform,
+    )
+
+    # EPSG Guidance Note 7-2 worked example, Hotine Oblique Mercator
+    # variant B (method 9815): Timbalai 1948 / RSO Borneo (m).
+    # Everest 1830 (1967 Definition): a = 6377298.556, 1/f = 300.8017.
+    a = 6377298.556
+    f = 1.0 / 300.8017
+    pB = {
+        "kind": "hom", "a": a, "e2": 2 * f - f * f, "variant": "B",
+        "lat0": 4.0, "lonc": 115.0,
+        "alpha": 53 + 18 / 60 + 56.9537 / 3600,   # 53°18'56.9537"
+        "gamma": 53 + 7 / 60 + 48.3685 / 3600,    # 53°07'48.3685"
+        "k0": 0.99984, "fe": 590476.87, "fn": 442857.65,
+    }
+    lat_t = 5 + 23 / 60 + 14.1129 / 3600
+    lon_t = 115 + 48 / 60 + 19.8196 / 3600
+    x, y = lonlat_to_hom(NP, np.array([lon_t]), np.array([lat_t]), pB)
+    # published: E = 679245.73, N = 596562.78
+    assert abs(x[0] - 679245.73) < 0.02 and abs(y[0] - 596562.78) < 0.02
+    # variant B anchors Ec/Nc at the projection CENTER: it maps there
+    # exactly (αc ≠ 90°, so the generic aposphere uc identity is exact)
+    xc, yc = lonlat_to_hom(NP, np.array([115.0]), np.array([4.0]), pB)
+    assert abs(xc[0] - 590476.87) < 1e-6 and abs(yc[0] - 442857.65) < 1e-6
+
+    # round-trip over the Borneo extent
+    rng = np.random.default_rng(63)
+    lon = rng.uniform(109, 120, 500)
+    lat = rng.uniform(0.5, 8, 500)
+    lo, la = to_lonlat(NP, pB, *lonlat_to_hom(NP, lon, lat, pB))
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    # conformality: local scale is isotropic, vs independent ellipsoid
+    # radii M and N (same construction as the LCC test)
+    d = 1e-6
+    for LON, LAT in [(115.0, 4.0), (117.5, 6.2), (111.0, 1.4)]:
+        x0, y0 = lonlat_to_hom(NP, np.array([LON]), np.array([LAT]), pB)
+        xe, ye = lonlat_to_hom(NP, np.array([LON + d]), np.array([LAT]), pB)
+        xn, yn = lonlat_to_hom(NP, np.array([LON]), np.array([LAT + d]), pB)
+        phi = math.radians(LAT)
+        w = math.sqrt(1 - pB["e2"] * math.sin(phi) ** 2)
+        m_rad = a * (1 - pB["e2"]) / w ** 3
+        n_rad = a / w * math.cos(phi)
+        k_par = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (math.radians(d) * n_rad)
+        k_mer = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / (math.radians(d) * m_rad)
+        assert abs(k_par / k_mer - 1.0) < 1e-6, (LON, LAT, k_par, k_mer)
+    # scale along the initial line is k0: at the center, k == k0
+    assert abs(k_par - pB["k0"]) < 1e-4  # last probe is off-line; loose
+    x0, y0 = lonlat_to_hom(NP, np.array([115.0]), np.array([4.0]), pB)
+    xe, ye = lonlat_to_hom(NP, np.array([115.0 + d]), np.array([4.0]), pB)
+    phi = math.radians(4.0)
+    w = math.sqrt(1 - pB["e2"] * math.sin(phi) ** 2)
+    k_c = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (
+        math.radians(d) * a / w * math.cos(phi))
+    assert abs(k_c - 0.99984) < 1e-7
+
+    # variant A differs from variant B by EXACTLY the uc shift along the
+    # rotated (u, v) axes — the definitional difference between EPSG
+    # methods 9812 and 9815
+    pA = pB | {"variant": "A"}
+    c = _hom_consts(pB)
+    gc = math.radians(pB["gamma"])
+    xa, ya = lonlat_to_hom(NP, lon, lat, pA)
+    xb, yb = lonlat_to_hom(NP, lon, lat, pB)
+    off = abs(c["uc"]) * c["sgn"]
+    np.testing.assert_allclose(xa, xb + off * math.sin(gc), rtol=1e-12)
+    np.testing.assert_allclose(ya, yb + off * math.cos(gc), rtol=1e-12)
+    lo, la = to_lonlat(NP, pA, xa, ya)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    # αc = 90° aspect (HD72 / EOV-style): EPSG GN7-2 mandates the
+    # special-case uc = A·(λc − λ0) — pin the convention and round-trip
+    a2, rf2 = 6378160.0, 298.247167427  # GRS 1967
+    f2 = 1 / rf2
+    pe = {"kind": "hom", "a": a2, "e2": 2 * f2 - f2 * f2, "variant": "B",
+          "lat0": 47.14439372222222, "lonc": 19.048571777777777,
+          "alpha": 90.0, "gamma": 90.0, "k0": 0.99993,
+          "fe": 650000.0, "fn": 200000.0}
+    ce = _hom_consts(pe)
+    assert abs(ce["uc"] - ce["A"] * (math.radians(pe["lonc"]) - ce["lam0"])) < 1e-9
+    lon_h = rng.uniform(16, 23, 200)
+    lat_h = rng.uniform(45.7, 48.6, 200)
+    lo, la = to_lonlat(NP, pe, *lonlat_to_hom(NP, lon_h, lat_h, pe))
+    np.testing.assert_allclose(lo, lon_h, atol=1e-9)
+    np.testing.assert_allclose(la, lat_h, atol=1e-9)
+
+    # EPSG:3375 (GDM2000 / Peninsular RSO) is variant A with an azimuth
+    # in the NW quadrant (323°) — round-trip over Peninsular Malaysia
+    assert parse_sref("EPSG:3375")["variant"] == "A"
+    lon_m = rng.uniform(99.6, 104.5, 300)
+    lat_m = rng.uniform(1.2, 6.7, 300)
+    x, y = transform(NP, "EPSG:4326", "EPSG:3375", lon_m, lat_m)
+    lo, la = transform(NP, "EPSG:3375", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon_m, atol=1e-9)
+    np.testing.assert_allclose(la, lat_m, atol=1e-9)
+    # variant-A anchor: FE/FN sit at the NATURAL ORIGIN, so the
+    # projection center lands at (fe + uc·sinγc, fn + uc·cosγc)
+    c3 = _hom_consts(parse_sref("EPSG:3375"))
+    gc3 = math.radians(parse_sref("EPSG:3375")["gamma"])
+    cx, cy = transform(NP, "EPSG:4326", "EPSG:3375",
+                       np.array([102.25]), np.array([4.0]))
+    assert abs(cx[0] - (804671.0 + abs(c3["uc"]) * math.sin(gc3))) < 1e-6
+    assert abs(cy[0] - (0.0 + abs(c3["uc"]) * math.cos(gc3))) < 1e-6
+    # Kuala Lumpur (101.6869 E, 3.1390 N) lands in the peninsular grid
+    # band (the NW-quadrant azimuth puts eastings ~300-500 km here)
+    kx, ky = transform(NP, "EPSG:4326", "EPSG:3375",
+                       np.array([101.6869]), np.array([3.1390]))
+    assert 300_000 < kx[0] < 500_000 and 250_000 < ky[0] < 450_000
+
+    # degenerate guards + shorthand defaulting (omitted gamma → alpha,
+    # omitted k0 → 1; an EXPLICIT k0=0 fails loudly)
+    with pytest.raises(ValueError, match="pole"):
+        _hom_consts(pB | {"lat0": 90.0})
+    sh = parse_sref("HOM:4,115,53.3")
+    assert sh["gamma"] == sh["alpha"] == 53.3 and sh["k0"] == 1.0
+    with pytest.raises(ValueError, match="degenerate scale"):
+        parse_sref("HOM:4,115,53.3,53.1,0")
+
+
+def test_hom_wkt_and_column_backend(spark):
+    import pyspark.sql.functions as F
+
+    from veranda_spark.functions.crs import NP, SPARK, parse_sref, transform
+
+    def hom_wkt(projection, extra=""):
+        return (
+            f'PROJCS["RSO test",GEOGCS["Timbalai 1948",'
+            'DATUM["Timbalai_1948",SPHEROID["Everest 1830 (1967 Definition)",'
+            '6377298.556,300.8017]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            f'PROJECTION["{projection}"],'
+            'PARAMETER["latitude_of_center",4],'
+            'PARAMETER["longitude_of_center",115],'
+            'PARAMETER["azimuth",53.31582047222222],'
+            'PARAMETER["rectified_grid_angle",53.13010236111111],'
+            'PARAMETER["scale_factor",0.99984],'
+            'PARAMETER["false_easting",590476.87],'
+            f'PARAMETER["false_northing",442857.65],{extra}UNIT["metre",1]]'
+        )
+
+    pB = parse_sref(hom_wkt("Hotine_Oblique_Mercator_Azimuth_Center"))
+    assert pB["kind"] == "hom" and pB["variant"] == "B"
+    assert abs(pB["alpha"] - 53.31582047222222) < 1e-12
+    pA = parse_sref(hom_wkt("Hotine_Oblique_Mercator"))
+    assert pA["variant"] == "A"
+    with pytest.raises(ValueError, match="azimuth"):
+        parse_sref(
+            hom_wkt("Hotine_Oblique_Mercator").replace(
+                'PARAMETER["azimuth",53.31582047222222],', ""
+            )
+        )
+
+    # published Timbalai point through the WKT parse path
+    x, y = transform(NP, "EPSG:4326",
+                     hom_wkt("Hotine_Oblique_Mercator_Azimuth_Center"),
+                     np.array([115 + 48 / 60 + 19.8196 / 3600]),
+                     np.array([5 + 23 / 60 + 14.1129 / 3600]))
+    assert abs(x[0] - 679245.73) < 0.02 and abs(y[0] - 596562.78) < 0.02
+
+    # Column backend == numpy backend, both variants + shorthand + EPSG
+    rng = np.random.default_rng(64)
+    lon = rng.uniform(100, 119, 120)
+    lat = rng.uniform(1, 7, 120)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)],
+        "lon double, lat double",
+    )
+    for dst in (
+        hom_wkt("Hotine_Oblique_Mercator_Azimuth_Center"),
+        hom_wkt("Hotine_Oblique_Mercator"),
+        "EPSG:3375",
+        "HOM:4,115,53.31582047222222,53.13010236111111,0.99984",
+    ):
+        xs, ys = transform(SPARK, "EPSG:4326", dst, F.col("lon"), F.col("lat"))
+        got = df.select(xs.alias("x"), ys.alias("y")).collect()
+        ex, ey = transform(NP, "EPSG:4326", dst, lon, lat)
+        np.testing.assert_allclose([r["x"] for r in got], ex, rtol=1e-12, atol=1e-6)
+        np.testing.assert_allclose([r["y"] for r in got], ey, rtol=1e-12, atol=1e-6)
+        # and the Column inverse closes
+        los, las = transform(SPARK, dst, "EPSG:4326", F.col("x"), F.col("y"))
+        back = (
+            df.select(xs.alias("x"), ys.alias("y"))
+            .select(los.alias("lo"), las.alias("la"))
+            .collect()
+        )
+        np.testing.assert_allclose([r["lo"] for r in back], lon, atol=1e-8)
+        np.testing.assert_allclose([r["la"] for r in back], lat, atol=1e-8)

@@ -657,6 +657,23 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
         ts = params.get("standard_parallel_1", lat0)
         return {"kind": "eqc", **base, "lat_ts": ts, "lon0": lon0,
                 "fe": fe, "fn": fn}
+    if name in ("hotine_oblique_mercator", "oblique_mercator",
+                "hotine_oblique_mercator_azimuth_center",
+                "rectified_skew_orthomorphic_natural_origin",
+                "rectified_skew_orthomorphic_center"):
+        # GDAL: Hotine_Oblique_Mercator = variant A (9812, FE/FN at the
+        # natural origin); *_Azimuth_Center = variant B (9815, Ec/Nc at
+        # the projection center).  RSO spellings are ESRI aliases.
+        variant = "B" if name.endswith("center") else "A"
+        if "azimuth" not in params:
+            raise ValueError(
+                "Hotine oblique Mercator WKT lacks the azimuth parameter"
+            )
+        alpha = params["azimuth"]
+        return {"kind": "hom", **base, "variant": variant,
+                "lat0": lat0, "lonc": lon0, "alpha": alpha,
+                "gamma": params.get("rectified_grid_angle", alpha),
+                "k0": params.get("scale_factor", 1.0), "fe": fe, "fn": fn}
     return None
 
 
@@ -900,6 +917,122 @@ def eqc_to_lonlat(mt: Any, x, y, p: dict):
     return lon, mt.degrees(phi)
 
 
+# ---- Hotine Oblique Mercator (EPSG methods 9812 / 9815) --------------------
+#
+# The oblique-aspect conformal cylindrical used where a country's extent
+# runs diagonally: Malaysian RSO (EPSG:3375/29873), Alaska zone 1
+# (EPSG:26731) and — via the αc=γc=90° aspect — the Swiss oblique
+# projections.  Formulas are the EPSG Guidance Note 7-2 form of Snyder
+# 1987 §9 (hyperbolic identities expanded so only exp/log/atan2 are
+# needed — the same primitive set both backends share).  Variant A
+# (9812) anchors FE/FN at the natural origin of the (u,v) axes; variant
+# B (9815) anchors Ec/Nc at the projection CENTER by subtracting the
+# center's u-coordinate uc.
+
+
+def _hom_consts(p: dict) -> dict:
+    """Scalar setup: aposphere constants (B, A), initial-line anchors
+    (t0, D, F, H, G), rotation angles (γ0, λ0) and the variant-B center
+    offset uc — all Python floats, shared by both backends and by the
+    forward and inverse."""
+    a, e2 = p["a"], p["e2"]
+    e = math.sqrt(e2)
+    phic = math.radians(p["lat0"])
+    if abs(abs(p["lat0"]) - 90.0) < 1e-9:
+        raise ValueError("Hotine oblique Mercator: latitude of center at "
+                         "a pole is degenerate (use polar stereographic)")
+    alphac = math.radians(p["alpha"])
+    gammac = math.radians(p.get("gamma", p["alpha"]))
+    sphi, cphi = math.sin(phic), math.cos(phic)
+    B = math.sqrt(1.0 + e2 * cphi ** 4 / (1.0 - e2))
+    A = a * B * p["k0"] * math.sqrt(1.0 - e2) / (1.0 - e2 * sphi * sphi)
+    t0 = math.tan(math.pi / 4 - phic / 2) / (
+        (1.0 - e * sphi) / (1.0 + e * sphi)
+    ) ** (e / 2.0)
+    D = B * math.sqrt(1.0 - e2) / (cphi * math.sqrt(1.0 - e2 * sphi * sphi))
+    D2 = max(D * D, 1.0)  # EPSG: clamp |D|<1 (near-equator centers) to 1
+    sgn = 1.0 if p["lat0"] >= 0 else -1.0
+    Fc = D + math.sqrt(D2 - 1.0) * sgn
+    H = Fc * t0 ** B
+    G = (Fc - 1.0 / Fc) / 2.0
+    s_g0 = math.sin(alphac) / D
+    if abs(s_g0) > 1.0:
+        raise ValueError(
+            f"Hotine oblique Mercator: azimuth {p['alpha']}° is "
+            f"inconsistent with latitude of center {p['lat0']}° "
+            "(sin(azimuth)/D > 1)"
+        )
+    gamma0 = math.asin(s_g0)
+    gl = G * math.tan(gamma0)
+    if abs(gl) > 1.0:
+        raise ValueError("Hotine oblique Mercator: degenerate initial "
+                         "line (G·tanγ0 > 1)")
+    lam0 = math.radians(p["lonc"]) - math.asin(gl) / B
+    if abs(abs(p["alpha"]) - 90.0) < 1e-9:
+        # EPSG GN7-2 special case: at αc = ±90° (the EOV / Swiss aspect)
+        # the generic atan2 form is the spherical limit and lands ~10 cm
+        # off the aposphere value — EPSG mandates uc = A·(λc − λ0), which
+        # maps the projection center to exactly (Ec, Nc).
+        uc = A * (math.radians(p["lonc"]) - lam0)
+    else:
+        uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0),
+                                  math.cos(alphac)) * sgn
+    return {
+        "B": B, "A": A, "H": H, "gamma0": gamma0, "lam0": lam0,
+        "gammac": gammac, "uc": uc, "sgn": sgn, "e": e,
+    }
+
+
+def lonlat_to_hom(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → Hotine oblique Mercator (x, y);
+    ``p = {a, e2, lat0, lonc, alpha[, gamma], k0, fe, fn, variant}``
+    with ``variant`` "A" (9812) or "B" (9815)."""
+    c = _hom_consts(p)
+    B, A, H = c["B"], c["A"], c["H"]
+    e = c["e"]
+    phi = mt.radians(lat)
+    s = e * mt.sin(phi)
+    t = mt.tan(math.pi / 4 - phi / 2) * mt.pow((1.0 + s) / (1.0 - s), e / 2.0)
+    Q = H / mt.pow(t, B)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dl = mt.radians(_wrap_lon(mt, lon - math.degrees(c["lam0"])))
+    V = mt.sin(B * dl)
+    cg0, sg0 = math.cos(c["gamma0"]), math.sin(c["gamma0"])
+    U = (-V * cg0 + S * sg0) / T
+    v = A * mt.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = A * mt.atan2(S * cg0 + V * sg0, mt.cos(B * dl)) / B
+    if p["variant"] == "B":
+        u = u - abs(c["uc"]) * c["sgn"]
+    cgc, sgc = math.cos(c["gammac"]), math.sin(c["gammac"])
+    x = p["fe"] + v * cgc + u * sgc
+    y = p["fn"] + u * cgc - v * sgc
+    return x, y
+
+
+def hom_to_lonlat(mt: Any, x, y, p: dict):
+    """Inverse via the conformal-latitude series (Snyder 3-5)."""
+    c = _hom_consts(p)
+    B, A, H = c["B"], c["A"], c["H"]
+    cgc, sgc = math.cos(c["gammac"]), math.sin(c["gammac"])
+    dx, dy = x - p["fe"], y - p["fn"]
+    v = dx * cgc - dy * sgc
+    u = dy * cgc + dx * sgc
+    if p["variant"] == "B":
+        u = u + abs(c["uc"]) * c["sgn"]
+    Q = mt.exp(-B * v / A)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = mt.sin(B * u / A)
+    cg0, sg0 = math.cos(c["gamma0"]), math.sin(c["gamma0"])
+    U = (V * cg0 + S * sg0) / T
+    t = mt.pow(H / mt.sqrt((1.0 + U) / (1.0 - U)), 1.0 / B)
+    chi = math.pi / 2 - 2.0 * mt.atan(t)
+    lat = mt.degrees(_conformal_to_geodetic(mt, chi, p["e2"]))
+    lam = c["lam0"] - mt.atan2(S * cg0 - V * sg0, mt.cos(B * u / A)) / B
+    return _wrap_lon(mt, mt.degrees(lam)), lat
+
+
 # ---- datum shifts: TOWGS84 7-parameter Helmert via ECEF --------------------
 #
 # The reference gets datum transformations from GDAL/osr; this engine
@@ -1063,6 +1196,23 @@ def parse_sref(sref: str) -> dict | None:
     if u.startswith("EQC:"):
         p = _parse_shorthand(sref, "eqc", 2, ["lat_ts", "lon0", "fe", "fn"])
         return None if p is None else {**p, **wgs}
+    if u.startswith("HOM:"):
+        # HOM:lat0,lonc,alpha[,gamma,k0,fe,fn] — variant B (azimuth at
+        # the projection center, the common RSO/Swiss aspect) on WGS84
+        p = _parse_shorthand(
+            sref, "hom", 3, ["lat0", "lonc", "alpha", "gamma", "k0", "fe", "fn"]
+        )
+        if p is None:
+            return None
+        n_given = len(sref.split(":", 1)[1].split(","))
+        if n_given < 4:
+            p["gamma"] = p["alpha"]  # rectified grid angle = azimuth
+        if n_given >= 5 and p["k0"] == 0.0:
+            raise ValueError("HOM shorthand: explicit k0=0 is a "
+                             "degenerate scale")
+        if n_given < 5:
+            p["k0"] = 1.0
+        return {**p, "variant": "B", **wgs}
     if not u.startswith("EPSG:"):
         return None
     try:
@@ -1113,6 +1263,14 @@ def parse_sref(sref: str) -> dict | None:
         # 32662 is the deprecated Plate Carrée alias of the same grid
         return {"kind": "eqc", "a": WGS84_A, "e2": WGS84_E2,
                 "lat_ts": 0.0, "lon0": 0.0, "fe": 0.0, "fn": 0.0}
+    if code == 3375:
+        # GDM2000 / Peninsular RSO (Malaysia) — Hotine oblique Mercator
+        # VARIANT A (EPSG method 9812); GDM2000 is ITRF2000-based ≈ WGS84
+        return {"kind": "hom", **grs, "variant": "A",
+                "lat0": 4.0, "lonc": 102.25,
+                "alpha": 323.0257964666666,   # 323°01'32.8467"
+                "gamma": 323.1301023611111,   # 323°07'48.3685"
+                "k0": 0.99984, "fe": 804671.0, "fn": 0.0}
     return None
 
 
@@ -1143,6 +1301,8 @@ def to_lonlat(mt: Any, sref: dict, x, y):
         return merc_to_lonlat(mt, x, y, sref)
     if sref["kind"] == "eqc":
         return eqc_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "hom":
+        return hom_to_lonlat(mt, x, y, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -1173,6 +1333,8 @@ def from_lonlat(mt: Any, sref: dict, lon, lat):
         return lonlat_to_merc(mt, lon, lat, sref)
     if sref["kind"] == "eqc":
         return lonlat_to_eqc(mt, lon, lat, sref)
+    if sref["kind"] == "hom":
+        return lonlat_to_hom(mt, lon, lat, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -1190,7 +1352,8 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
             "shorthand) for AEQD, Transverse_Mercator, "
             "Lambert_Conformal_Conic, Lambert_Azimuthal_Equal_Area, "
             "Polar_Stereographic, Albers_Conic_Equal_Area, Sinusoidal, "
-            "Mercator_1SP/2SP and Equirectangular"
+            "Mercator_1SP/2SP, Equirectangular and "
+            "Hotine_Oblique_Mercator (variants A/B, incl. EPSG:3375)"
         )
     lon, lat = to_lonlat(mt, s, x, y)
     # datum legs: only active when a sref declares a non-zero TOWGS84 —
