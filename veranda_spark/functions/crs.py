@@ -1084,9 +1084,54 @@ def _helmert(mt: Any, x, y, z, p7, inverse: bool = False):
     return x2, y2, z2
 
 
+def _parse_ntv2_extension(wkt: str) -> str | None:
+    """GDAL's WKT1 grid-shift convention: EXTENSION["PROJ4_GRIDS",
+    "<file>"] inside the GEOGCS/PROJCS.  Returns the .gsb path, None
+    when absent or "@null" (GDAL's explicit no-grid marker), and raises
+    on non-NTv2 grid formats this engine does not read."""
+    import re
+
+    m = re.search(r'EXTENSION\["PROJ4_GRIDS",\s*"([^"]+)"\]', wkt)
+    if m is None:
+        return None
+    path = m.group(1)
+    if path in ("@null", "null"):
+        return None
+    # PROJ grid lists can be comma-separated with @optional prefixes
+    first = path.split(",")[0].lstrip("@")
+    if not first.lower().endswith(".gsb"):
+        raise ValueError(
+            f"unsupported datum grid {first!r}: only NTv2 .gsb grids "
+            "are readable (NTv1/GTX/CTable2 are not implemented)"
+        )
+    return first
+
+
+def _attach_wkt_ntv2(p: dict, wkt: str) -> dict:
+    """Attach a WKT EXTENSION["PROJ4_GRIDS"] grid path to a parsed sref,
+    enforcing the one-datum-path rule shared with the |NTV2: suffix."""
+    g = _parse_ntv2_extension(wkt)
+    if not g:
+        return p
+    tw = p.get("towgs84")
+    if tw is not None and any(v != 0.0 for v in tw):
+        raise ValueError(
+            "WKT declares BOTH a non-zero TOWGS84 and a PROJ4_GRIDS "
+            "NTv2 grid — ambiguous datum path; drop one of them"
+        )
+    return {**p, "ntv2": g}
+
+
 def _datum_to_wgs84(mt: Any, sref: dict, lon, lat):
     """Datum-local lon/lat → WGS84 lon/lat when the sref carries a
-    non-zero TOWGS84; identity otherwise (WGS84≈GRS80 policy)."""
+    datum path: an NTv2 grid (takes precedence — parse_sref rejects
+    srefs declaring both) or a non-zero TOWGS84; identity otherwise
+    (WGS84≈GRS80 policy)."""
+    gpath = sref.get("ntv2")
+    if gpath:
+        from .ntv2 import apply_ntv2
+
+        return apply_ntv2(mt, gpath, lon, lat)
     p7 = sref.get("towgs84")
     if not p7 or all(v == 0.0 for v in p7):
         return lon, lat
@@ -1097,6 +1142,11 @@ def _datum_to_wgs84(mt: Any, sref: dict, lon, lat):
 
 
 def _wgs84_to_datum(mt: Any, sref: dict, lon, lat):
+    gpath = sref.get("ntv2")
+    if gpath:
+        from .ntv2 import apply_ntv2
+
+        return apply_ntv2(mt, gpath, lon, lat, inverse=True)
     p7 = sref.get("towgs84")
     if not p7 or all(v == 0.0 for v in p7):
         return lon, lat
@@ -1132,8 +1182,27 @@ def parse_sref(sref: str) -> dict | None:
     ellipsoid) → {'kind': ..., ...}; None when unknown."""
     if not sref:
         return None
+    if "|NTV2:" in sref:
+        # '<base sref>|NTV2:<grid.gsb>' attaches a grid-shift datum path
+        # (source datum → WGS84) to any supported base sref
+        base, _, gpath = sref.partition("|NTV2:")
+        if not gpath:
+            raise ValueError("empty NTv2 grid path in sref suffix")
+        p = parse_sref(base)
+        if p is None:
+            return None
+        tw = p.get("towgs84")
+        if tw is not None and any(v != 0.0 for v in tw):
+            raise ValueError(
+                "sref declares BOTH a non-zero TOWGS84 and an NTv2 "
+                "grid — ambiguous datum path; drop one of them"
+            )
+        return {**p, "ntv2": gpath}
     if sref.lstrip().upper().startswith("PROJCS"):
-        return parse_wkt_projcs(sref)
+        p = parse_wkt_projcs(sref)
+        if p is not None:
+            p = _attach_wkt_ntv2(p, sref)
+        return p
     if sref.lstrip().upper().startswith("GEOGCS"):
         # bare geographic CRS: lon/lat on the declared datum — a
         # TOWGS84 clause makes cross-datum transforms real (round 5c)
@@ -1152,7 +1221,7 @@ def parse_sref(sref: str) -> dict | None:
         tw = _parse_towgs84(sref)
         if tw is not None:
             out["towgs84"] = tw
-        return out
+        return _attach_wkt_ntv2(out, sref)
     u = sref.upper()
     wgs = {"a": WGS84_A, "e2": WGS84_E2}
     if u.startswith("AEQD:"):
