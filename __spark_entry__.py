@@ -1032,6 +1032,11 @@ def q_reproject_merc(spark, sf_dir):
         F.col("id").alias("point_id"),
         (((F.col("id") * 7919) % 35000) / 100.0 - 175.0).alias("lon"),
         (((F.col("id") * 104729) % 16600) / 100.0 - 83.0).alias("lat"),
+        # a Borneo-window point set for the oblique Mercator (the HOM
+        # v-coordinate diverges near the oblique axis poles, so the
+        # oracle probes the projection's service area like real use)
+        (109.0 + ((F.col("id") * 7919) % 1100) / 100.0).alias("lon_h"),
+        (0.5 + ((F.col("id") * 104729) % 750) / 100.0).alias("lat_h"),
     )
     mx, my = transform(
         SPARK, "EPSG:4326", "MERC:41,12.5", F.col("lon"), F.col("lat")
@@ -1039,12 +1044,24 @@ def q_reproject_merc(spark, sf_dir):
     ex, ey = transform(
         SPARK, "EPSG:4326", "EQC:30,7.5", F.col("lon"), F.col("lat")
     )
+    # round-6b: Hotine oblique Mercator variant B (EPSG method 9815,
+    # RSO Borneo parameters on WGS84) — DuckDB recomputes the aposphere
+    # constants (B, A, t0, D, F, H, G, gamma0, lambda0, uc) AND the
+    # per-point forward from EPSG GN7-2
+    hx, hy = transform(
+        SPARK, "EPSG:4326",
+        "HOM:4,115,53.31582047222222,53.13010236111111,0.99984,"
+        "590476.87,442857.65",
+        F.col("lon_h"), F.col("lat_h"),
+    )
     return pts.select(
         "point_id",
         F.floor(mx).cast("long").alias("merc_x_m"),
         F.floor(my).cast("long").alias("merc_y_m"),
         F.floor(ex).cast("long").alias("eqc_x_m"),
         F.floor(ey).cast("long").alias("eqc_y_m"),
+        F.floor(hx).cast("long").alias("hom_x_m"),
+        F.floor(hy).cast("long").alias("hom_y_m"),
     )
 
 
@@ -2082,7 +2099,9 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS (
               SELECT i AS point_id,
                      ((i*7919) % 35000) / 100.0 - 175.0 AS lon,
-                     ((i*104729) % 16600) / 100.0 - 83.0 AS lat
+                     ((i*104729) % 16600) / 100.0 - 83.0 AS lat,
+                     109.0 + ((i*7919) % 1100) / 100.0 AS lon_h,
+                     0.5 + ((i*104729) % 750) / 100.0 AS lat_h
               FROM range(2000) t(i)
             ), ell AS (
               -- WGS84: e2 = f(2-f), f = 1/298.257223563
@@ -2097,10 +2116,43 @@ def oracle_sql() -> dict[str, str]:
                      6378137.0 * cos(radians(30.0))
                        / sqrt(1 - e2*sin(radians(30.0))*sin(radians(30.0))) AS nu1cos
               FROM ell
+            ), hc1 AS (
+              -- Hotine oblique Mercator (EPSG 9815) aposphere setup,
+              -- recomputed from EPSG GN7-2: phic=4, lonc=115,
+              -- alphac=53.31582047222222, gammac=53.13010236111111,
+              -- k0=0.99984 on WGS84
+              SELECT e2, e, sin(radians(4.0)) AS sphi,
+                     cos(radians(4.0)) AS cphi,
+                     sqrt(1 + e2*pow(cos(radians(4.0)),4)/(1-e2)) AS hb
+              FROM ell
+            ), hc2 AS (
+              SELECT e2, e, hb,
+                     6378137.0*hb*0.99984*sqrt(1-e2)/(1-e2*sphi*sphi) AS ha,
+                     tan(pi()/4 - radians(4.0)/2)
+                       / pow((1-e*sphi)/(1+e*sphi), e/2) AS t0,
+                     hb*sqrt(1-e2)/(cphi*sqrt(1-e2*sphi*sphi)) AS dd
+              FROM hc1
+            ), hc3 AS (
+              SELECT e2, e, hb, ha, t0, dd,
+                     greatest(dd*dd, 1.0) AS dd2,
+                     dd + sqrt(greatest(dd*dd, 1.0) - 1.0) AS fc
+              FROM hc2
+            ), hc4 AS (
+              SELECT e2, e, hb, ha, dd2,
+                     fc*pow(t0, hb) AS hh,
+                     (fc - 1.0/fc)/2.0 AS gg,
+                     asin(sin(radians(53.31582047222222))/dd) AS g0
+              FROM hc3
+            ), hc AS (
+              SELECT e2, e, hb, ha, hh, g0,
+                     radians(115.0) - asin(gg*tan(g0))/hb AS lam0,
+                     (ha/hb)*atan2(sqrt(dd2-1.0),
+                                   cos(radians(53.31582047222222))) AS uc
+              FROM hc4
             ), d AS (
               -- conditional single-fold longitude wrap, mirroring the
               -- engine's _wrap_lon (bit-identical for in-range deltas)
-              SELECT point_id, lat, e2, e, e4, e6, ak, nu1cos,
+              SELECT point_id, lat, lon_h, lat_h, e2, e, e4, e6, ak, nu1cos,
                      CASE WHEN lon - 12.5 > 180 THEN lon - 12.5 - 360
                           WHEN lon - 12.5 < -180 THEN lon - 12.5 + 360
                           ELSE lon - 12.5 END AS dm,
@@ -2108,8 +2160,36 @@ def oracle_sql() -> dict[str, str]:
                           WHEN lon - 7.5 < -180 THEN lon - 7.5 + 360
                           ELSE lon - 7.5 END AS de
               FROM pts, k
+            ), hp1 AS (
+              -- per-point HOM forward terms (lon_h/lat_h in range, but
+              -- keep the wrap CASE for identity with the engine)
+              SELECT point_id, hb, ha, g0, uc,
+                     hh / pow(tan(pi()/4 - radians(lat_h)/2)
+                              * pow((1 + e*sin(radians(lat_h)))
+                                    / (1 - e*sin(radians(lat_h))), e/2),
+                              hb) AS qq,
+                     radians(CASE
+                        WHEN lon_h - degrees(lam0) > 180
+                          THEN lon_h - degrees(lam0) - 360
+                        WHEN lon_h - degrees(lam0) < -180
+                          THEN lon_h - degrees(lam0) + 360
+                        ELSE lon_h - degrees(lam0) END) AS dlh
+              FROM pts, hc
+            ), hp2 AS (
+              SELECT point_id, hb, ha, g0, uc, dlh,
+                     (qq - 1.0/qq)/2.0 AS ss,
+                     (qq + 1.0/qq)/2.0 AS tt,
+                     sin(hb*dlh) AS vv
+              FROM hp1
+            ), hp AS (
+              SELECT point_id,
+                     ha*ln((1 - (-vv*cos(g0)+ss*sin(g0))/tt)
+                           / (1 + (-vv*cos(g0)+ss*sin(g0))/tt))/(2*hb) AS hv,
+                     ha*atan2(ss*cos(g0)+vv*sin(g0), cos(hb*dlh))/hb
+                       - uc AS hu
+              FROM hp2
             )
-            SELECT point_id,
+            SELECT d.point_id,
                    cast(floor(ak * radians(dm)) AS bigint) AS merc_x_m,
                    cast(floor(0.0 - ak * ln(
                         tan(pi()/4 - radians(lat)/2)
@@ -2122,8 +2202,16 @@ def oracle_sql() -> dict[str, str]:
                         - (3*e2/8 + 3*e4/32 + 45*e6/1024) * sin(2*radians(lat))
                         + (15*e4/256 + 45*e6/1024) * sin(4*radians(lat))
                         - (35*e6/3072) * sin(6*radians(lat))
-                   )) AS bigint) AS eqc_y_m
-            FROM d
+                   )) AS bigint) AS eqc_y_m,
+                   cast(floor(590476.87
+                        + hv*cos(radians(53.13010236111111))
+                        + hu*sin(radians(53.13010236111111))) AS bigint)
+                     AS hom_x_m,
+                   cast(floor(442857.65
+                        + hu*cos(radians(53.13010236111111))
+                        - hv*sin(radians(53.13010236111111))) AS bigint)
+                     AS hom_y_m
+            FROM d JOIN hp ON d.point_id = hp.point_id
         """,
         "temporal_oracle": """
             WITH px AS (

@@ -191,7 +191,7 @@ def test_transform_integration_suffix_and_wkt_extension(tmp_path):
     with pytest.raises(ValueError, match="BOTH"):
         parse_sref(GEOGCS_NAD27ISH.format(ext=",TOWGS84[10,20,30,0,0,0,0]")
                    + "|NTV2:" + path)
-    with pytest.raises(ValueError, match="only NTv2"):
+    with pytest.raises(ValueError, match="no NTv2"):
         parse_sref(GEOGCS_NAD27ISH.format(
             ext=',EXTENSION["PROJ4_GRIDS","conus.gtx"]'))
     assert "ntv2" not in parse_sref(GEOGCS_NAD27ISH.format(
@@ -230,3 +230,57 @@ def test_ntv2_column_backend_matches_numpy(spark, tmp_path):
     )
     np.testing.assert_allclose([r["lo"] for r in back], lon, atol=1e-8)
     np.testing.assert_allclose([r["la"] for r in back], lat, atol=1e-8)
+
+
+def test_review_fixes_gstype_gridlist_conflicts(tmp_path):
+    from veranda_spark.functions.crs import parse_sref
+
+    path, _ = _affine_grid(tmp_path)
+
+    # GS_TYPE other than SECONDS refuses loudly instead of misreading
+    data = bytearray(open(path, "rb").read())
+    off = 16 * 3 + 8  # GS_TYPE record value slot in the overview header
+    data[off:off + 8] = b"MINUTES "
+    minutes = tmp_path / "minutes.gsb"
+    minutes.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="GS_TYPE"):
+        read_ntv2(str(minutes))
+
+    # PROJ-style multi-grid lists: first readable .gsb wins, @optional
+    # and unsupported formats are skipped; all-unsupported raises
+    p = parse_sref(GEOGCS_NAD27ISH.format(
+        ext=',EXTENSION["PROJ4_GRIDS",'
+            f'"@conus,@alaska,@{path},@ntv1_can.dat"]'))
+    assert p["ntv2"] == path
+    with pytest.raises(ValueError, match="no NTv2"):
+        parse_sref(GEOGCS_NAD27ISH.format(
+            ext=',EXTENSION["PROJ4_GRIDS","@conus,@alaska"]'))
+
+    # a |NTV2: suffix conflicting with the WKT's own grid raises; the
+    # SAME path twice is tolerated
+    wkt = GEOGCS_NAD27ISH.format(
+        ext=f',EXTENSION["PROJ4_GRIDS","{path}"]')
+    with pytest.raises(ValueError, match="second NTv2"):
+        parse_sref(wkt + "|NTV2:/elsewhere.gsb")
+    assert parse_sref(wkt + "|NTV2:" + path)["ntv2"] == path
+
+
+def test_esri_hom_natural_origin_spelling():
+    from veranda_spark.functions.crs import parse_sref
+
+    wkt = (
+        'PROJCS["RSO esri",GEOGCS["Timbalai 1948",'
+        'DATUM["Timbalai_1948",SPHEROID["Everest 1830 (1967 Definition)",'
+        '6377298.556,300.8017]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Natural_Origin"],'
+        'PARAMETER["latitude_of_center",4],'
+        'PARAMETER["longitude_of_center",115],'
+        'PARAMETER["azimuth",53.31582047222222],'
+        'PARAMETER["rectified_grid_angle",53.13010236111111],'
+        'PARAMETER["scale_factor",0.99984],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    p = parse_sref(wkt)
+    assert p["kind"] == "hom" and p["variant"] == "A"

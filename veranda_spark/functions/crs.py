@@ -659,11 +659,13 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
                 "fe": fe, "fn": fn}
     if name in ("hotine_oblique_mercator", "oblique_mercator",
                 "hotine_oblique_mercator_azimuth_center",
+                "hotine_oblique_mercator_azimuth_natural_origin",
                 "rectified_skew_orthomorphic_natural_origin",
                 "rectified_skew_orthomorphic_center"):
         # GDAL: Hotine_Oblique_Mercator = variant A (9812, FE/FN at the
         # natural origin); *_Azimuth_Center = variant B (9815, Ec/Nc at
-        # the projection center).  RSO spellings are ESRI aliases.
+        # the projection center).  RSO and *_Azimuth_Natural_Origin
+        # spellings are ESRI aliases.
         variant = "B" if name.endswith("center") else "A"
         if "azimuth" not in params:
             raise ValueError(
@@ -970,9 +972,11 @@ def _hom_consts(p: dict) -> dict:
     lam0 = math.radians(p["lonc"]) - math.asin(gl) / B
     if abs(abs(p["alpha"]) - 90.0) < 1e-9:
         # EPSG GN7-2 special case: at αc = ±90° (the EOV / Swiss aspect)
-        # the generic atan2 form is the spherical limit and lands ~10 cm
-        # off the aposphere value — EPSG mandates uc = A·(λc − λ0), which
-        # maps the projection center to exactly (Ec, Nc).
+        # uc = A·(λc − λ0) by definition.  Note this is a CONVENTION
+        # pin, not a center-exactness guarantee: the per-point forward
+        # keeps the general aposphere u, so the projection center lands
+        # within ~5 cm of (Ec, Nc) for EOV-class grids (for αc ≠ 90°
+        # the generic identity below IS exact at the center).
         uc = A * (math.radians(p["lonc"]) - lam0)
     else:
         uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0),
@@ -1094,32 +1098,43 @@ def _parse_ntv2_extension(wkt: str) -> str | None:
     m = re.search(r'EXTENSION\["PROJ4_GRIDS",\s*"([^"]+)"\]', wkt)
     if m is None:
         return None
-    path = m.group(1)
-    if path in ("@null", "null"):
+    # PROJ grid lists are comma-separated, try-in-order, with @optional
+    # prefixes — take the FIRST readable (.gsb) entry, like PROJ skips
+    # grid formats it cannot load
+    entries = [e.strip().lstrip("@") for e in m.group(1).split(",")]
+    entries = [e for e in entries if e and e not in ("null",)]
+    if not entries:
         return None
-    # PROJ grid lists can be comma-separated with @optional prefixes
-    first = path.split(",")[0].lstrip("@")
-    if not first.lower().endswith(".gsb"):
-        raise ValueError(
-            f"unsupported datum grid {first!r}: only NTv2 .gsb grids "
-            "are readable (NTv1/GTX/CTable2 are not implemented)"
-        )
-    return first
+    for e in entries:
+        if e.lower().endswith(".gsb"):
+            return e
+    raise ValueError(
+        f"unsupported datum grid list {m.group(1)!r}: no NTv2 .gsb "
+        "entry (NTv1/GTX/CTable2 are not implemented)"
+    )
 
 
-def _attach_wkt_ntv2(p: dict, wkt: str) -> dict:
-    """Attach a WKT EXTENSION["PROJ4_GRIDS"] grid path to a parsed sref,
-    enforcing the one-datum-path rule shared with the |NTV2: suffix."""
-    g = _parse_ntv2_extension(wkt)
-    if not g:
-        return p
+def _attach_ntv2(p: dict, gpath: str, origin: str) -> dict:
+    """Attach an NTv2 grid path to a parsed sref, enforcing the single-
+    datum-path rule: a sref may carry ONE of {non-zero TOWGS84, NTv2
+    grid}, from ONE source (WKT extension or |NTV2: suffix)."""
     tw = p.get("towgs84")
     if tw is not None and any(v != 0.0 for v in tw):
         raise ValueError(
-            "WKT declares BOTH a non-zero TOWGS84 and a PROJ4_GRIDS "
-            "NTv2 grid — ambiguous datum path; drop one of them"
+            f"{origin} declares BOTH a non-zero TOWGS84 and an NTv2 "
+            "grid — ambiguous datum path; drop one of them"
         )
-    return {**p, "ntv2": g}
+    if p.get("ntv2") not in (None, gpath):
+        raise ValueError(
+            f"{origin} declares a second NTv2 grid {gpath!r} but the "
+            f"sref already carries {p['ntv2']!r} — ambiguous datum path"
+        )
+    return {**p, "ntv2": gpath}
+
+
+def _attach_wkt_ntv2(p: dict, wkt: str) -> dict:
+    g = _parse_ntv2_extension(wkt)
+    return _attach_ntv2(p, g, "WKT") if g else p
 
 
 def _datum_to_wgs84(mt: Any, sref: dict, lon, lat):
@@ -1191,13 +1206,7 @@ def parse_sref(sref: str) -> dict | None:
         p = parse_sref(base)
         if p is None:
             return None
-        tw = p.get("towgs84")
-        if tw is not None and any(v != 0.0 for v in tw):
-            raise ValueError(
-                "sref declares BOTH a non-zero TOWGS84 and an NTv2 "
-                "grid — ambiguous datum path; drop one of them"
-            )
-        return {**p, "ntv2": gpath}
+        return _attach_ntv2(p, gpath, "sref suffix")
     if sref.lstrip().upper().startswith("PROJCS"):
         p = parse_wkt_projcs(sref)
         if p is not None:
@@ -1425,8 +1434,9 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
             "Hotine_Oblique_Mercator (variants A/B, incl. EPSG:3375)"
         )
     lon, lat = to_lonlat(mt, s, x, y)
-    # datum legs: only active when a sref declares a non-zero TOWGS84 —
-    # the WGS84≈GRS80≈NAD83 family short-circuits to identity
+    # datum legs: only active when a sref declares a datum path (an
+    # NTv2 grid or a non-zero TOWGS84) — the WGS84≈GRS80≈NAD83 family
+    # short-circuits to identity
     lon, lat = _datum_to_wgs84(mt, s, lon, lat)
     lon, lat = _wgs84_to_datum(mt, d, lon, lat)
     return from_lonlat(mt, d, lon, lat)

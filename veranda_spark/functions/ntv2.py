@@ -179,6 +179,14 @@ def read_ntv2(path: str) -> dict:
     if not little and struct.unpack_from(">i", buf, 8)[0] != 11:
         raise ValueError(f"{path}: NUM_OREC is neither 11 LE nor 11 BE")
     ov, off = _read_headers(buf, 0, _OVERVIEW_KEYS, little)
+    if ov["GS_TYPE"].strip().upper() != "SECONDS":
+        # the spec also allows MINUTES/DEGREES units; nobody ships such
+        # files but silently misreading one by 60-3600x would be worse
+        # than refusing it
+        raise ValueError(
+            f"{path}: GS_TYPE {ov['GS_TYPE']!r} not supported (only "
+            "SECONDS grids are readable)"
+        )
     subs = []
     for _ in range(ov["NUM_FILE"]):
         h, off = _read_headers(buf, off, _SUB_KEYS, little)
