@@ -106,6 +106,13 @@ ROUND5: list[str] = [
     "temporal_stats",
 ]
 
+#: round-6 additions: Mercator/EQC/Hotine-oblique-Mercator reprojection
+#: (one compound oracle query) and the NetCDF-classic container loop
+ROUND6: list[str] = [
+    "reproject_merc",
+    "nc_roundtrip",
+]
+
 #: row-preserving projections: under ``count()`` Catalyst prunes the
 #: projected expressions entirely, so the r3 walls for these measured
 #: session overhead, not operator cost (VERDICT r3 #1).  These get a
@@ -113,6 +120,7 @@ ROUND5: list[str] = [
 #: that forces full evaluation.  ACTION CHANGE vs r1-r3: their walls are
 #: larger this round because they now do their work — not a regression.
 FULL_EVAL = {"reproject_crs", "reproject_aeqd", "reproject_lcc",
+             "reproject_merc",
              "doc_tokens", "doc_text_profile", "hash_split",
              "zorder_cells"}
 
@@ -449,6 +457,12 @@ def write_bench_md(result: dict) -> None:
                 else ""
             )
             + (
+                f"\nRound-6 operators at sf={result['sf']}: "
+                f"{json.dumps(result['round6_queries'])}\n"
+                if result.get("round6_queries")
+                else ""
+            )
+            + (
                 f"\nACTION CHANGE (round 4): {json.dumps(result['full_eval_queries'])} "
                 "are timed under a\nfull-evaluation action (sum of xxhash64 over "
                 "all output columns) —\ncount() let Catalyst prune these "
@@ -507,7 +521,7 @@ def headline_pass(
         qs["doc_tokens"](spark, sf_dir).count()
         timings["doc_tokens_legacy_count"] = round(time.monotonic() - t0, 3)
     else:
-        for name in HEADLINE + NEWOP + ROUND3 + ROUND4 + ROUND5:
+        for name in HEADLINE + NEWOP + ROUND3 + ROUND4 + ROUND5 + ROUND6:
             t0 = time.monotonic()
             _timed_action(qs[name](spark, sf_dir), name)
             timings[name] = round(time.monotonic() - t0, 3)
@@ -570,6 +584,7 @@ def main() -> None:
     round3_timings = {k: best[k] for k in ROUND3}
     round4_timings = {k: best[k] for k in ROUND4}
     round5_timings = {k: best[k] for k in ROUND5}
+    round6_timings = {k: best[k] for k in ROUND6}
 
     result = {
         "metric": "headline_query_wall_sec_total",
@@ -597,6 +612,7 @@ def main() -> None:
         "round3_queries": round3_timings,
         "round4_queries": round4_timings,
         "round5_queries": round5_timings,
+        "round6_queries": round6_timings,
         "minhash_micro": hl["minhash_micro"],
         # r4 action change: these queries are now timed under a
         # full-evaluation hash-agg action instead of count() (VERDICT r3
