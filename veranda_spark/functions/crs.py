@@ -1189,12 +1189,25 @@ def _parse_shorthand(sref: str, kind: str, req: int, keys: list[str]) -> dict | 
 
 
 def parse_sref(sref: str) -> dict | None:
-    """'EPSG:4326' / 'EPSG:3857' / 'EPSG:326xx'/'327xx' (UTM) /
-    'EPSG:3035' (ETRS89 LAEA Europe) / 'EPSG:2154' (RGF93 Lambert-93), a
-    PROJCS WKT (AEQD / Transverse_Mercator / LCC / LAEA), or the
-    shorthands 'AEQD:lat0,lon0[,fe,fn]', 'TMERC:lat0,lon0[,k0,fe,fn]',
-    'LCC:lat0,lon0,sp1,sp2[,fe,fn]', 'LAEA:lat0,lon0[,fe,fn]' (WGS84
-    ellipsoid) → {'kind': ..., ...}; None when unknown."""
+    """Spatial-reference string → parameter dict; None when unknown.
+
+    Accepted forms:
+
+    - EPSG codes: 4326, 3857, 326xx/327xx (UTM), 3035 (LAEA Europe),
+      2154 (Lambert-93), 3413/3031 (polar stereographic), 5070 (CONUS
+      Albers), 3395 (World Mercator), 4087/32662 (equidistant
+      cylindrical), 3375 (Peninsular RSO, Hotine oblique Mercator A);
+    - WKT1 PROJCS (AEQD, Transverse_Mercator, LCC 1SP/2SP, LAEA,
+      Polar_Stereographic, Albers, Sinusoidal, Mercator_1SP/2SP,
+      Equirectangular, Hotine_Oblique_Mercator A/B incl. ESRI/RSO
+      spellings) and bare GEOGCS — TOWGS84 and
+      EXTENSION["PROJ4_GRIDS","…gsb"] datum paths honored;
+    - shorthands (WGS84 ellipsoid): AEQD:lat0,lon0[,fe,fn],
+      TMERC:lat0,lon0[,k0,fe,fn], LCC:lat0,lon0,sp1,sp2[,fe,fn],
+      LAEA:lat0,lon0[,fe,fn], STERE:/AEA:/SINU:/MERC:/EQC:, and
+      HOM:lat0,lonc,alpha[,gamma,k0,fe,fn] (variant B);
+    - any of the above + '|NTV2:<grid.gsb>' to attach a grid-shift
+      datum path (one datum path per sref; conflicts raise)."""
     if not sref:
         return None
     if "|NTV2:" in sref:
