@@ -914,6 +914,24 @@ def test_equirectangular_invariants_and_roundtrip():
     np.testing.assert_array_equal(xa, x)
     np.testing.assert_array_equal(ya, y)
 
+    # degenerate guard: a standard parallel at a pole must raise loudly
+    # (ADVICE r6 — cos(90°) float error would otherwise yield garbage
+    # longitudes on the inverse), matching the MERC/HOM policy
+    from veranda_spark.functions.crs import parse_sref
+    with pytest.raises(ValueError, match="degenerate"):
+        parse_sref("EQC:90,0")
+    polar_eqc_wkt = (
+        'PROJCS["bad",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Equirectangular"],'
+        'PARAMETER["standard_parallel_1",-90],'
+        'PARAMETER["central_meridian",0],PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        parse_sref(polar_eqc_wkt)
+
 
 def test_merc_eqc_wkt_and_column_backend(spark):
     import pyspark.sql.functions as F

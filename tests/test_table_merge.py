@@ -795,3 +795,62 @@ def test_claim_heartbeat_survives_transient_oserror(tmp_path, monkeypatch):
         assert time.time() - os.stat(cp).st_mtime < 10, (
             "heartbeat must recover after transient errors"
         )
+
+
+def test_verify_claim_raises_on_missing_and_foreign_nonce(tmp_path):
+    # ADVICE r6 (medium): the commit-time fence must refuse to publish
+    # when the claim vanished (swept) or carries another writer's nonce
+    # (swept + re-claimed under the same version number).
+    import json
+
+    import pytest
+
+    from veranda_spark.io.table import _verify_claim, _write_claim
+
+    d = str(tmp_path / "v2")
+    os.makedirs(d)
+    _write_claim(d, "merge:a", hb_s=5.0, nonce="ours")
+    _verify_claim(d, "ours")  # happy path: no raise
+    with open(os.path.join(d, "_claim.json"), "w") as f:
+        json.dump({"owner": "merge:b", "hb_s": 5.0, "nonce": "theirs"}, f)
+    with pytest.raises(RuntimeError, match="another writer re-claimed"):
+        _verify_claim(d, "ours")
+    os.remove(os.path.join(d, "_claim.json"))
+    with pytest.raises(RuntimeError, match="missing/unreadable"):
+        _verify_claim(d, "ours")
+
+
+def test_frozen_writer_aborts_instead_of_dual_commit(spark, base, monkeypatch):
+    # End-to-end fence: simulate a writer frozen past the stale sweep
+    # whose claim was swept and re-claimed by a recoverer before the
+    # writer resumed.  The resumed writer's merge must ABORT loudly and
+    # must NOT move the committed version pointer.
+    import json
+
+    import pytest
+
+    import veranda_spark.io.table as tbl
+    from veranda_spark.io.table import current_version
+
+    real_write_claim = tbl._write_claim
+
+    def swept_then_reclaimed(vdir, owner, hb_s=None, nonce=None):
+        real_write_claim(vdir, owner, hb_s=hb_s, nonce=nonce)
+        # a recoverer swept our claim while we were frozen and a second
+        # writer re-claimed the same version number with its own nonce
+        with open(os.path.join(vdir, "_claim.json"), "w") as f:
+            json.dump(
+                {"owner": "merge:other", "hb_s": hb_s, "nonce": "foreign"}, f
+            )
+
+    monkeypatch.setattr(tbl, "_write_claim", swept_then_reclaimed)
+    before = current_version(base)
+    upd = spark.createDataFrame([(1, 1, "clobber")],
+                                "k long, p long, val string")
+    with pytest.raises(RuntimeError, match="re-claimed"):
+        merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    assert current_version(base) == before, (
+        "aborted merge must not publish a version"
+    )
+    got = _rows(read_table(spark, base))
+    assert all(v != "clobber" for *_ks, v in got)

@@ -655,6 +655,11 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
     if name in ("equirectangular", "equidistant_cylindrical",
                 "plate_carree"):
         ts = params.get("standard_parallel_1", lat0)
+        if abs(abs(ts) - 90.0) < 1e-9:
+            # cos(90°) only survives as ~4e-10 float error — the inverse
+            # would divide by it and return garbage longitudes (ADVICE r6)
+            raise ValueError("Equirectangular: standard parallel at a "
+                             "pole is degenerate")
         return {"kind": "eqc", **base, "lat_ts": ts, "lon0": lon0,
                 "fe": fe, "fn": fn}
     if name in ("hotine_oblique_mercator", "oblique_mercator",
@@ -1286,6 +1291,8 @@ def parse_sref(sref: str) -> dict | None:
         return None if p is None else {**p, "k0": 1.0, **wgs}
     if u.startswith("EQC:"):
         p = _parse_shorthand(sref, "eqc", 2, ["lat_ts", "lon0", "fe", "fn"])
+        if p is not None and abs(abs(p["lat_ts"]) - 90.0) < 1e-9:
+            raise ValueError("EQC shorthand: lat_ts at a pole is degenerate")
         return None if p is None else {**p, **wgs}
     if u.startswith("HOM:"):
         # HOM:lat0,lonc,alpha[,gamma,k0,fe,fn] — variant B (azimuth at
@@ -1359,7 +1366,7 @@ def parse_sref(sref: str) -> dict | None:
         # VARIANT A (EPSG method 9812); GDM2000 is ITRF2000-based ≈ WGS84
         return {"kind": "hom", **grs, "variant": "A",
                 "lat0": 4.0, "lonc": 102.25,
-                "alpha": 323.0257964666666,   # 323°01'32.8467"
+                "alpha": 323.0257964666666,   # 323°01'32.86728" exactly
                 "gamma": 323.1301023611111,   # 323°07'48.3685"
                 "k0": 0.99984, "fe": 804671.0, "fn": 0.0}
     return None

@@ -280,7 +280,12 @@ def _write_manifest(new_dir: str, entries: list[dict]) -> None:
 _CLAIM_HB_S = 5.0
 
 
-def _write_claim(vdir: str, owner: str | None, hb_s: float | None = None) -> None:
+def _write_claim(
+    vdir: str,
+    owner: str | None,
+    hb_s: float | None = None,
+    nonce: str | None = None,
+) -> None:
     """Stamp a freshly claimed version directory with the writer's
     identity (``_claim.json``).  Written immediately after the exclusive
     ``os.mkdir`` so an automated recoverer can tell WHOSE crash debris an
@@ -298,6 +303,16 @@ def _write_claim(vdir: str, owner: str | None, hb_s: float | None = None) -> Non
     can only be dead — while claims WITHOUT the promise (manual writers,
     crashed mid-stamp) keep the absolute never-touch safety.
 
+    ``nonce`` is a per-invocation token (not just the owner string — an
+    owner restarts with the same name) that the writer re-checks against
+    the on-disk claim immediately before ``_commit`` (``_verify_claim``).
+    If a recoverer swept this claim as stale (writer frozen past its
+    heartbeat promise — SIGSTOP, VM pause, swap storm — then resumed)
+    the nonce is gone or different, and the resumed writer ABORTS
+    instead of publishing a version directory another writer may have
+    re-claimed: the commit-time fence that closes the frozen-writer
+    dual-commit window (ADVICE r6).
+
     Leading-underscore name keeps it invisible to parquet scans, like
     ``_manifest.json``."""
     p = os.path.join(vdir, "_claim.json")
@@ -305,9 +320,42 @@ def _write_claim(vdir: str, owner: str | None, hb_s: float | None = None) -> Non
     body: dict = {"owner": owner}
     if hb_s is not None:
         body["hb_s"] = hb_s
+    if nonce is not None:
+        body["nonce"] = nonce
     with open(tmp, "w") as f:
         json.dump(body, f)
     os.replace(tmp, p)
+
+
+def _verify_claim(vdir: str, nonce: str) -> None:
+    """Commit-time fence: re-read ``_claim.json`` and require OUR nonce.
+
+    Called in the instant before ``_commit``.  A frozen-then-resumed
+    writer whose claim was age-swept (and possibly re-claimed by a
+    recoverer under the same version number) finds the claim missing or
+    carrying a different nonce and aborts loudly — its parquet ``append``
+    may have recreated the directory, but it never publishes.  This
+    shrinks the dual-commit race from the whole write duration to the
+    microseconds between this check and the ``_current`` rename, which
+    the stale threshold (many heartbeat intervals) makes unreachable for
+    any pause the sweep could have mistaken for a crash."""
+    try:
+        with open(os.path.join(vdir, "_claim.json")) as f:
+            body = json.load(f)
+    except (FileNotFoundError, ValueError) as e:
+        raise RuntimeError(
+            f"commit fence: claim at {vdir} is missing/unreadable ({e}) — "
+            "this writer's claim was swept while it was frozen (or the "
+            "directory was recovered); ABORTING the commit. The table's "
+            "committed state is untouched; retry the merge."
+        ) from e
+    if body.get("nonce") != nonce:
+        raise RuntimeError(
+            f"commit fence: claim at {vdir} carries nonce "
+            f"{body.get('nonce')!r}, not ours — another writer re-claimed "
+            "this version number after our claim went heartbeat-stale; "
+            "ABORTING the commit to prevent dual-commit corruption."
+        )
 
 
 def _claim_info(vdir: str) -> tuple[bool, str | None, float | None]:
@@ -373,7 +421,7 @@ def recover_orphans(
     path: str,
     owner: str | None = None,
     unowned_grace_s: float = 300.0,
-    stale_hb_multiple: float = 12.0,
+    stale_hb_multiple: float = 60.0,
 ) -> list[int]:
     """Delete uncommitted (orphan) version directories left by crashed
     merges.  Run this before retrying a merge that failed its exclusive
@@ -398,10 +446,15 @@ def recover_orphans(
       claim — merge_into/compact_table refresh the claim file's mtime
       every ``hb_s`` seconds while alive) whose claim mtime is more
       than ``stale_hb_multiple × hb_s`` seconds old.  A live writer
-      refreshes at ``hb_s/2``; a claim a dozen intervals stale can only
-      be a crashed one, so a compactor that dies mid-rewrite no longer
-      wedges a live CDC stream until manual recovery — the stream
-      self-heals on its next batch.
+      refreshes at ``hb_s/2``; the default multiple (60 → 5 minutes at
+      the stock ``hb_s=5``) sits far beyond any plausible driver pause
+      (GC, VM migration, swap storm — ADVICE r6 judged 60 s reachable,
+      so the old 12× default was raised), so a claim that stale can
+      only be a crashed writer; a compactor that dies mid-rewrite no
+      longer wedges a live CDC stream until manual recovery — the
+      stream self-heals on its next batch.  Even the pathological
+      frozen-past-threshold-then-resumed writer cannot dual-commit: the
+      commit-time nonce fence (``_verify_claim``) makes it abort.
 
     A foreign claim WITHOUT the heartbeat marker is never touched (the
     writer made no liveness promise to judge it by — a long manual
@@ -496,7 +549,8 @@ def merge_into(
     os.mkdir(new_dir)
     # stamp ownership right away so an automated recoverer (the CDC
     # stream) can clear THIS writer's crash debris and nobody else's
-    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S)
+    nonce = uuid.uuid4().hex
+    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
 
     with _claim_heartbeat(new_dir):
         if partition_by:
@@ -566,6 +620,7 @@ def merge_into(
             # and reopening the concurrent-writer lost-update window
             merged.write.mode("append").parquet(new_dir)
 
+        _verify_claim(new_dir, nonce)
         _commit(path, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
@@ -659,11 +714,13 @@ def compact_table(
         new_v = cur + 1
         new_dir = _version_path(path, new_v)
         os.mkdir(new_dir)  # exclusive claim, same protocol as merge_into
-        _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S)
+        nonce = uuid.uuid4().hex
+        _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
         with _claim_heartbeat(new_dir):
             read_table(spark, path).coalesce(max_files).write.mode(
                 "append"
             ).parquet(new_dir)
+            _verify_claim(new_dir, nonce)
             _commit(path, new_v)
         return {"version": new_v, "compacted": 1, "files_before": before,
                 "files_after": _count_parquet(new_dir)}
@@ -681,7 +738,8 @@ def compact_table(
     new_v = cur + 1
     new_dir = _version_path(path, new_v)
     os.mkdir(new_dir)
-    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S)
+    nonce = uuid.uuid4().hex
+    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
     with _claim_heartbeat(new_dir):
         manifest_entries = _carry_untouched(
             path, new_dir, part_vers, touched, commit_mode
@@ -712,6 +770,7 @@ def compact_table(
         )
         if manifest_entries:
             _write_manifest(new_dir, manifest_entries)
+        _verify_claim(new_dir, nonce)
         _commit(path, new_v)
     after = sum(
         _count_parquet(_partition_src(path, name, v, rel))

@@ -582,12 +582,14 @@ def query_ivf_index(
     """Serve a query batch from a persisted index: NO k-means job, NO
     corpus assignment pass — the only corpus work is a partition-pruned
     scan of the probed cells.  The exploded (query, probed-cell) frame
-    is built ONCE and persisted (query-batch-sized × nprobe — tiny);
-    the probe-cell union across the batch is collected from it (≤ nlist
-    ints) and pushed as a literal IN filter so the parquet reader prunes
-    cell= directories up front (hand-rolled dynamic partition pruning),
-    and the scoring join reuses the SAME cached frame — the probe UDF
-    runs exactly once per batch (review r6 #7)."""
+    is computed ONCE (collected — query-batch-sized × nprobe, tiny) and
+    rebuilt as a local DataFrame; the probe-cell union across the batch
+    (≤ nlist ints) is pushed as a literal IN filter so the parquet
+    reader prunes cell= directories up front (hand-rolled dynamic
+    partition pruning), and the scoring join reuses the same local
+    frame — the probe UDF runs exactly once per batch (review r6 #7)
+    and no cached frame is left pinned in executor storage across
+    batches (ADVICE r6)."""
     from veranda_spark.io.table import read_table
 
     idx = load_ivf_index(spark, path)
@@ -604,8 +606,15 @@ def query_ivf_index(
         qx = _explode_query_cells(
             queries, idx["centroids"], nprobe, query_id, query_emb
         )
-    qx = qx.persist()
-    probed = [r["cell"] for r in qx.select("cell").distinct().collect()]
+    # Materialize the exploded frame ONCE (query-batch × nprobe — tiny
+    # by design) and rebuild it as a local DataFrame: the probe UDF runs
+    # exactly once, the probe-cell union falls out of the same rows, and
+    # nothing stays pinned in executor storage memory — a long-lived
+    # session serving many batches leaks nothing (ADVICE r6: the old
+    # .persist() here was never unpersisted).
+    qx_rows = qx.collect()
+    qx = spark.createDataFrame(qx_rows, qx.schema)
+    probed = sorted({r["cell"] for r in qx_rows})
     pruned = codes.filter(F.col("cell").isin(probed))
 
     if p["pq"]:
