@@ -178,21 +178,23 @@ def test_streaming_numrecs_derived():
 # ---- loud gates ------------------------------------------------------------
 
 
-def test_hdf5_and_cdf5_gated():
+def test_hdf5_gated_and_bad_magic():
     with pytest.raises(NotImplementedError, match="HDF5"):
         nc_decode(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="CDF-5"):
-        nc_decode(b"CDF\x05" + b"\x00" * 64)
     with pytest.raises(ValueError, match="CDF magic"):
         nc_decode(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="version byte"):
+        nc_decode(b"CDF\x03" + b"\x00" * 16)
 
 
-def test_int64_rejected():
+def test_int64_rejected_in_classic():
     ncds = {"dims": {"x": 1},
             "vars": {"v": {"dims": ("x",), "data": np.zeros(1, dtype="int64"),
                            "attrs": {}}}, "attrs": {}}
-    with pytest.raises(ValueError, match="CDF-5"):
+    with pytest.raises(ValueError, match="version=5"):
         nc_encode(ncds)
+    with pytest.raises(ValueError, match="version=5"):
+        nc_encode(ncds, version=2)
 
 
 def test_shape_and_layout_validation():
@@ -490,3 +492,311 @@ def test_time_like_units_on_data_var_not_datetime_decoded():
                          time_units="days since 2021-03-01")
     ds2 = nc_decode_stack(d2, auto_decode=True)
     np.testing.assert_array_equal(ds2["vars"]["time"]["data"], times)
+
+
+# ---- CDF-5 (NETCDF3_64BIT_DATA) --------------------------------------------
+# Reference accepts nc_format="NETCDF3_64BIT_DATA"
+# (/root/reference/src/veranda/raster/native/netcdf.py:100-103); the
+# PnetCDF CDF-5 spec widens every NON_NEG header field to INT64 and adds
+# ubyte/ushort/uint/int64/uint64 external types.
+
+
+def _name5(s: str) -> bytes:
+    b = s.encode()
+    pad = (-len(b)) % 4
+    return struct.pack(">Q", len(b)) + b + b"\x00" * pad
+
+
+def test_golden_cdf5_fixed_var_bytes():
+    # CDF-5, dim x=2, one uint64 fixed var 'v' = [1, 2].  Every NON_NEG
+    # (numrecs, list counts, name lengths, dim length, ndims, dimid,
+    # vsize) is 8 bytes; tags and the type id stay 4; begin is 8.
+    # Header: 4+8 + (4+8 + 12 + 8) + (4+8) + (4+8 + 12+8+8 + (4+8) +
+    # 4+8+8) = 128.
+    golden = (
+        b"CDF\x05"
+        + struct.pack(">Q", 0)                        # numrecs (8B)
+        + struct.pack(">IQ", 0x0A, 1) + _name5("x")   # dim list
+        + struct.pack(">Q", 2)                        # dim length (8B)
+        + struct.pack(">IQ", 0, 0)                    # global atts ABSENT
+        + struct.pack(">IQ", 0x0B, 1) + _name5("v")   # var list
+        + struct.pack(">Q", 1) + struct.pack(">Q", 0)  # ndims, dimid (8B)
+        + struct.pack(">IQ", 0, 0)                    # var atts ABSENT
+        + struct.pack(">I", 11)                       # NC_UINT64 (4B)
+        + struct.pack(">Q", 16)                       # vsize (8B)
+        + struct.pack(">Q", 128)                      # begin (8B)
+        + struct.pack(">QQ", 1, 2)
+    )
+    ncds = {
+        "dims": {"x": 2},
+        "vars": {"v": {"dims": ("x",),
+                       "data": np.array([1, 2], dtype="uint64"),
+                       "attrs": {}}},
+        "attrs": {},
+    }
+    assert nc_encode(ncds, version=5) == golden
+    back = nc_decode(golden)
+    assert back["version"] == 5 and back["dims"] == {"x": 2}
+    assert back["vars"]["v"]["data"].dtype == np.uint64
+    np.testing.assert_array_equal(back["vars"]["v"]["data"], [1, 2])
+
+
+def test_cdf5_all_new_types_roundtrip():
+    rng = np.random.default_rng(11)
+    ncds = {
+        "dims": {"time": None, "y": 3, "x": 4},
+        "attrs": {"big": 2**40, "uv": np.arange(3, dtype="uint64")},
+        "vars": {
+            "t": {"dims": ("time",), "data": np.arange(2, dtype="int64"),
+                  "attrs": {}},
+            "u64": {"dims": ("time", "y", "x"),
+                    "data": rng.integers(0, 2**63, (2, 3, 4)).astype("uint64"),
+                    "attrs": {}},
+            "u32": {"dims": ("time", "x"),
+                    "data": rng.integers(0, 2**32, (2, 4)).astype("uint32"),
+                    "attrs": {}},
+            "u16": {"dims": ("y", "x"),
+                    "data": rng.integers(0, 2**16, (3, 4)).astype("uint16"),
+                    "attrs": {}},
+            "u8": {"dims": ("x",), "data": np.arange(4, dtype="uint8"),
+                   "attrs": {}},
+            "i64": {"dims": ("y",),
+                    "data": np.array([-2**62, 0, 2**62], dtype="int64"),
+                    "attrs": {}},
+        },
+    }
+    data = nc_encode(ncds, version=5)
+    assert data[:4] == b"CDF\x05"
+    back = nc_decode(data)
+    for k, v in ncds["vars"].items():
+        assert back["vars"][k]["data"].dtype == v["data"].dtype, k
+        np.testing.assert_array_equal(back["vars"][k]["data"], v["data"])
+    # an int attr beyond NC_INT range is carried as NC_INT64 in CDF-5...
+    assert back["attrs"]["big"] == 2**40
+    np.testing.assert_array_equal(back["attrs"]["uv"],
+                                  np.arange(3, dtype="uint64"))
+    # ...but refused loudly in CDF-1/2
+    with pytest.raises(ValueError, match="overflows NC_INT"):
+        nc_encode({"dims": {}, "vars": {}, "attrs": {"big": 2**40}})
+
+
+def test_cdf5_append_patches_8byte_numrecs():
+    ncds = {
+        "dims": {"t": None, "x": 2},
+        "vars": {"v": {"dims": ("t", "x"),
+                       "data": np.array([[1, 2]], dtype="uint64"),
+                       "attrs": {}}},
+        "attrs": {},
+    }
+    data = nc_encode(ncds, version=5)
+    more = nc_append(data, {"vars": {"v": {
+        "dims": ("t", "x"), "data": np.array([[3, 4], [5, 6]],
+                                             dtype="uint64")}}})
+    # existing bytes beyond the numrecs field are untouched
+    assert more[12:len(data)] == data[12:]
+    assert struct.unpack(">Q", more[4:12])[0] == 3
+    back = nc_decode(more)
+    np.testing.assert_array_equal(back["vars"]["v"]["data"],
+                                  [[1, 2], [3, 4], [5, 6]])
+
+
+def test_cdf5_streaming_numrecs_derived():
+    ncds = {
+        "dims": {"t": None},
+        "vars": {"v": {"dims": ("t",),
+                       "data": np.arange(4, dtype="float64"), "attrs": {}}},
+        "attrs": {},
+    }
+    data = nc_encode(ncds, version=5)
+    torn = data[:4] + struct.pack(">Q", 0xFFFFFFFFFFFFFFFF) + data[12:]
+    back = nc_decode(torn)
+    assert back["numrecs"] == 4
+    np.testing.assert_array_equal(back["vars"]["v"]["data"],
+                                  np.arange(4, dtype="float64"))
+
+
+def test_cdf5_single_small_record_var_unpadded():
+    # the unpadded exception extends to the CDF-5 sub-4-byte types
+    ncds = {
+        "dims": {"t": None},
+        "vars": {"r": {"dims": ("t",),
+                       "data": np.array([5, 6, 7], dtype="uint16"),
+                       "attrs": {}}},
+        "attrs": {},
+    }
+    data = nc_encode(ncds, version=5)
+    info = nc_info(data)
+    assert info["numrecs"] == 3
+    back = nc_decode(data)
+    np.testing.assert_array_equal(back["vars"]["r"]["data"], [5, 6, 7])
+    # records really are 2 bytes apart: total = header + 3*2
+    h_back = nc_decode(nc_encode({**ncds, "vars": {"r": {
+        "dims": ("t",), "data": np.zeros((0,), dtype="uint16"),
+        "attrs": {}}}}, version=5))
+    assert h_back["numrecs"] == 0
+
+
+def test_classic_file_with_cdf5_type_id_refused():
+    # a CDF-1 header claiming NC_INT64 is corrupt, not decodable
+    small = nc_encode({
+        "dims": {"x": 2},
+        "vars": {"a": {"dims": ("x",),
+                       "data": np.array([1, 2], dtype="int32"),
+                       "attrs": {}}}, "attrs": {}})
+    idx = small.find(struct.pack(">I", 4), small.find(b"a"))
+    forged = small[:idx] + struct.pack(">I", 10) + small[idx + 4:]
+    with pytest.raises(ValueError, match="CDF-5-only"):
+        nc_decode(forged)
+
+
+def test_classic_vsize_overflow_requires_cdf5():
+    big = np.lib.stride_tricks.as_strided(
+        np.zeros(1, dtype="float64"), shape=(600_000_000,), strides=(0,)
+    )
+    ncds = {"dims": {"x": 600_000_000},
+            "vars": {"a": {"dims": ("x",), "data": big, "attrs": {}}},
+            "attrs": {}}
+    with pytest.raises(ValueError, match="vsize"):
+        nc_encode(ncds, version=2)
+
+
+def test_stack_writer_emits_cdf5():
+    arrays = {"sig": np.ones((2, 4, 5), dtype="float32")}
+    data = nc_encode_stack(arrays, version=5)
+    assert data[:4] == b"CDF\x05"
+    ds = nc_decode_stack(data)
+    np.testing.assert_array_equal(ds["vars"]["sig"]["data"], arrays["sig"])
+
+
+# ---- property-based fuzz (VERDICT r6 #5): randomized dims/vars/dtypes ------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_FUZZ_DTYPES = {
+    1: ["int8", "int16", "int32", "float32", "float64", "S1"],
+    2: ["int8", "int16", "int32", "float32", "float64", "S1"],
+    5: ["int8", "int16", "int32", "float32", "float64", "S1",
+        "uint8", "uint16", "uint32", "int64", "uint64"],
+}
+
+
+def _fuzz_ncds(rng, version, n_fixed_dims, has_rec, n_vars, numrecs):
+    """Random ncds: random dim sizes, random per-var dim subsets (record
+    dim first when used), random dtypes legal for the version, mixed
+    attrs, names of varying length (pads every 4-byte boundary case)."""
+    dims = {}
+    if has_rec:
+        dims["rec"] = None
+    for i in range(n_fixed_dims):
+        dims[f"d{'x' * (i % 4)}{i}"] = int(rng.integers(1, 5))
+    fixed_names = [d for d in dims if dims[d] is not None]
+    vars_ = {}
+    for j in range(n_vars):
+        vdims = []
+        if has_rec and rng.random() < 0.6:
+            vdims.append("rec")
+        k = int(rng.integers(0, len(fixed_names) + 1))
+        vdims += list(rng.choice(fixed_names, size=k, replace=False))
+        dt = rng.choice(_FUZZ_DTYPES[version])
+        shape = tuple(numrecs if d == "rec" else dims[d] for d in vdims)
+        if dt == "S1":
+            data = rng.integers(32, 127, shape, dtype="uint8").astype("S1")
+        elif dt.startswith("f"):
+            data = rng.random(shape).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            data = rng.integers(info.min, int(info.max) + 1, shape,
+                                dtype=dt)
+        attrs = {}
+        if rng.random() < 0.5:
+            attrs["label"] = "x" * int(rng.integers(1, 9))
+        if rng.random() < 0.5:
+            attrs["iv"] = int(rng.integers(-1000, 1000))
+        if rng.random() < 0.3:
+            attrs["fv"] = [float(x) for x in rng.random(2)]
+        vars_[f"v{'y' * (j % 4)}{j}"] = {
+            "dims": tuple(vdims), "data": data, "attrs": attrs,
+        }
+    gattrs = {"title": "f" * int(rng.integers(0, 7))}
+    return {"dims": dims, "vars": vars_, "attrs": gattrs}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    version=st.sampled_from([1, 2, 5]),
+    n_fixed_dims=st.integers(1, 3),
+    has_rec=st.booleans(),
+    n_vars=st.integers(0, 5),
+    numrecs=st.integers(0, 4),
+)
+def test_fuzz_encode_decode_roundtrip(seed, version, n_fixed_dims, has_rec,
+                                      n_vars, numrecs):
+    rng = np.random.default_rng(seed)
+    ncds = _fuzz_ncds(rng, version, n_fixed_dims, has_rec, n_vars, numrecs)
+    data = nc_encode(ncds, version=version)
+    assert data[3] == version
+    back = nc_decode(data)
+    assert back["dims"] == ncds["dims"]
+    assert back["attrs"] == ncds["attrs"]
+    for name, v in ncds["vars"].items():
+        got = back["vars"][name]
+        assert got["dims"] == tuple(v["dims"]), name
+        assert got["data"].dtype == np.asarray(v["data"]).dtype, name
+        np.testing.assert_array_equal(got["data"], v["data"], err_msg=name)
+        for k, want in v["attrs"].items():
+            have = got["attrs"][k]
+            if isinstance(want, list):
+                np.testing.assert_array_equal(have, want)
+            else:
+                assert have == want, (name, k)
+    # info agrees without touching data
+    info = nc_info(data)
+    rec_vars = [n for n, v in ncds["vars"].items()
+                if v["dims"][:1] == ("rec",)]
+    assert info["numrecs"] == (numrecs if rec_vars else 0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    version=st.sampled_from([1, 2, 5]),
+    n_vars=st.integers(1, 4),
+    numrecs=st.integers(0, 3),
+    n_app=st.integers(1, 3),
+)
+def test_fuzz_append_roundtrip(seed, version, n_vars, numrecs, n_app):
+    rng = np.random.default_rng(seed)
+    ncds = _fuzz_ncds(rng, version, 2, True, n_vars, numrecs)
+    rec_vars = {n: v for n, v in ncds["vars"].items()
+                if v["dims"][:1] == ("rec",)}
+    if not rec_vars:
+        return  # nothing to append along
+    data = nc_encode(ncds, version=version)
+    app = {"vars": {}}
+    for n, v in rec_vars.items():
+        tail_shape = (n_app,) + np.asarray(v["data"]).shape[1:]
+        dt = np.asarray(v["data"]).dtype
+        if dt.kind == "S":
+            tail = rng.integers(32, 127, tail_shape,
+                                dtype="uint8").astype("S1")
+        elif dt.kind == "f":
+            tail = rng.random(tail_shape).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            tail = rng.integers(info.min, int(info.max) + 1, tail_shape,
+                                dtype=dt)
+        app["vars"][n] = {"dims": v["dims"], "data": tail}
+    more = nc_append(data, app)
+    back = nc_decode(more)
+    assert back["numrecs"] == numrecs + n_app
+    for n, v in rec_vars.items():
+        want = np.concatenate([np.asarray(v["data"]),
+                               app["vars"][n]["data"]])
+        np.testing.assert_array_equal(back["vars"][n]["data"], want,
+                                      err_msg=n)
+    # non-record variables untouched
+    for n, v in ncds["vars"].items():
+        if n not in rec_vars:
+            np.testing.assert_array_equal(back["vars"][n]["data"],
+                                          v["data"], err_msg=n)

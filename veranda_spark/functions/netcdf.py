@@ -1,4 +1,4 @@
-"""NetCDF-classic (CDF-1 / CDF-2) container codec, pure numpy.
+"""NetCDF-classic (CDF-1 / CDF-2 / CDF-5) container codec, pure numpy.
 
 The reference reaches NetCDF through the netCDF4/xarray C stack
 (native/netcdf.py:15-860 ``NetCdf4File``; mosaic/netcdf.py:1-841
@@ -7,11 +7,16 @@ the CLASSIC binary container directly from the public Unidata "NetCDF
 Classic Format Specification" the same way functions/tiff.py implements
 the TIFF container: plain ``bytes`` → ``dict`` codec functions usable
 inside Arrow-batched Spark kernels, so `.nc` payloads decode on
-executors without any native library.  The netCDF-4/HDF5 container
-(magic ``\\x89HDF``) and CDF-5 (``CDF\\x05``, 64-bit data) are gated
-loudly: there is no in-sandbox reference implementation to validate a
-from-scratch HDF5 B-tree reader against, and a silent best-effort parse
-would be worse than an actionable error.
+executors without any native library.  The reference accepts all four
+``nc_formats`` (native/netcdf.py:100-103); this codec round-trips the
+three classic ones — ``NETCDF3_CLASSIC`` (CDF-1), ``NETCDF3_64BIT_OFFSET``
+(CDF-2) and ``NETCDF3_64BIT_DATA`` (CDF-5, the PnetCDF 64-bit-data
+variant: every NON_NEG header field widens to INT64 and five new
+external types appear — ubyte/ushort/uint/int64/uint64).  The
+netCDF-4/HDF5 container (magic ``\\x89HDF``) is gated loudly: there is
+no in-sandbox reference implementation to validate a from-scratch HDF5
+B-tree reader against, and a silent best-effort parse would be worse
+than an actionable error.
 
 Data model — a plain "ncds" dict (the xarray.Dataset analog used by the
 reference's read()/write() contract, native/netcdf.py:372-452)::
@@ -45,12 +50,17 @@ from typing import Any
 import numpy as np
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+#: CDF-5 ("64-bit data") external types — valid ONLY when the version
+#: byte is 5 (PnetCDF CDF-5 spec §"Data Types")
+NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64 = 7, 8, 9, 10, 11
 _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
 _STREAMING = 0xFFFFFFFF
+_STREAMING64 = 0xFFFFFFFFFFFFFFFF
 
-#: numpy dtype ↔ external type; classic has no 64-bit ints and no
-#: unsigned types beyond the signed-byte reinterpretation — reject those
-#: loudly rather than quietly narrowing.
+#: numpy dtype ↔ external type; classic CDF-1/2 has no 64-bit ints and
+#: no unsigned types beyond the signed-byte reinterpretation — those
+#: five types exist only in CDF-5, and the encode path rejects them
+#: loudly for version 1/2 rather than quietly narrowing.
 _NC_OF_DTYPE = {
     "int8": NC_BYTE,
     "S1": NC_CHAR,
@@ -59,6 +69,14 @@ _NC_OF_DTYPE = {
     "float32": NC_FLOAT,
     "float64": NC_DOUBLE,
 }
+_NC_OF_DTYPE_CDF5 = {
+    **_NC_OF_DTYPE,
+    "uint8": NC_UBYTE,
+    "uint16": NC_USHORT,
+    "uint32": NC_UINT,
+    "int64": NC_INT64,
+    "uint64": NC_UINT64,
+}
 _DTYPE_OF_NC = {
     NC_BYTE: np.dtype(">i1"),
     NC_CHAR: np.dtype("S1"),
@@ -66,28 +84,48 @@ _DTYPE_OF_NC = {
     NC_INT: np.dtype(">i4"),
     NC_FLOAT: np.dtype(">f4"),
     NC_DOUBLE: np.dtype(">f8"),
+    NC_UBYTE: np.dtype(">u1"),
+    NC_USHORT: np.dtype(">u2"),
+    NC_UINT: np.dtype(">u4"),
+    NC_INT64: np.dtype(">i8"),
+    NC_UINT64: np.dtype(">u8"),
 }
 _SIZE_OF_NC = {NC_BYTE: 1, NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4,
-               NC_FLOAT: 4, NC_DOUBLE: 8}
+               NC_FLOAT: 4, NC_DOUBLE: 8,
+               NC_UBYTE: 1, NC_USHORT: 2, NC_UINT: 4,
+               NC_INT64: 8, NC_UINT64: 8}
 
 
 def _pad4(n: int) -> int:
     return (n + 3) & ~3
 
 
-def _nc_type_of(arr: np.ndarray) -> int:
+def _nc_type_of(arr: np.ndarray, version: int = 1) -> int:
     key = "S1" if arr.dtype.kind == "S" and arr.dtype.itemsize == 1 else arr.dtype.name
-    t = _NC_OF_DTYPE.get(key)
+    table = _NC_OF_DTYPE_CDF5 if version == 5 else _NC_OF_DTYPE
+    t = table.get(key)
     if t is None:
         raise ValueError(
             f"dtype {arr.dtype} is not representable in NetCDF classic "
             "(CDF-1/2 carry int8/int16/int32/float32/float64/char only; "
-            "int64 needs CDF-5, which this codec does not emit)"
+            "unsigned and 64-bit integers need CDF-5 — pass version=5)"
         )
     return t
 
 
-def _attr_payload(value: Any) -> tuple[int, int, bytes]:
+def _check_type_version(nc_type: int, version: int) -> None:
+    """A CDF-1/2 header carrying a CDF-5-only type id is corrupt —
+    refuse rather than decode garbage."""
+    if nc_type not in _SIZE_OF_NC:
+        raise ValueError(f"unknown NetCDF external type id {nc_type}")
+    if nc_type > NC_DOUBLE and version != 5:
+        raise ValueError(
+            f"external type id {nc_type} is CDF-5-only but the file is "
+            f"CDF-{version} — corrupt header"
+        )
+
+
+def _attr_payload(value: Any, version: int = 1) -> tuple[int, int, bytes]:
     """attribute value → (nc_type, nelems, packed big-endian bytes)."""
     if isinstance(value, str):
         b = value.encode("utf-8")
@@ -98,12 +136,17 @@ def _attr_payload(value: Any) -> tuple[int, int, bytes]:
         raise ValueError("NetCDF classic has no boolean attribute type")
     if isinstance(value, (int, np.integer)):
         if not (-(2**31) <= int(value) < 2**31):
-            raise ValueError(f"attribute {value} overflows NC_INT")
+            if version == 5:
+                return NC_INT64, 1, struct.pack(">q", int(value))
+            raise ValueError(
+                f"attribute {value} overflows NC_INT (CDF-5 would carry "
+                "it as NC_INT64 — pass version=5)"
+            )
         return NC_INT, 1, struct.pack(">i", int(value))
     if isinstance(value, (float, np.floating)):
         return NC_DOUBLE, 1, struct.pack(">d", float(value))
     arr = np.asarray(value)
-    t = _nc_type_of(arr)
+    t = _nc_type_of(arr, version)
     return t, arr.size, arr.astype(_DTYPE_OF_NC[t]).tobytes()
 
 
@@ -117,10 +160,13 @@ def _attr_value(nc_type: int, nelems: int, raw: bytes) -> Any:
 
 
 class _W:
-    """Big-endian header writer."""
+    """Big-endian header writer.  Tags and type ids are always 4 bytes;
+    every NON_NEG field (counts, name lengths, dim lengths, attr nelems,
+    ndims, dimids, vsize) is 4 bytes in CDF-1/2 and 8 in CDF-5."""
 
-    def __init__(self) -> None:
+    def __init__(self, version: int = 1) -> None:
         self.parts: list[bytes] = []
+        self.version = version
 
     def u4(self, v: int) -> None:
         self.parts.append(struct.pack(">I", v & 0xFFFFFFFF))
@@ -128,23 +174,30 @@ class _W:
     def i4(self, v: int) -> None:
         self.parts.append(struct.pack(">i", v))
 
+    def nn(self, v: int) -> None:
+        """NON_NEG per the spec: INT in CDF-1/2, INT64 in CDF-5."""
+        if self.version == 5:
+            self.parts.append(struct.pack(">Q", v))
+        else:
+            self.u4(v)
+
     def name(self, s: str) -> None:
         b = s.encode("utf-8")
-        self.u4(len(b))
+        self.nn(len(b))
         self.parts.append(b + b"\x00" * (_pad4(len(b)) - len(b)))
 
     def attrs(self, attrs: dict) -> None:
         if not attrs:
             self.u4(0)
-            self.u4(0)
+            self.nn(0)
             return
         self.u4(_TAG_ATT)
-        self.u4(len(attrs))
+        self.nn(len(attrs))
         for k, v in attrs.items():
-            t, n, payload = _attr_payload(v)
+            t, n, payload = _attr_payload(v, self.version)
             self.name(k)
             self.u4(t)
-            self.u4(n)
+            self.nn(n)
             self.parts.append(
                 payload + b"\x00" * (_pad4(len(payload)) - len(payload))
             )
@@ -190,11 +243,14 @@ def _per_record_shape(v: dict, rec_dim: str | None) -> tuple[tuple, bool]:
 
 
 def nc_encode(ncds: dict, version: int = 1) -> bytes:
-    """ncds dict → classic NetCDF bytes (CDF-1, or CDF-2 for 64-bit
-    offsets).  Shapes are validated against the declared dims; the
-    record-dim length is taken from the data."""
-    if version not in (1, 2):
-        raise ValueError("version must be 1 (CDF-1) or 2 (CDF-2)")
+    """ncds dict → classic NetCDF bytes (CDF-1; CDF-2 for 64-bit
+    offsets; CDF-5 for 64-bit data — wide header fields plus the
+    unsigned/64-bit external types).  Shapes are validated against the
+    declared dims; the record-dim length is taken from the data."""
+    if version not in (1, 2, 5):
+        raise ValueError(
+            "version must be 1 (CDF-1), 2 (CDF-2) or 5 (CDF-5)"
+        )
     dims = dict(ncds.get("dims", {}))
     order, rec_dim = _var_order(ncds)
     vars_ = ncds["vars"]
@@ -227,51 +283,62 @@ def nc_encode(ncds: dict, version: int = 1) -> bytes:
     for name in order:
         v = vars_[name]
         shape, _ = _per_record_shape(v, rec_dim)
-        t = _nc_type_of(np.asarray(v["data"]))
+        t = _nc_type_of(np.asarray(v["data"]), version)
         raw = int(np.prod([dims[d] for d in shape], dtype=np.int64)) * _SIZE_OF_NC[t]
         vsizes[name] = _pad4(raw)
-        if len(rec_vars) == 1 and name == rec_vars[0] and t in (
-            NC_BYTE, NC_CHAR, NC_SHORT
-        ):
-            vsizes[name] = raw  # spec's exceptional unpadded case
+        # the spec's exceptional unpadded case: exactly one record
+        # variable of a sub-4-byte type (byte/char/short; CDF-5 adds
+        # ubyte/ushort to that set)
+        if len(rec_vars) == 1 and name == rec_vars[0] and _SIZE_OF_NC[t] < 4:
+            vsizes[name] = raw
     recsize = sum(vsizes[n] for n in rec_vars)
 
     dim_names = list(dims)
 
     def header(begins: dict[str, int]) -> bytes:
-        w = _W()
+        w = _W(version)
         w.parts.append(b"CDF" + bytes([version]))
-        w.u4(numrecs)
+        w.nn(numrecs)
         if dims:
             w.u4(_TAG_DIM)
-            w.u4(len(dims))
+            w.nn(len(dims))
             for d, n in dims.items():
                 w.name(d)
-                w.u4(0 if n is None else n)
+                w.nn(0 if n is None else n)
         else:
             w.u4(0)
-            w.u4(0)
+            w.nn(0)
         w.attrs(ncds.get("attrs", {}))
         if order:
             w.u4(_TAG_VAR)
-            w.u4(len(order))
+            w.nn(len(order))
             for name in order:
                 v = vars_[name]
                 w.name(name)
-                w.u4(len(v["dims"]))
+                w.nn(len(v["dims"]))
                 for d in v["dims"]:
-                    w.u4(dim_names.index(d))
+                    w.nn(dim_names.index(d))
                 w.attrs(v.get("attrs", {}))
-                w.u4(_nc_type_of(np.asarray(v["data"])))
-                w.u4(vsizes[name])
+                w.u4(_nc_type_of(np.asarray(v["data"]), version))
+                w.nn(vsizes[name])
                 if version == 1:
                     w.u4(begins.get(name, 0))
-                else:
+                else:  # begin is INT64 in CDF-2 and CDF-5
                     w.parts.append(struct.pack(">Q", begins.get(name, 0)))
         else:
             w.u4(0)
-            w.u4(0)
+            w.nn(0)
         return w.bytes()
+
+    if version != 5:
+        too_big = [n for n in order if vsizes[n] > 0xFFFFFFFF - 3]
+        if too_big:
+            # the spec's vsize escape value (2^32-1) would make the
+            # record stride unrecoverable — require the wide format
+            raise ValueError(
+                f"variable(s) {too_big} overflow the 32-bit vsize field; "
+                "pass version=5 (CDF-5)"
+            )
 
     # pass 1 sizes the header (fixed-width offsets ⇒ length is stable),
     # pass 2 writes the real begin offsets
@@ -296,14 +363,16 @@ def nc_encode(ncds: dict, version: int = 1) -> bytes:
             continue
         v = vars_[name]
         arr = np.asarray(v["data"])
-        raw = arr.astype(_DTYPE_OF_NC[_nc_type_of(arr)]).tobytes()
+        raw = arr.astype(_DTYPE_OF_NC[_nc_type_of(arr, version)]).tobytes()
         out.append(raw + b"\x00" * (vsizes[name] - len(raw)))
     # big-endian copies made ONCE per variable; slabs slice [r:r+1] (not
     # [r]) because numpy scalar extraction silently drops byte order
     be = {
         name: np.ascontiguousarray(
             np.asarray(vars_[name]["data"]).astype(
-                _DTYPE_OF_NC[_nc_type_of(np.asarray(vars_[name]["data"]))]
+                _DTYPE_OF_NC[
+                    _nc_type_of(np.asarray(vars_[name]["data"]), version)
+                ]
             )
         )
         for name in rec_vars
@@ -316,11 +385,12 @@ def nc_encode(ncds: dict, version: int = 1) -> bytes:
 
 
 class _R:
-    """Big-endian header reader."""
+    """Big-endian header reader (NON_NEG width follows the version)."""
 
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, version: int = 1) -> None:
         self.data = data
         self.off = 0
+        self.version = version
 
     def u4(self) -> int:
         v = struct.unpack_from(">I", self.data, self.off)[0]
@@ -332,15 +402,18 @@ class _R:
         self.off += 8
         return v
 
+    def nn(self) -> int:
+        return self.u8() if self.version == 5 else self.u4()
+
     def name(self) -> str:
-        n = self.u4()
+        n = self.nn()
         s = self.data[self.off:self.off + n].decode("utf-8")
         self.off += _pad4(n)
         return s
 
     def attrs(self) -> dict:
         tag = self.u4()
-        count = self.u4()
+        count = self.nn()
         if tag == 0 and count == 0:
             return {}
         if tag != _TAG_ATT:
@@ -349,7 +422,8 @@ class _R:
         for _ in range(count):
             k = self.name()
             t = self.u4()
-            n = self.u4()
+            _check_type_version(t, self.version)
+            n = self.nn()
             nbytes = n * _SIZE_OF_NC[t]
             raw = self.data[self.off:self.off + nbytes]
             self.off += _pad4(nbytes)
@@ -361,47 +435,44 @@ def _check_magic(data: bytes) -> int:
     if data[:4] == b"\x89HDF" or data[:8] == b"\x89HDF\r\n\x1a\n":
         raise NotImplementedError(
             "netCDF-4/HDF5 container: this codec covers the classic "
-            "CDF-1/CDF-2 format only — a from-scratch HDF5 B-tree reader "
-            "cannot be validated in this sandbox (no reference "
+            "CDF-1/CDF-2/CDF-5 formats only — a from-scratch HDF5 B-tree "
+            "reader cannot be validated in this sandbox (no reference "
             "implementation); convert to classic or read via read_window"
         )
     if data[:3] != b"CDF":
         raise ValueError("not a NetCDF file (no CDF magic)")
     version = data[3]
-    if version == 5:
-        raise NotImplementedError(
-            "CDF-5 (64-bit data) is not supported; classic CDF-1/2 only"
-        )
-    if version not in (1, 2):
+    if version not in (1, 2, 5):
         raise ValueError(f"unknown CDF version byte {version}")
     return version
 
 
 def _parse_header(data: bytes) -> dict:
     version = _check_magic(data)
-    r = _R(data)
+    r = _R(data, version)
     r.off = 4
-    numrecs = r.u4()
+    numrecs = r.nn()
     tag = r.u4()
-    ndims = r.u4()
+    ndims = r.nn()
     dim_list: list[tuple[str, int]] = []
     if tag == _TAG_DIM:
         for _ in range(ndims):
-            dim_list.append((r.name(), r.u4()))
+            dim_list.append((r.name(), r.nn()))
     elif not (tag == 0 and ndims == 0):
         raise ValueError(f"bad dim-list tag 0x{tag:x}")
     gatts = r.attrs()
     tag = r.u4()
-    nvars = r.u4()
+    nvars = r.nn()
     vars_: list[dict] = []
     if tag == _TAG_VAR:
         for _ in range(nvars):
             name = r.name()
-            nd = r.u4()
-            dimids = [r.u4() for _ in range(nd)]
+            nd = r.nn()
+            dimids = [r.nn() for _ in range(nd)]
             vatts = r.attrs()
             t = r.u4()
-            vsize = r.u4()
+            _check_type_version(t, version)
+            vsize = r.nn()
             begin = r.u4() if version == 1 else r.u8()
             vars_.append({"name": name, "dimids": dimids, "attrs": vatts,
                           "nc_type": t, "vsize": vsize, "begin": begin})
@@ -412,7 +483,8 @@ def _parse_header(data: bytes) -> dict:
         v["is_rec"] = rec_id is not None and v["dimids"][:1] == [rec_id]
     rec_vars = [v for v in vars_ if v["is_rec"]]
     recsize = sum(v["vsize"] for v in rec_vars)
-    if numrecs == _STREAMING:  # writer died mid-stream: derive from size
+    streaming = _STREAMING64 if version == 5 else _STREAMING
+    if numrecs == streaming:  # writer died mid-stream: derive from size
         if rec_vars:
             start = min(v["begin"] for v in rec_vars)
             numrecs = (len(data) - start) // recsize if recsize else 0
@@ -456,15 +528,21 @@ def nc_decode(data: bytes) -> dict:
         inner = tuple(h["dims"][i][1] for i in v["dimids"] if h["dims"][i][1] != 0)
         n_inner = int(np.prod(inner, dtype=np.int64)) if inner else 1
         if v["is_rec"]:
-            # stride over the interleaved record slabs — no per-record
-            # python loop, one copy into a native-endian array
-            arr = np.ndarray(
-                shape=(numrecs, n_inner),
-                dtype=dt,
-                buffer=data,
-                offset=v["begin"],
-                strides=(h["recsize"], dt.itemsize),
-            ).reshape((numrecs,) + inner)
+            if numrecs == 0:
+                # fuzz-found: begin may sit at EOF with zero records and
+                # ndarray-from-buffer rejects the (valid) empty view
+                arr = np.empty((0,) + inner, dtype=dt)
+            else:
+                # stride over the interleaved record slabs — no
+                # per-record python loop, one copy into a native-endian
+                # array
+                arr = np.ndarray(
+                    shape=(numrecs, n_inner),
+                    dtype=dt,
+                    buffer=data,
+                    offset=v["begin"],
+                    strides=(h["recsize"], dt.itemsize),
+                ).reshape((numrecs,) + inner)
         else:
             arr = np.frombuffer(
                 data, dtype=dt, count=n_inner, offset=v["begin"]
@@ -495,7 +573,7 @@ def nc_append(data: bytes, ncds: dict) -> bytes:
         if v["name"] not in new_vars:
             raise ValueError(f"append missing record variable {v['name']!r}")
         arr = np.asarray(new_vars[v["name"]]["data"])
-        if _nc_type_of(arr) != v["nc_type"]:
+        if _nc_type_of(arr, h["version"]) != v["nc_type"]:
             raise ValueError(
                 f"append dtype mismatch for {v['name']!r}: file has "
                 f"{np.dtype(_DTYPE_OF_NC[v['nc_type']])}, got {arr.dtype}"
@@ -529,6 +607,9 @@ def nc_append(data: bytes, ncds: dict) -> bytes:
             slabs.append(raw + b"\x00" * (v["vsize"] - len(raw)))
     start = min(v["begin"] for v in rec_vars)
     end = start + h["numrecs"] * h["recsize"]
+    if h["version"] == 5:  # numrecs is an 8-byte NON_NEG in CDF-5
+        patched = struct.pack(">Q", h["numrecs"] + n_new)
+        return data[:4] + patched + data[12:end] + b"".join(slabs)
     patched = struct.pack(">I", h["numrecs"] + n_new)
     return data[:4] + patched + data[8:end] + b"".join(slabs)
 

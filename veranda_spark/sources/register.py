@@ -35,7 +35,8 @@ def sniff_fmt(data_col: F.Column) -> F.Column:
         .when(head4 == F.lit(b"PK\x03\x04"), "zip")
         .when(F.substring(data_col, 1, 2).isin(F.lit(b"II"), F.lit(b"MM")), "tiff")
         .when(F.substring(data_col, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpg")
-        .when(head4.isin(F.lit(b"CDF\x01"), F.lit(b"CDF\x02")), "nc")
+        .when(head4.isin(F.lit(b"CDF\x01"), F.lit(b"CDF\x02"),
+                         F.lit(b"CDF\x05")), "nc")
         # netCDF-4 rides the HDF5 container — sniffed so triage can
         # route it to the loud nc_decode gate instead of "raw"
         .when(head4 == F.lit(b"\x89HDF"), "hdf5")
