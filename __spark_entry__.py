@@ -1026,7 +1026,33 @@ def q_reproject_merc(spark, sf_dir):
     # oracle-graded like reproject_lcc: DuckDB recomputes the closed
     # forms (Snyder 7-7/7-8 and the meridian-arc series 3-21) from the
     # same WGS84 constants; floor-to-meter absorbs libm ulp differences.
+    import os
+    import tempfile
+
+    import numpy as np
+
     from veranda_spark.functions.crs import SPARK, transform
+    from veranda_spark.functions.ntv2 import write_ntv2
+
+    # round-7 (VERDICT r6 #2): oracle-grade the NTv2 grid-shift leg.  A
+    # deterministic 21x21 sub-grid over [0,10]°x[40,50]° (0.5° spacing)
+    # whose node shifts come from an integer-mod formula chosen so every
+    # node is EXACT in the file's float32 storage (multiples of 1/16 and
+    # 1/32 arc-sec) — DuckDB recomputes the same nodes and the same
+    # bilinear weights, so the only divergence is float64 ulp, absorbed
+    # by a +1e-4 mas nudge before floor (exact results sit on a
+    # 3.125e-3 mas lattice, so the nudge can never cross a true
+    # boundary).  Local-mode note: the .gsb is written driver-side to a
+    # path executors share; on a real cluster it would ride
+    # SparkContext.addFile with the same per-executor lru_cache parse.
+    gsb = os.path.join(tempfile.gettempdir(), "veranda_ntv2_oracle_v1.gsb")
+    rr, cc = np.mgrid[0:21, 0:21]
+    write_ntv2(gsb, [{
+        "name": "ORACLE", "s_lat": 40.0, "n_lat": 50.0, "lat_inc": 0.5,
+        "lon_min": 0.0, "lon_max": 10.0, "lon_inc": 0.5,
+        "lat_shift": ((7 * rr + 13 * cc) % 11) * 0.0625 - 0.25,
+        "lon_shift": ((5 * rr + 3 * cc) % 7) * 0.03125 - 0.09375,
+    }])
 
     pts = spark.range(2000).select(
         F.col("id").alias("point_id"),
@@ -1037,6 +1063,16 @@ def q_reproject_merc(spark, sf_dir):
         # oracle probes the projection's service area like real use)
         (109.0 + ((F.col("id") * 7919) % 1100) / 100.0).alias("lon_h"),
         (0.5 + ((F.col("id") * 104729) % 750) / 100.0).alias("lat_h"),
+        # in-grid point set for the NTv2 leg, offset half a step off the
+        # 0.01° lattice so no point lands on a grid node/edge (all four
+        # bilinear weights stay nonzero — the cell SELECTION is graded,
+        # not just the node values)
+        (0.005 + ((F.col("id") * 7919) % 990) / 100.0).alias("lon_g"),
+        (40.005 + ((F.col("id") * 104729) % 990) / 100.0).alias("lat_g"),
+    )
+    gx, gy = transform(
+        SPARK, f"EPSG:4326|NTV2:{gsb}", "EPSG:4326",
+        F.col("lon_g"), F.col("lat_g"),
     )
     mx, my = transform(
         SPARK, "EPSG:4326", "MERC:41,12.5", F.col("lon"), F.col("lat")
@@ -1062,6 +1098,13 @@ def q_reproject_merc(spark, sf_dir):
         F.floor(ey).cast("long").alias("eqc_y_m"),
         F.floor(hx).cast("long").alias("hom_x_m"),
         F.floor(hy).cast("long").alias("hom_y_m"),
+        # the applied shift in milli-arc-seconds (the shifted coordinate
+        # minus the source position; delta noise from the (lon+d)-lon
+        # round-trip is ~1e-8 mas, far inside the nudge margin)
+        F.floor((gx - F.col("lon_g")) * 3600000.0 + F.lit(1e-4))
+        .cast("long").alias("ntv2_dlon_mas"),
+        F.floor((gy - F.col("lat_g")) * 3600000.0 + F.lit(1e-4))
+        .cast("long").alias("ntv2_dlat_mas"),
     )
 
 
@@ -2110,7 +2153,9 @@ def oracle_sql() -> dict[str, str]:
                      ((i*7919) % 35000) / 100.0 - 175.0 AS lon,
                      ((i*104729) % 16600) / 100.0 - 83.0 AS lat,
                      109.0 + ((i*7919) % 1100) / 100.0 AS lon_h,
-                     0.5 + ((i*104729) % 750) / 100.0 AS lat_h
+                     0.5 + ((i*104729) % 750) / 100.0 AS lat_h,
+                     0.005 + ((i*7919) % 990) / 100.0 AS lon_g,
+                     40.005 + ((i*104729) % 990) / 100.0 AS lat_g
               FROM range(2000) t(i)
             ), ell AS (
               -- WGS84: e2 = f(2-f), f = 1/298.257223563
@@ -2197,6 +2242,40 @@ def oracle_sql() -> dict[str, str]:
                      ha*atan2(ss*cos(g0)+vv*sin(g0), cos(hb*dlh))/hb
                        - uc AS hu
               FROM hp2
+            ), nw AS (
+              -- NTv2 bilinear: same fractional position / clipped cell
+              -- index as functions/ntv2.py _interp_sub (21x21 grid,
+              -- 0.5° spacing anchored at lon 0 / lat 40)
+              SELECT point_id,
+                     lon_g/0.5 AS fx, (lat_g - 40.0)/0.5 AS fy,
+                     least(greatest(cast(floor(lon_g/0.5) AS bigint), 0),
+                           19) AS ix,
+                     least(greatest(cast(floor((lat_g - 40.0)/0.5)
+                                         AS bigint), 0), 19) AS iy
+              FROM pts
+            ), nv AS (
+              -- node formulas mirror the grid the Spark query writes:
+              -- lat ((7r+13c)%11)/16 - 0.25, lon ((5r+3c)%7)/32 - 3/32
+              -- arc-seconds (float32-exact by construction)
+              SELECT point_id, fx - ix AS wx, fy - iy AS wy,
+                     ((7*iy + 13*ix) % 11) * 0.0625 - 0.25 AS a00,
+                     ((7*iy + 13*(ix+1)) % 11) * 0.0625 - 0.25 AS a01,
+                     ((7*(iy+1) + 13*ix) % 11) * 0.0625 - 0.25 AS a10,
+                     ((7*(iy+1) + 13*(ix+1)) % 11) * 0.0625 - 0.25 AS a11,
+                     ((5*iy + 3*ix) % 7) * 0.03125 - 0.09375 AS o00,
+                     ((5*iy + 3*(ix+1)) % 7) * 0.03125 - 0.09375 AS o01,
+                     ((5*(iy+1) + 3*ix) % 7) * 0.03125 - 0.09375 AS o10,
+                     ((5*(iy+1) + 3*(ix+1)) % 7) * 0.03125 - 0.09375 AS o11
+              FROM nw
+            ), nd AS (
+              -- weighted sum in _interp_sub's association order; /3600
+              -- (sec→deg) then *3.6e6 (deg→mas) = *1000
+              SELECT point_id,
+                     (o00*(1-wy)*(1-wx) + o01*(1-wy)*wx
+                      + o10*wy*(1-wx) + o11*wy*wx) * 1000.0 AS dlon_mas,
+                     (a00*(1-wy)*(1-wx) + a01*(1-wy)*wx
+                      + a10*wy*(1-wx) + a11*wy*wx) * 1000.0 AS dlat_mas
+              FROM nv
             )
             SELECT d.point_id,
                    cast(floor(ak * radians(dm)) AS bigint) AS merc_x_m,
@@ -2219,8 +2298,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor(442857.65
                         + hu*cos(radians(53.13010236111111))
                         - hv*sin(radians(53.13010236111111))) AS bigint)
-                     AS hom_y_m
+                     AS hom_y_m,
+                   cast(floor(nd.dlon_mas + 1e-4) AS bigint)
+                     AS ntv2_dlon_mas,
+                   cast(floor(nd.dlat_mas + 1e-4) AS bigint)
+                     AS ntv2_dlat_mas
             FROM d JOIN hp ON d.point_id = hp.point_id
+                 JOIN nd ON d.point_id = nd.point_id
         """,
         "temporal_oracle": """
             WITH px AS (
