@@ -1114,17 +1114,39 @@ def q_resample_average(spark, sf_dir):
     # gdalport.py:30-41).  A deterministic 64x64 ramp raster downscales
     # 4x; every output pixel equals the 4x4 block mean, reproduced as a
     # GROUP BY over the same value formula in SQL.
+    #
+    # round-7 (VERDICT r6 #4): two more closed-form legs fold the
+    # previously rows-only quicklook and pyramid SEMANTICS into this
+    # oracle (50-cap respected):
+    # - 'quick': quicklook factor-4 block mean + explicit [0,250]→0..255
+    #   stretch + uint8 truncation, decoded back out of the PNG payload.
+    #   All pixel values are small integers, so block sums are EXACT in
+    #   float64 in any summation order; the stretch is then the same
+    #   IEEE op sequence on identical inputs in both engines, and the
+    #   uint8 astype truncation is floor() in SQL.
+    # - 'pyr1'/'pyr2': build_pyramid levels over an ALIGNED 2x2-tile
+    #   mosaic of a global formula raster — level-1 pixel (r,c) is the
+    #   2x2 mean at (2r,2c), level-2 the 4x4 mean at (4r,4c) (mean of
+    #   exact dyadic means == mean of 16 ints, both exact), and the
+    #   three missing level-2 quadrants grade the nodata fill path.
     import numpy as np
     import pandas as pd
 
-    from veranda_spark.operators.raster import warp_window
+    from veranda_spark.functions.codec import png_decode
+    from veranda_spark.operators.raster import (
+        build_pyramid,
+        quicklook,
+        warp_window,
+    )
+
+    px_schema = "leg string, out_r long, out_c long, val double"
 
     yy, xx = np.mgrid[0:64, 0:64]
     arr = ((3 * xx + 5 * yy) % 251).astype("float64")
     df = spark.createDataFrame(
-        [(1, arr.tobytes(), 64, 64, "raw", "float64", 0, 0)],
-        "image_id long, bytes binary, w int, h int, fmt string, dtype string, "
-        "px_col0 long, px_row0 long",
+        [("img1", arr.tobytes(), 64, 64, "raw", "float64", 0, 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "dtype string, px_col0 long, px_row0 long",
     )
     src = RegularGrid(ul_x=0, ul_y=0, psx=1.0, psy=1.0,
                       tile_cols=64, tile_rows=64, n_tile_cols=1, n_tile_rows=1)
@@ -1132,19 +1154,59 @@ def q_resample_average(spark, sf_dir):
                       tile_cols=16, tile_rows=16, n_tile_cols=1, n_tile_rows=1)
     out = warp_window(df, src, dst, 0, 0, 16, 16, method="average")
 
-    def explode_px(it):
+    def explode_raw(leg):
+        def explode_px(it):
+            for pdf in it:
+                for row in pdf.itertuples(index=False):
+                    a = np.frombuffer(row.bytes, dtype=row.dtype).reshape(
+                        row.h, row.w
+                    )
+                    rr, cc = np.mgrid[0: row.h, 0: row.w]
+                    tag = leg if leg else f"pyr{row.level}"
+                    yield pd.DataFrame({
+                        "leg": tag,
+                        "out_r": rr.ravel(), "out_c": cc.ravel(),
+                        "val": a.astype("float64").ravel(),
+                    })
+        return explode_px
+
+    avg_px = out.mapInPandas(explode_raw("avg4"), px_schema)
+
+    ql = quicklook(df, factor=4, vmin=0.0, vmax=250.0)
+
+    def explode_png(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                a = np.frombuffer(row.bytes, dtype=row.dtype).reshape(
-                    row.h, row.w
-                )
+                a = png_decode(row.bytes)
                 rr, cc = np.mgrid[0: row.h, 0: row.w]
                 yield pd.DataFrame({
+                    "leg": "quick",
                     "out_r": rr.ravel(), "out_c": cc.ravel(),
-                    "val": a.ravel(),
+                    "val": a.astype("float64").ravel(),
                 })
 
-    return out.mapInPandas(explode_px, "out_r long, out_c long, val double")
+    ql_px = ql.mapInPandas(explode_png, px_schema)
+
+    big_r, big_c = np.mgrid[0:128, 0:128]
+    full = ((3 * big_c + 5 * big_r) % 17).astype("float64")
+    tile_rows = []
+    for tr in range(2):
+        for tc in range(2):
+            sub = np.ascontiguousarray(
+                full[tr * 64:(tr + 1) * 64, tc * 64:(tc + 1) * 64]
+            )
+            tile_rows.append((f"T{tr}{tc}", tr, tc, "data", 1,
+                              sub.tobytes(), 64, 64, 1, "float64"))
+    tiles = spark.createDataFrame(
+        tile_rows,
+        "tile_id string, tile_row long, tile_col long, var string, "
+        "layer_id int, bytes binary, h int, w int, channels int, "
+        "dtype string",
+    )
+    pyr = build_pyramid(tiles, levels=2)
+    pyr_px = pyr.mapInPandas(explode_raw(None), px_schema)
+
+    return avg_px.unionByName(ql_px).unionByName(pyr_px)
 
 
 def q_warp_cubic(spark, sf_dir):
@@ -2330,11 +2392,53 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets GROUP BY 1, 2, 3
         """,
         "resample_average": """
-            SELECT cast(floor(r/4) AS bigint) AS out_r,
-                   cast(floor(c/4) AS bigint) AS out_c,
-                   avg(cast((3*c + 5*r) % 251 AS double)) AS val
-            FROM range(64) t(r), range(64) s(c)
-            GROUP BY 1, 2
+            WITH avg4 AS (
+              SELECT 'avg4' AS leg,
+                     cast(floor(r/4) AS bigint) AS out_r,
+                     cast(floor(c/4) AS bigint) AS out_c,
+                     avg(cast((3*c + 5*r) % 251 AS double)) AS val
+              FROM range(64) t(r), range(64) s(c)
+              GROUP BY 1, 2, 3
+            ), quick AS (
+              -- quicklook: factor-4 block mean (exact integer sums),
+              -- then the same IEEE stretch (m-0)/250*255, clipped, and
+              -- uint8 astype truncation = floor on non-negatives
+              SELECT 'quick' AS leg, out_r, out_c,
+                     floor(least(greatest((val - 0.0)/250.0*255.0,
+                                          0.0), 255.0)) AS val
+              FROM (
+                SELECT cast(floor(r/4) AS bigint) AS out_r,
+                       cast(floor(c/4) AS bigint) AS out_c,
+                       avg(cast((3*c + 5*r) % 251 AS double)) AS val
+                FROM range(64) t(r), range(64) s(c)
+                GROUP BY 1, 2
+              )
+            ), pyr1 AS (
+              -- level-1 pixel (r,c) = exact 2x2 mean of the global
+              -- formula at (2r, 2c) on the aligned 2x2-tile mosaic
+              SELECT 'pyr1' AS leg, r AS out_r, c AS out_c,
+                     ( cast((3*(2*c)   + 5*(2*r))   % 17 AS double)
+                     + cast((3*(2*c+1) + 5*(2*r))   % 17 AS double)
+                     + cast((3*(2*c)   + 5*(2*r+1)) % 17 AS double)
+                     + cast((3*(2*c+1) + 5*(2*r+1)) % 17 AS double)
+                     ) / 4.0 AS val
+              FROM range(64) t(r), range(64) s(c)
+            ), pyr2 AS (
+              -- level-2: only the (0,0) level-1 child exists, so the
+              -- top-left quadrant carries the exact 4x4 mean at (4r,4c)
+              -- and the other three quadrants are nodata-filled
+              SELECT 'pyr2' AS leg, r AS out_r, c AS out_c,
+                     CASE WHEN r < 32 AND c < 32 THEN (
+                       SELECT sum(cast((3*(4*c+j) + 5*(4*r+i)) % 17
+                                       AS double))
+                       FROM range(4) a(i), range(4) b(j)
+                     ) / 16.0 ELSE -9999.0 END AS val
+              FROM range(64) t(r), range(64) s(c)
+            )
+            SELECT * FROM avg4
+            UNION ALL SELECT * FROM quick
+            UNION ALL SELECT * FROM pyr1
+            UNION ALL SELECT * FROM pyr2
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus, cast(sum(l_quantity) as double) AS sum_qty,
