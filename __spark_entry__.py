@@ -1673,6 +1673,58 @@ def q_ann_ivf(spark, sf_dir):
     ).select("n_queries", F.lit(5).alias("k"), "recall_ok")
 
 
+def _bench_ivf_path(sf_dir):
+    """Deterministic per-sf scratch location for the build/query bench
+    split — build rewrites it, query reads it (bench pass order runs
+    build first in the same JVM)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"veranda_bench_ivf_{tag}")
+
+
+def q_ann_ivf_build(spark, sf_dir):
+    # round-7 (VERDICT r6 #3): the BUILD wall of the persisted IVF index
+    # in isolation — k-means + corpus assignment + two versioned-table
+    # writes.  Any previous index is removed first so every bench pass
+    # times a full rebuild.  Rows-only (infrastructure op).
+    import shutil
+
+    from veranda_spark.operators.ann import build_ivf_index
+
+    path = _bench_ivf_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _t(spark, sf_dir, "embeddings")
+    v = build_ivf_index(e, path, nlist=16)
+    return spark.createDataFrame([(int(v), 16)], "version long, nlist int")
+
+
+def q_ann_ivf_query(spark, sf_dir):
+    # round-7 (VERDICT r6 #3): the QUERY wall against an already-built
+    # index — this is the leg comparable to r5's 1.9s train-per-call
+    # number, and the one that amortizes at many-batch scale (no k-means
+    # job; partition-pruned codes scan only).  Self-heals standalone by
+    # building first (outside bench, e.g. the driver's rows-only check).
+    from veranda_spark.io.table import current_version
+    from veranda_spark.operators.ann import (
+        _index_paths, build_ivf_index, query_ivf_index,
+    )
+
+    path = _bench_ivf_path(sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    codes_path, _ = _index_paths(path)
+    if current_version(codes_path) is None:
+        build_ivf_index(e, path, nlist=16)
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return query_ivf_index(spark, path, q, k=5, nprobe=10).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
 def q_ann_ivfpq(spark, sf_dir):
     # IVF + product quantization: ADC code scan JVM-side, exact cosine
     # re-rank of refine*k candidates (rows-only: approximate by design;
@@ -1884,6 +1936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "pyramid": q_pyramid,
         "composite_mosaic": q_composite_mosaic,
+        # round-7 bench split of the persisted-index walls (VERDICT r6
+        # #3): build in isolation / query against the built index
+        "ann_ivf_build": q_ann_ivf_build,
+        "ann_ivf_query": q_ann_ivf_query,
         "skew_burn_in": q_skew_burn_in,
         "zonal_pixels": q_zonal_pixels,
         "image_features": q_image_features,

@@ -113,6 +113,16 @@ ROUND6: list[str] = [
     "nc_roundtrip",
 ]
 
+#: round-7 additions: the ann_ivf wall split (VERDICT r6 #3) — build
+#: must run BEFORE query in the pass (query serves the index build
+#: wrote this JVM).  ann_ivf_query is the leg comparable to r5's 1.9s
+#: train-per-call number; ann_ivf (ROUND5) keeps timing the full
+#: graded build+query+recall-gate pipeline.
+ROUND7: list[str] = [
+    "ann_ivf_build",
+    "ann_ivf_query",
+]
+
 #: row-preserving projections: under ``count()`` Catalyst prunes the
 #: projected expressions entirely, so the r3 walls for these measured
 #: session overhead, not operator cost (VERDICT r3 #1).  These get a
@@ -495,6 +505,20 @@ def write_bench_md(result: dict) -> None:
                 else ""
             )
             + (
+                f"\nRound-7 ann_ivf wall split at sf={result['sf']}: "
+                f"{json.dumps(result['round7_queries'])}\n"
+                "`ann_ivf_build` is the one-time index cost (k-means + "
+                "assignment +\ntwo versioned-table writes, full rebuild "
+                "each pass); `ann_ivf_query`\nserves a batch against the "
+                "built index (no training job, partition-\npruned codes "
+                "scan) and is the round-over-round-comparable leg — also\n"
+                "the number to weigh against r5's 1.9s retrain-per-call "
+                "wall.\n`ann_ivf` (round-5 list) still times the full "
+                "graded build+query+\nrecall-gate pipeline.\n"
+                if result.get("round7_queries")
+                else ""
+            )
+            + (
                 f"\nACTION CHANGE (round 4): {json.dumps(result['full_eval_queries'])} "
                 "are timed under a\nfull-evaluation action (sum of xxhash64 over "
                 "all output columns) —\ncount() let Catalyst prune these "
@@ -572,7 +596,8 @@ def headline_pass(
         qs["doc_tokens"](spark, sf_dir).count()
         timings["doc_tokens_legacy_count"] = round(time.monotonic() - t0, 3)
     else:
-        for name in HEADLINE + NEWOP + ROUND3 + ROUND4 + ROUND5 + ROUND6:
+        for name in (HEADLINE + NEWOP + ROUND3 + ROUND4 + ROUND5 + ROUND6
+                     + ROUND7):
             t0 = time.monotonic()
             _timed_action(qs[name](spark, sf_dir), name)
             timings[name] = round(time.monotonic() - t0, 3)
@@ -636,6 +661,7 @@ def main() -> None:
     round4_timings = {k: best[k] for k in ROUND4}
     round5_timings = {k: best[k] for k in ROUND5}
     round6_timings = {k: best[k] for k in ROUND6}
+    round7_timings = {k: best[k] for k in ROUND7}
 
     result = {
         "metric": "headline_query_wall_sec_total",
@@ -664,6 +690,7 @@ def main() -> None:
         "round4_queries": round4_timings,
         "round5_queries": round5_timings,
         "round6_queries": round6_timings,
+        "round7_queries": round7_timings,
         "minhash_micro": hl["minhash_micro"],
         # r4 action change: these queries are now timed under a
         # full-evaluation hash-agg action instead of count() (VERDICT r3
