@@ -1537,11 +1537,12 @@ def q_nc_roundtrip(spark, sf_dir):
     # semantics, test_netcdf4.py:39-51), then decode verifies payload,
     # record count, recovered geotransform and decoded times; rows-only
     # (byte containers have no SQL analog).  The container version
-    # cycles per tile over CDF-1 / CDF-2 / CDF-5 (round 7: the three
-    # classic formats the reference's nc_format accepts,
-    # native/netcdf.py:100-103), so all three wire formats — including
-    # CDF-5's wide header fields and 8-byte numrecs append patch — are
-    # graded every round.
+    # cycles per tile over CDF-1 / CDF-2 / NETCDF4_CLASSIC / CDF-5
+    # (round 7: all four nc_formats the reference accepts,
+    # native/netcdf.py:100-103 — version 4 rides the from-scratch HDF5
+    # subset codec), so every wire format — including CDF-5's wide
+    # header fields and the HDF5 dimension-scale convention — is graded
+    # every round.
     from typing import Iterator
 
     import numpy as np
@@ -1575,15 +1576,18 @@ def q_nc_roundtrip(spark, sf_dir):
                 )
                 t0 = np.array(["2020-01-05", "2020-01-07"],
                               dtype="datetime64[ns]")
-                version = (1, 2, 5)[
-                    (int(row.tile_col) + int(row.tile_row)) % 3
+                version = (1, 2, 4, 5)[
+                    (int(row.tile_col) + int(row.tile_row)) % 4
                 ]
                 blob = nc_encode_stack(
                     {"sig": np.stack([canvas, canvas * 2.0])},
                     record_values=t0, time_units=units, geotrans=gt,
                     sref=str(g.sref), version=version,
                 )
-                assert blob[3] == version
+                if version == 4:
+                    assert blob[:4] == b"\x89HDF"
+                else:
+                    assert blob[3] == version
                 blob = nc_append(blob, {"vars": {
                     "time": {"dims": ("time",),
                              "data": np.array([9.0])},  # day 9 offset

@@ -37,8 +37,9 @@ def sniff_fmt(data_col: F.Column) -> F.Column:
         .when(F.substring(data_col, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpg")
         .when(head4.isin(F.lit(b"CDF\x01"), F.lit(b"CDF\x02"),
                          F.lit(b"CDF\x05")), "nc")
-        # netCDF-4 rides the HDF5 container — sniffed so triage can
-        # route it to the loud nc_decode gate instead of "raw"
+        # netCDF-4 rides the HDF5 container — nc_decode reads the
+        # NETCDF4-classic subset (functions/hdf5.py) since round 7; the
+        # distinct label keeps triage able to tell the containers apart
         .when(head4 == F.lit(b"\x89HDF"), "hdf5")
         .otherwise("raw")
     )
