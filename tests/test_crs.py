@@ -1209,3 +1209,161 @@ def test_hom_wkt_and_column_backend(spark):
         )
         np.testing.assert_allclose([r["lo"] for r in back], lon, atol=1e-8)
         np.testing.assert_allclose([r["la"] for r in back], lat, atol=1e-8)
+
+
+def test_krovak_pin_invariants_and_guards():
+    import math
+
+    from veranda_spark.functions.crs import (
+        ELLIPSOIDS,
+        NP,
+        _e2_of,
+        parse_sref,
+        transform,
+    )
+
+    # EPSG GN7-2 worked example (method 9819), Greenwich longitudes:
+    # φ=50°12'32.4416"N λ=16°50'59.1790"E → southing 1050538.643,
+    # westing 568990.997; east-north (EPSG 1041 / EPSG:5514 axes) is
+    # the negated pair.  Pure projection math via the shorthand (no
+    # datum leg).
+    sref = "KROVAK:49.5,24.833333333333332,30.28813975,78.5,0.9999"
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    x, y = transform(NP, "EPSG:4326", sref, np.array([lon]), np.array([lat]))
+    assert abs(x[0] - (-568990.997)) < 0.01
+    assert abs(y[0] - (-1050538.643)) < 0.01
+
+    # round-trip over the Czech/Slovak service area
+    rng = np.random.default_rng(73)
+    lo = rng.uniform(12.0, 22.6, 400)
+    la = rng.uniform(47.7, 51.1, 400)
+    X, Y = transform(NP, "EPSG:4326", sref, lo, la)
+    lo2, la2 = transform(NP, sref, "EPSG:4326", X, Y)
+    # inverse latitude via the conformal series (Snyder 3-5): e⁸
+    # truncation ~1e-9° on Bessel — same tolerance class as LCC/HOM
+    np.testing.assert_allclose(lo2, lo, atol=1e-9)
+    np.testing.assert_allclose(la2, la, atol=1e-8)
+
+    # Prague lands in the national grid band (negative east-north)
+    xp, yp = transform(NP, "EPSG:4326", sref,
+                       np.array([14.4208]), np.array([50.0875]))
+    assert -760000 < xp[0] < -730000 and -1055000 < yp[0] < -1035000
+
+    # conformality: finite-difference local scale is isotropic
+    eps = 1e-6
+    a, rf = ELLIPSOIDS["Bessel"]
+    e2 = _e2_of(a, rf)
+    for LO, LA in ((15.0, 49.0), (20.0, 50.5)):
+        x0, y0 = transform(NP, "EPSG:4326", sref,
+                           np.array([LO]), np.array([LA]))
+        xe, ye = transform(NP, "EPSG:4326", sref,
+                           np.array([LO + eps]), np.array([LA]))
+        xn, yn = transform(NP, "EPSG:4326", sref,
+                           np.array([LO]), np.array([LA + eps]))
+        phi = math.radians(LA)
+        nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        rho = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        ke = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (
+            nu * math.cos(phi) * math.radians(eps)
+        )
+        kn = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / (
+            rho * math.radians(eps)
+        )
+        assert abs(ke / kn - 1.0) < 1e-5, (LO, LA, ke, kn)
+        # scale stays within the Krovak design band over the territory
+        assert 0.9998 < ke < 1.0006
+
+    # EPSG:5514 carries the S-JTSK 3-parameter Helmert: same WGS84
+    # input must land ~100 m-class away from the no-datum projection
+    x5, y5 = transform(NP, "EPSG:4326", "EPSG:5514",
+                       np.array([lon]), np.array([lat]))
+    d = math.hypot(x5[0] - x[0], y5[0] - y[0])
+    assert 10 < d < 300, d
+    p = parse_sref("EPSG:5514")
+    assert p["kind"] == "krovak" and p["towgs84"][:3] == (589.0, 76.0, 480.0)
+    # and the full EPSG:5514 round-trip closes through the Helmert legs
+    lo5, la5 = transform(NP, "EPSG:5514", "EPSG:4326", x5, y5)
+    assert abs(lo5[0] - lon) < 1e-7 and abs(la5[0] - lat) < 1e-7
+
+    # degenerate guards
+    with pytest.raises(ValueError, match="pole"):
+        transform(NP, "EPSG:4326", "KROVAK:90,24.83,30.29,78.5,0.9999",
+                  np.array([15.0]), np.array([49.0]))
+    with pytest.raises(ValueError, match="pseudo standard parallel"):
+        transform(NP, "EPSG:4326", "KROVAK:49.5,24.83,30.29,90,0.9999",
+                  np.array([15.0]), np.array([49.0]))
+    with pytest.raises(ValueError, match="degenerate scale"):
+        parse_sref("KROVAK:49.5,24.83,30.29,78.5,0")
+
+
+def test_krovak_wkt_and_column_backend(spark):
+    import pyspark.sql.functions as F
+
+    from veranda_spark.functions.crs import NP, SPARK, parse_sref, transform
+
+    def krovak_wkt(extra=""):
+        return (
+            'PROJCS["S-JTSK / Krovak East North",GEOGCS["S-JTSK",'
+            'DATUM["System_Jednotne_Trigonometricke_Site_Katastralni",'
+            'SPHEROID["Bessel 1841",6377397.155,299.1528128]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Krovak"],'
+            'PARAMETER["latitude_of_center",49.5],'
+            'PARAMETER["longitude_of_center",24.83333333333333],'
+            'PARAMETER["azimuth",30.28813972222222],'
+            'PARAMETER["pseudo_standard_parallel_1",78.5],'
+            'PARAMETER["scale_factor",0.9999],'
+            'PARAMETER["false_easting",0],'
+            f'PARAMETER["false_northing",0],{extra}UNIT["metre",1]]'
+        )
+
+    p = parse_sref(krovak_wkt())
+    assert p["kind"] == "krovak" and abs(p["a"] - 6377397.155) < 1e-6
+    assert p["lat_p"] == 78.5 and p["k0"] == 0.9999
+    # ESRI axis-flip triplet: only east-north accepted
+    with pytest.raises(ValueError, match="east-north"):
+        parse_sref(krovak_wkt('PARAMETER["X_Scale",1],'
+                              'PARAMETER["Y_Scale",1],'
+                              'PARAMETER["XY_Plane_Rotation",90],'))
+    pe = parse_sref(krovak_wkt('PARAMETER["X_Scale",-1],'
+                               'PARAMETER["Y_Scale",-1],'
+                               'PARAMETER["XY_Plane_Rotation",90],'))
+    assert pe["kind"] == "krovak"
+
+    # the WKT path hits the same pin as the shorthand
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    x, y = transform(NP, "EPSG:4326", krovak_wkt(),
+                     np.array([lon]), np.array([lat]))
+    assert abs(x[0] - (-568990.997)) < 0.02
+    assert abs(y[0] - (-1050538.643)) < 0.02
+
+    # Column backend == numpy backend, WKT + shorthand + EPSG code
+    rng = np.random.default_rng(74)
+    lon_a = rng.uniform(12.5, 22.0, 100)
+    lat_a = rng.uniform(48.0, 51.0, 100)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon_a, lat_a)],
+        "lon double, lat double",
+    )
+    for dst in (
+        krovak_wkt(),
+        "KROVAK:49.5,24.833333333333332,30.28813975,78.5,0.9999",
+        "EPSG:5514",
+    ):
+        xs, ys = transform(SPARK, "EPSG:4326", dst, F.col("lon"), F.col("lat"))
+        got = df.select(xs.alias("x"), ys.alias("y")).collect()
+        ex, ey = transform(NP, "EPSG:4326", dst, lon_a, lat_a)
+        np.testing.assert_allclose([r["x"] for r in got], ex,
+                                   rtol=1e-12, atol=1e-6)
+        np.testing.assert_allclose([r["y"] for r in got], ey,
+                                   rtol=1e-12, atol=1e-6)
+        los, las = transform(SPARK, dst, "EPSG:4326", F.col("x"), F.col("y"))
+        back = (
+            df.select(xs.alias("x"), ys.alias("y"))
+            .select(los.alias("lo"), las.alias("la"))
+            .collect()
+        )
+        np.testing.assert_allclose([r["lo"] for r in back], lon_a, atol=1e-7)
+        np.testing.assert_allclose([r["la"] for r in back], lat_a, atol=1e-7)

@@ -99,6 +99,7 @@ def webmerc_to_lonlat(mt: Any, x, y):
 ELLIPSOIDS = {
     "WGS84": (6378137.0, 298.257223563),
     "GRS80": (6378137.0, 298.257222101),
+    "Bessel": (6377397.155, 299.1528128),
 }
 
 
@@ -681,6 +682,27 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
                 "lat0": lat0, "lonc": lon0, "alpha": alpha,
                 "gamma": params.get("rectified_grid_angle", alpha),
                 "k0": params.get("scale_factor", 1.0), "fe": fe, "fn": fn}
+    if name in ("krovak", "krovak_east_north"):
+        # ESRI WKTs carry the axis-flip triplet; only the east-north
+        # convention (EPSG 1041, the one EPSG:5514 uses) is supported —
+        # the positive-southing/westing EPSG:2065 convention would need
+        # (1, 1, 90) and raises loudly instead of flipping silently
+        xs = params.get("x_scale", -1.0)
+        ys = params.get("y_scale", -1.0)
+        rot = params.get("xy_plane_rotation", 90.0)
+        if (xs, ys, rot) != (-1.0, -1.0, 90.0):
+            raise ValueError(
+                "Krovak: only the east-north axis convention is "
+                "supported (X_Scale=-1, Y_Scale=-1, XY_Plane_Rotation="
+                f"90), got ({xs}, {ys}, {rot})"
+            )
+        if abs(params.get("azimuth", 0.0)) < 1e-12:
+            raise ValueError("Krovak WKT lacks the azimuth parameter")
+        return {"kind": "krovak", **base, "lat0": lat0, "lon0": lon0,
+                "alpha": params["azimuth"],
+                "lat_p": params.get("pseudo_standard_parallel_1", 78.5),
+                "k0": params.get("scale_factor", 0.9999),
+                "fe": fe, "fn": fn}
     return None
 
 
@@ -1042,6 +1064,105 @@ def hom_to_lonlat(mt: Any, x, y, p: dict):
     return _wrap_lon(mt, mt.degrees(lam)), lat
 
 
+# ---- Krovak oblique conformal conic (EPSG method 9819) ---------------------
+#
+# The S-JTSK national projection of Czechia/Slovakia: a conformal conic
+# on an oblique aspect via the Gaussian (conformal) sphere.  Pinned to
+# the EPSG GN7-2 worked example (φ=50°12'32.4416"N, λ=16°50'59.1790"E
+# Greenwich → southing 1050538.643, westing 568990.997 — mm-exact, see
+# test_crs.py) and cross-checked against PROJ's east-north outputs for
+# EPSG:5514 (the "Krovak East North" axis convention: E = −westing,
+# N = −southing).  λ0 is Greenwich-referenced and used AS the EPSG
+# value 24°50' (the registry's Ferro annotation is already folded into
+# that number — the same reading PROJ's +lon_0=24.8333… takes; V is
+# measured as B·(λ0 − λ) so the country lies at positive westing).
+
+
+def _krovak_consts(p: dict) -> dict:
+    a, e2 = p["a"], p["e2"]
+    e = math.sqrt(e2)
+    if abs(abs(p["lat0"]) - 90.0) < 1e-9:
+        raise ValueError("Krovak: latitude of center at a pole is "
+                         "degenerate")
+    if abs(abs(p["lat_p"]) - 90.0) < 1e-9 or abs(p["lat_p"]) < 1e-9:
+        raise ValueError("Krovak: pseudo standard parallel at a pole or "
+                         "the equator is degenerate")
+    if p["k0"] == 0.0:
+        raise ValueError("Krovak: scale_factor=0 is degenerate")
+    phic = math.radians(p["lat0"])
+    phip = math.radians(p["lat_p"])
+    sphi = math.sin(phic)
+    A_ = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sphi * sphi)
+    B_ = math.sqrt(1.0 + e2 * math.cos(phic) ** 4 / (1.0 - e2))
+    g0 = math.asin(sphi / B_)
+    t0 = (
+        math.tan(math.pi / 4 + g0 / 2)
+        * ((1.0 + e * sphi) / (1.0 - e * sphi)) ** (e * B_ / 2.0)
+        / math.tan(math.pi / 4 + phic / 2) ** B_
+    )
+    n = math.sin(phip)
+    r0 = p["k0"] * A_ / math.tan(phip)
+    rt = r0 * math.tan(math.pi / 4 + phip / 2) ** n
+    return {"e": e, "A": A_, "B": B_, "t0": t0, "n": n, "rt": rt,
+            "alphac": math.radians(p["alpha"]),
+            "lam0": math.radians(p["lon0"])}
+
+
+def lonlat_to_krovak(mt: Any, lon, lat, p: dict):
+    """(lon°, lat°) → Krovak EAST-NORTH (EPSG 1041 axes: E = fe − Y
+    westing, N = fn − X southing; EPSG:5514 has fe = fn = 0 so both
+    coordinates are negative over the projection's service area)."""
+    c = _krovak_consts(p)
+    e, B_, n = c["e"], c["B"], c["n"]
+    ca, sa = math.cos(c["alphac"]), math.sin(c["alphac"])
+    phi = mt.radians(lat)
+    s = e * mt.sin(phi)
+    U = 2.0 * (
+        mt.atan(
+            c["t0"] * mt.pow(mt.tan(phi / 2 + math.pi / 4), B_)
+            / mt.pow((1.0 + s) / (1.0 - s), e * B_ / 2.0)
+        )
+        - math.pi / 4
+    )
+    V = B_ * mt.radians(_wrap_lon(mt, math.degrees(c["lam0"]) - lon))
+    sU, cU = mt.sin(U), mt.cos(U)
+    sT = ca * sU + sa * cU * mt.cos(V)
+    T = mt.asin(sT)
+    D = mt.asin(cU * mt.sin(V) / mt.cos(T))
+    r = c["rt"] / mt.pow(mt.tan(T / 2 + math.pi / 4), n)
+    th = n * D
+    xs = r * mt.cos(th)   # southing
+    yw = r * mt.sin(th)   # westing
+    return p["fe"] - yw, p["fn"] - xs
+
+
+def krovak_to_lonlat(mt: Any, x, y, p: dict):
+    """Inverse.  The U-latitude relation tan(U/2+π/4) =
+    t0·tan^B(φ/2+π/4)·q^(−eB/2) unwraps to EXACTLY the conformal
+    latitude: χ = 2·atan((tan(U/2+π/4)/t0)^(1/B)) − π/2 satisfies
+    Snyder 3-1, so φ comes from the closed-form series (3-5) — the same
+    move the LCC/HOM inverses make.  (EPSG's fixed-point alternative is
+    equivalent but, on the Column backend, each iteration would double
+    the expression tree and stall Catalyst analysis.)"""
+    c = _krovak_consts(p)
+    B_, n = c["B"], c["n"]
+    ca, sa = math.cos(c["alphac"]), math.sin(c["alphac"])
+    yw = p["fe"] - x
+    xs = p["fn"] - y
+    r = mt.sqrt(xs * xs + yw * yw)
+    th = mt.atan2(yw, xs)
+    D = th / n
+    T = 2.0 * (mt.atan(mt.pow(c["rt"] / r, 1.0 / n)) - math.pi / 4)
+    sT, cT = mt.sin(T), mt.cos(T)
+    U = mt.asin(ca * sT - sa * cT * mt.cos(D))
+    V = mt.asin(cT * mt.sin(D) / mt.cos(U))
+    lam = c["lam0"] - V / B_
+    tU = mt.pow(mt.tan(U / 2 + math.pi / 4) / c["t0"], 1.0 / B_)
+    chi = 2.0 * mt.atan(tU) - math.pi / 2
+    phi = _conformal_to_geodetic(mt, chi, p["e2"])
+    return _wrap_lon(mt, mt.degrees(lam)), mt.degrees(phi)
+
+
 # ---- datum shifts: TOWGS84 7-parameter Helmert via ECEF --------------------
 #
 # The reference gets datum transformations from GDAL/osr; this engine
@@ -1311,6 +1432,22 @@ def parse_sref(sref: str) -> dict | None:
         if n_given < 5:
             p["k0"] = 1.0
         return {**p, "variant": "B", **wgs}
+    if u.startswith("KROVAK:"):
+        # KROVAK:lat0,lon0,alpha,lat_p,k0[,fe,fn] — east-north axes on
+        # Bessel 1841 (the projection only makes sense on its national
+        # ellipsoid; no datum shift attached — add |NTV2: or use
+        # EPSG:5514 for the Helmert leg)
+        p = _parse_shorthand(
+            sref, "krovak", 5,
+            ["lat0", "lon0", "alpha", "lat_p", "k0", "fe", "fn"],
+        )
+        if p is None:
+            return None
+        if p["k0"] == 0.0:
+            raise ValueError("KROVAK shorthand: explicit k0=0 is a "
+                             "degenerate scale")
+        ab, rfb = ELLIPSOIDS["Bessel"]
+        return {**p, "a": ab, "e2": _e2_of(ab, rfb)}
     if not u.startswith("EPSG:"):
         return None
     try:
@@ -1369,6 +1506,17 @@ def parse_sref(sref: str) -> dict | None:
                 "alpha": 323.0257964666666,   # 323°01'32.86728" exactly
                 "gamma": 323.1301023611111,   # 323°07'48.3685"
                 "k0": 0.99984, "fe": 804671.0, "fn": 0.0}
+    if code == 5514:
+        # S-JTSK / Krovak East North (Czechia + Slovakia).  Bessel 1841;
+        # the 3-parameter S-JTSK→WGS84 shift is the EPSG 1622/GDAL WKT1
+        # value (≈1 m class, the standard national approximation)
+        ab, rfb = ELLIPSOIDS["Bessel"]
+        return {"kind": "krovak", "a": ab, "e2": _e2_of(ab, rfb),
+                "lat0": 49.5,
+                "lon0": 24.833333333333332,   # 24°50' (Ferro folded in)
+                "alpha": 30.28813975,         # 30°17'17.3031"
+                "lat_p": 78.5, "k0": 0.9999, "fe": 0.0, "fn": 0.0,
+                "towgs84": (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)}
     return None
 
 
@@ -1401,6 +1549,8 @@ def to_lonlat(mt: Any, sref: dict, x, y):
         return eqc_to_lonlat(mt, x, y, sref)
     if sref["kind"] == "hom":
         return hom_to_lonlat(mt, x, y, sref)
+    if sref["kind"] == "krovak":
+        return krovak_to_lonlat(mt, x, y, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -1433,6 +1583,8 @@ def from_lonlat(mt: Any, sref: dict, lon, lat):
         return lonlat_to_eqc(mt, lon, lat, sref)
     if sref["kind"] == "hom":
         return lonlat_to_hom(mt, lon, lat, sref)
+    if sref["kind"] == "krovak":
+        return lonlat_to_krovak(mt, lon, lat, sref)
     raise ValueError(f"unsupported sref {sref}")
 
 
@@ -1450,8 +1602,9 @@ def transform(mt: Any, src_sref: str, dst_sref: str, x, y):
             "shorthand) for AEQD, Transverse_Mercator, "
             "Lambert_Conformal_Conic, Lambert_Azimuthal_Equal_Area, "
             "Polar_Stereographic, Albers_Conic_Equal_Area, Sinusoidal, "
-            "Mercator_1SP/2SP, Equirectangular and "
-            "Hotine_Oblique_Mercator (variants A/B, incl. EPSG:3375)"
+            "Mercator_1SP/2SP, Equirectangular, "
+            "Hotine_Oblique_Mercator (variants A/B, incl. EPSG:3375) and "
+            "Krovak east-north (EPSG:5514)"
         )
     lon, lat = to_lonlat(mt, s, x, y)
     # datum legs: only active when a sref declares a datum path (an
