@@ -1321,13 +1321,16 @@ def test_krovak_wkt_and_column_backend(spark):
     p = parse_sref(krovak_wkt())
     assert p["kind"] == "krovak" and abs(p["a"] - 6377397.155) < 1e-6
     assert p["lat_p"] == 78.5 and p["k0"] == 0.9999
-    # ESRI axis-flip triplet: only east-north accepted
-    with pytest.raises(ValueError, match="east-north"):
-        parse_sref(krovak_wkt('PARAMETER["X_Scale",1],'
-                              'PARAMETER["Y_Scale",1],'
-                              'PARAMETER["XY_Plane_Rotation",90],'))
+    # ESRI axis-flip triplet: only the genuine east-north combination
+    # (-1, 1, 90) is accepted — sign-SAME scales under a 90° rotation
+    # cannot denote east-north (review r7 #1), so both the south-west
+    # identity triplet and the old wrong (-1,-1,90) guess raise
+    for bad in ("1],PARAMETER[\"Y_Scale\",1", "-1],PARAMETER[\"Y_Scale\",-1"):
+        with pytest.raises(ValueError, match="east-north"):
+            parse_sref(krovak_wkt(f'PARAMETER["X_Scale",{bad}],'
+                                  'PARAMETER["XY_Plane_Rotation",90],'))
     pe = parse_sref(krovak_wkt('PARAMETER["X_Scale",-1],'
-                               'PARAMETER["Y_Scale",-1],'
+                               'PARAMETER["Y_Scale",1],'
                                'PARAMETER["XY_Plane_Rotation",90],'))
     assert pe["kind"] == "krovak"
 

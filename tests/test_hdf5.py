@@ -262,3 +262,30 @@ def test_big_endian_data_read():
     np.testing.assert_array_equal(out["datasets"]["v"]["data"], a)
     np.testing.assert_array_equal(out0["datasets"]["v"]["data"], a)
     del addr
+
+
+def test_reference_list_vlen_compound_attr_skipped():
+    # review r7 #2: real netcdf-c files attach REFERENCE_LIST (a vlen of
+    # COMPOUND — datatype class 6, outside the decode subset) to every
+    # dimension scale with an attached variable.  The attr must be
+    # SKIPPED, not fail the file; the same undecodable type under an
+    # unknown name still raises.
+    from veranda_spark.functions.hdf5 import _ATTR_SKIPPED, _attr_decode
+
+    def attr_body(name):
+        nm = name.encode() + b"\x00"
+        # vlen(sequence, size 16) of compound(version 1, 1 member, sz 12)
+        dt = (bytes([0x19, 0, 0, 0]) + struct.pack("<I", 16)
+              + bytes([0x16, 1, 0, 0]) + struct.pack("<I", 12))
+        ds = bytes([1, 1, 0]) + b"\x00" * 5 + struct.pack("<Q", 1)
+
+        def p8(b):
+            return b + b"\x00" * (-len(b) % 8)
+
+        head = struct.pack("<BBHHH", 1, 0, len(nm), len(dt), len(ds))
+        return head + p8(nm) + p8(dt) + p8(ds) + b"\x00" * 16
+
+    name, val = _attr_decode(attr_body("REFERENCE_LIST"), b"")
+    assert name == "REFERENCE_LIST" and val is _ATTR_SKIPPED
+    with pytest.raises(NotImplementedError, match="class 6"):
+        _attr_decode(attr_body("user_attr"), b"")

@@ -945,3 +945,29 @@ def test_nc4_phantom_dims_and_int64_rejection():
                    "vars": {"v": {"dims": ("x",),
                                   "data": np.zeros(1, dtype="int64"),
                                   "attrs": {}}}}, version=4)
+
+
+def test_nc4_beyond_2048_records():
+    # review r7 #5: the HDF5 writer's 2-level chunk B-tree caps at 2048
+    # chunks per dataset; nc4_encode now scales the record-chunk depth
+    # so any record count fits
+    n = 2100
+    ncds = {
+        "dims": {"t": None, "x": 2},
+        "vars": {"v": {"dims": ("t", "x"),
+                       "data": np.arange(2 * n, dtype="float32")
+                       .reshape(n, 2),
+                       "attrs": {}}},
+        "attrs": {},
+    }
+    data = nc_encode(ncds, version=4)
+    back = nc_decode(data)
+    assert back["numrecs"] == n
+    np.testing.assert_array_equal(back["vars"]["v"]["data"],
+                                  ncds["vars"]["v"]["data"])
+    more = nc_append(data, {"vars": {"v": {
+        "dims": ("t", "x"),
+        "data": np.full((3, 2), 7.0, dtype="float32")}}})
+    back2 = nc_decode(more)
+    assert back2["numrecs"] == n + 3
+    np.testing.assert_array_equal(back2["vars"]["v"]["data"][-1], [7.0, 7.0])

@@ -854,3 +854,9 @@ def test_frozen_writer_aborts_instead_of_dual_commit(spark, base, monkeypatch):
     )
     got = _rows(read_table(spark, base))
     assert all(v != "clobber" for *_ks, v in got)
+    # review r7 #3: the aborted writer's output was STAGED — the version
+    # dir it wrote under must contain no visible (non-underscore) files
+    # that a reader of a re-claimed committed version would pick up
+    v2 = os.path.join(base, "_versions", "000002")
+    visible = [n for n in os.listdir(v2) if not n.startswith("_")]
+    assert visible == [], f"parquet debris leaked into version dir: {visible}"

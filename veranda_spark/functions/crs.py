@@ -683,17 +683,22 @@ def parse_wkt_projcs(wkt: str) -> dict | None:
                 "gamma": params.get("rectified_grid_angle", alpha),
                 "k0": params.get("scale_factor", 1.0), "fe": fe, "fn": fn}
     if name in ("krovak", "krovak_east_north"):
-        # ESRI WKTs carry the axis-flip triplet; only the east-north
-        # convention (EPSG 1041, the one EPSG:5514 uses) is supported —
-        # the positive-southing/westing EPSG:2065 convention would need
-        # (1, 1, 90) and raises loudly instead of flipping silently
+        # ESRI WKTs carry an axis-flip triplet applied to the native
+        # (southing, westing) output: rotate 90° then scale.  Only the
+        # east-north result (EPSG 1041, what EPSG:5514 uses) is
+        # supported, and with rotation 90 that requires SIGN-OPPOSED
+        # scales — S-JTSK_Krovak_East_North ships (-1, 1, 90) (review
+        # r7 #1: the previously-accepted (-1, -1, 90) cannot denote
+        # east-north under any rotation sense and would have been
+        # interpreted with one axis sign wrong).  Anything else raises
+        # loudly instead of flipping silently.
         xs = params.get("x_scale", -1.0)
-        ys = params.get("y_scale", -1.0)
+        ys = params.get("y_scale", 1.0)
         rot = params.get("xy_plane_rotation", 90.0)
-        if (xs, ys, rot) != (-1.0, -1.0, 90.0):
+        if (xs, ys, rot) != (-1.0, 1.0, 90.0):
             raise ValueError(
                 "Krovak: only the east-north axis convention is "
-                "supported (X_Scale=-1, Y_Scale=-1, XY_Plane_Rotation="
+                "supported (X_Scale=-1, Y_Scale=1, XY_Plane_Rotation="
                 f"90), got ({xs}, {ys}, {rot})"
             )
         if abs(params.get("azimuth", 0.0)) < 1e-12:

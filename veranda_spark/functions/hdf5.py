@@ -206,6 +206,15 @@ def _attr_encode(name: str, value: Any) -> tuple[bytes, list]:
     return body, [(data_off + o, refs) for o, refs in vlen]
 
 
+#: convention attributes real netcdf-c/h5py files carry whose datatypes
+#: sit OUTSIDE the decode subset (REFERENCE_LIST is vlen-of-COMPOUND) —
+#: they are container plumbing the netCDF-4 mapping strips anyway, so an
+#: undecodable value is skipped instead of failing the whole file
+#: (review r7 #2).  _ATTR_SKIPPED is the sentinel callers drop.
+_SKIPPABLE_ATTRS = frozenset({"REFERENCE_LIST", "DIMENSION_LABELS"})
+_ATTR_SKIPPED = object()
+
+
 def _attr_decode(body: bytes, buf: bytes) -> tuple[str, Any]:
     version = body[0]
     if version == 1:
@@ -213,7 +222,12 @@ def _attr_decode(body: bytes, buf: bytes) -> tuple[str, Any]:
         pos = 8
         name = body[pos:pos + nsz].split(b"\x00")[0].decode()
         pos += nsz + (-nsz % 8)
-        dt, _ = _dt_decode(body[pos:pos + dtsz])
+        try:
+            dt, _ = _dt_decode(body[pos:pos + dtsz])
+        except NotImplementedError:
+            if name in _SKIPPABLE_ATTRS:
+                return name, _ATTR_SKIPPED
+            raise
         pos += dtsz + (-dtsz % 8)
         shape, _ = _ds_decode(body[pos:pos + dssz])
         pos += dssz + (-dssz % 8)
@@ -225,7 +239,12 @@ def _attr_decode(body: bytes, buf: bytes) -> tuple[str, Any]:
         pos = 8 + (1 if version == 3 else 0)
         name = body[pos:pos + nsz].split(b"\x00")[0].decode()
         pos += nsz
-        dt, _ = _dt_decode(body[pos:pos + dtsz])
+        try:
+            dt, _ = _dt_decode(body[pos:pos + dtsz])
+        except NotImplementedError:
+            if name in _SKIPPABLE_ATTRS:
+                return name, _ATTR_SKIPPED
+            raise
         pos += dtsz
         shape, _ = _ds_decode(body[pos:pos + dssz])
         pos += dssz
@@ -602,7 +621,8 @@ def _read_dataset(buf: bytes, addr: int) -> dict:
                 filters.append({"id": fid, "flags": fl})
         elif mtype == 0x000C:
             k, v = _attr_decode(body, buf)
-            attrs[k] = v
+            if v is not _ATTR_SKIPPED:
+                attrs[k] = v
         elif mtype == 0x0015:
             fheap = struct.unpack_from(
                 "<Q", body, 2 + (2 if body[1] & 1 else 0)
@@ -680,7 +700,8 @@ def h5_read(buf: bytes) -> dict:
     for mtype, body in msgs:
         if mtype == 0x000C:
             k, v = _attr_decode(body, buf)
-            attrs[k] = v
+            if v is not _ATTR_SKIPPED:
+                attrs[k] = v
     links = _group_links(buf, msgs)
     datasets = {name: _read_dataset(buf, a) for name, a in links.items()}
     return {"attrs": attrs, "datasets": datasets}

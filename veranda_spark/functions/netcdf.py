@@ -735,7 +735,12 @@ def nc4_encode(ncds: dict) -> bytes:
         spec = {"data": data, "attrs": attrs}
         if rec_dim is not None and vdims[:1] == (rec_dim,):
             spec["maxshape"] = (None,) + data.shape[1:]
-            spec["chunks"] = (1,) + tuple(
+            # chunk depth scales with the stack so the writer's 2-level
+            # chunk B-tree (≤2048 chunks/dataset) never caps the record
+            # count (review r7 #5) — same shape readers see from real
+            # netcdf-c files, which also chunk >1 record when large
+            rec_chunk = max(1, -(-numrecs // 2048))
+            spec["chunks"] = (rec_chunk,) + tuple(
                 max(s, 1) for s in data.shape[1:]
             )
         datasets[name] = spec

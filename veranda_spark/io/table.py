@@ -330,15 +330,17 @@ def _write_claim(
 def _verify_claim(vdir: str, nonce: str) -> None:
     """Commit-time fence: re-read ``_claim.json`` and require OUR nonce.
 
-    Called in the instant before ``_commit``.  A frozen-then-resumed
-    writer whose claim was age-swept (and possibly re-claimed by a
-    recoverer under the same version number) finds the claim missing or
-    carrying a different nonce and aborts loudly — its parquet ``append``
-    may have recreated the directory, but it never publishes.  This
-    shrinks the dual-commit race from the whole write duration to the
-    microseconds between this check and the ``_current`` rename, which
-    the stale threshold (many heartbeat intervals) makes unreachable for
-    any pause the sweep could have mistaken for a crash."""
+    Called after the staged write, before ``_promote_stage``/``_commit``.
+    A frozen-then-resumed writer whose claim was age-swept (and possibly
+    re-claimed by a recoverer under the same version number) finds the
+    claim missing or carrying a different nonce and aborts loudly.
+    Because everything it wrote landed in its own nonce-keyed
+    ``_stage_*`` subdir (underscore = invisible to Spark/Hadoop readers;
+    removed on abort), the new owner's committed snapshot is never
+    contaminated — the remaining race is the microseconds between this
+    check and the promote+rename, which the stale threshold (many
+    heartbeat intervals, while OUR heartbeat is demonstrably alive
+    again) makes unreachable."""
     try:
         with open(os.path.join(vdir, "_claim.json")) as f:
             body = json.load(f)
@@ -356,6 +358,35 @@ def _verify_claim(vdir: str, nonce: str) -> None:
             "this version number after our claim went heartbeat-stale; "
             "ABORTING the commit to prevent dual-commit corruption."
         )
+
+
+def _stage_dir(vdir: str, nonce: str) -> str:
+    """Per-invocation staging subdirectory INSIDE the claimed version
+    dir.  All of a writer's output (partition dirs, parquet files,
+    manifest) lands here and is promoted into the version dir only
+    AFTER the commit fence passes — so a writer frozen past the stale
+    threshold whose version was swept and re-claimed can, at worst,
+    recreate an underscore-prefixed subdir (invisible to Spark/Hadoop
+    readers) inside the new owner's directory; it can never mix its
+    part-files into a committed snapshot (review r7 #3 — the
+    nonce-only fence stopped the PUBLISH but not the parquet append).
+    The leading underscore is load-bearing: hidden to readers."""
+    return os.path.join(vdir, f"_stage_{nonce}")
+
+
+def _promote_stage(stage: str, vdir: str) -> None:
+    """Move every staged child up into the version dir (same-filesystem
+    renames — metadata-only).  Runs strictly after ``_verify_claim``;
+    collisions mean a protocol violation and fail loudly."""
+    for name in sorted(os.listdir(stage)):
+        dst = os.path.join(vdir, name)
+        if os.path.exists(dst):
+            raise RuntimeError(
+                f"staged promote: {dst} already exists — version dir "
+                "was mutated outside the claim protocol"
+            )
+        os.rename(os.path.join(stage, name), dst)
+    os.rmdir(stage)
 
 
 def _claim_info(vdir: str) -> tuple[bool, str | None, float | None]:
@@ -551,6 +582,7 @@ def merge_into(
     # stream) can clear THIS writer's crash debris and nobody else's
     nonce = uuid.uuid4().hex
     _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
+    stage = _stage_dir(new_dir, nonce)
 
     with _claim_heartbeat(new_dir):
         if partition_by:
@@ -592,8 +624,11 @@ def merge_into(
                     (v := _unescape_partition_dir(name)) is None and aff_null
                 ) or (v is not None and v in aff_set)
             }
+            # everything lands in the nonce-keyed STAGE subdir (carried
+            # partitions, fresh writes, manifest) and is promoted only
+            # after the commit fence passes — see _stage_dir
             manifest_entries = _carry_untouched(
-                path, new_dir, part_vers, touched_names, commit_mode
+                path, stage, part_vers, touched_names, commit_mode
             )
             # null-safe affected filter: isin() never matches NULL
             aff_cond = F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
@@ -607,20 +642,27 @@ def merge_into(
             (
                 merged.write.mode("append")
                 .partitionBy(partition_by)
-                .parquet(new_dir)
+                .parquet(stage)
             )
             if manifest_entries:
-                _write_manifest(new_dir, manifest_entries)
+                _write_manifest(stage, manifest_entries)
         else:
             merged = tgt.join(
                 updates.select(keys).distinct(), keys, "left_anti"
             ).unionByName(updates)
-            # append INTO the claimed (empty) dir — mode("overwrite") would
-            # delete the directory first, voiding the exclusive-mkdir claim
-            # and reopening the concurrent-writer lost-update window
-            merged.write.mode("append").parquet(new_dir)
+            # append INTO the stage under the claimed dir —
+            # mode("overwrite") would delete the directory first,
+            # voiding the exclusive-mkdir claim
+            merged.write.mode("append").parquet(stage)
 
-        _verify_claim(new_dir, nonce)
+        try:
+            _verify_claim(new_dir, nonce)
+        except RuntimeError:
+            # our stage is ours to clean even inside a re-claimed dir;
+            # the committed state is untouched either way
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        _promote_stage(stage, new_dir)
         _commit(path, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
@@ -716,11 +758,17 @@ def compact_table(
         os.mkdir(new_dir)  # exclusive claim, same protocol as merge_into
         nonce = uuid.uuid4().hex
         _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
+        stage = _stage_dir(new_dir, nonce)
         with _claim_heartbeat(new_dir):
             read_table(spark, path).coalesce(max_files).write.mode(
                 "append"
-            ).parquet(new_dir)
-            _verify_claim(new_dir, nonce)
+            ).parquet(stage)
+            try:
+                _verify_claim(new_dir, nonce)
+            except RuntimeError:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+            _promote_stage(stage, new_dir)
             _commit(path, new_v)
         return {"version": new_v, "compacted": 1, "files_before": before,
                 "files_after": _count_parquet(new_dir)}
@@ -740,9 +788,10 @@ def compact_table(
     os.mkdir(new_dir)
     nonce = uuid.uuid4().hex
     _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
+    stage = _stage_dir(new_dir, nonce)
     with _claim_heartbeat(new_dir):
         manifest_entries = _carry_untouched(
-            path, new_dir, part_vers, touched, commit_mode
+            path, stage, part_vers, touched, commit_mode
         )
         # rewrite the oversized partitions: the predicate is over the
         # partition column only, so Catalyst PRUNES the scan to exactly the
@@ -766,11 +815,16 @@ def compact_table(
             .repartition(len(touched), partition_by)
             .write.mode("append")
             .partitionBy(partition_by)
-            .parquet(new_dir)
+            .parquet(stage)
         )
         if manifest_entries:
-            _write_manifest(new_dir, manifest_entries)
-        _verify_claim(new_dir, nonce)
+            _write_manifest(stage, manifest_entries)
+        try:
+            _verify_claim(new_dir, nonce)
+        except RuntimeError:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        _promote_stage(stage, new_dir)
         _commit(path, new_v)
     after = sum(
         _count_parquet(_partition_src(path, name, v, rel))

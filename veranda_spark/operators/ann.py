@@ -581,15 +581,20 @@ def query_ivf_index(
 ) -> DataFrame:
     """Serve a query batch from a persisted index: NO k-means job, NO
     corpus assignment pass — the only corpus work is a partition-pruned
-    scan of the probed cells.  The exploded (query, probed-cell) frame
-    is computed ONCE (collected — query-batch-sized × nprobe, tiny) and
-    rebuilt as a local DataFrame; the probe-cell union across the batch
-    (≤ nlist ints) is pushed as a literal IN filter so the parquet
+    scan of the probed cells.  The probe-cell union across the batch
+    (≤ nlist ints — the ONLY thing collected) comes from a cells-only
+    projection and is pushed as a literal IN filter so the parquet
     reader prunes cell= directories up front (hand-rolled dynamic
-    partition pruning), and the scoring join reuses the same local
-    frame — the probe UDF runs exactly once per batch (review r6 #7)
-    and no cached frame is left pinned in executor storage across
-    batches (ADVICE r6)."""
+    partition pruning).  The scoring frame itself stays LAZY and
+    DISTRIBUTED: no persist pins executor storage across batches
+    (ADVICE r6), and nothing heavier than the cell list rides through
+    the driver (review r7 #4 — the brief r7 collect-and-rebuild
+    variant shipped per-(query, cell) PQ lookup tables driver-side,
+    ~GBs for big batches).  Cost accounting: the cheap centroid
+    cell-assignment (batch × nlist dot products) runs twice — once for
+    the collect, once inside the scoring plan — while the expensive
+    per-cell LUT construction runs exactly once, inside the scoring
+    plan; the job-count pytest still proves zero corpus passes."""
     from veranda_spark.io.table import read_table
 
     idx = load_ivf_index(spark, path)
@@ -597,29 +602,23 @@ def query_ivf_index(
     codes_path, _ = _index_paths(path)
     codes = read_table(spark, codes_path, version)
 
+    cells_probe = _explode_query_cells(
+        queries, idx["centroids"], nprobe, query_id, query_emb
+    )
+    probed = sorted(
+        r["cell"] for r in cells_probe.select("cell").distinct().collect()
+    )
+    pruned = codes.filter(F.col("cell").isin(probed))
+
     if p["pq"]:
         qx = _explode_query_luts(
             queries, idx["centroids"], idx["books"], idx["rot"],
             p["residual"], nprobe, query_id, query_emb,
         )
-    else:
-        qx = _explode_query_cells(
-            queries, idx["centroids"], nprobe, query_id, query_emb
-        )
-    # Materialize the exploded frame ONCE (query-batch × nprobe — tiny
-    # by design) and rebuild it as a local DataFrame: the probe UDF runs
-    # exactly once, the probe-cell union falls out of the same rows, and
-    # nothing stays pinned in executor storage memory — a long-lived
-    # session serving many batches leaks nothing (ADVICE r6: the old
-    # .persist() here was never unpersisted).
-    qx_rows = qx.collect()
-    qx = spark.createDataFrame(qx_rows, qx.schema)
-    probed = sorted({r["cell"] for r in qx_rows})
-    pruned = codes.filter(F.col("cell").isin(probed))
-
-    if p["pq"]:
         enc = pruned.select("vec_id", "cell", "codes")
         return _pq_adc_score(
             enc, pruned, qx, idx["books"].shape[1], k, refine
         )
-    return _ivf_cosine_score(pruned.select("vec_id", "emb", "cell"), qx, k)
+    return _ivf_cosine_score(
+        pruned.select("vec_id", "emb", "cell"), cells_probe, k
+    )
