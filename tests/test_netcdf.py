@@ -971,3 +971,38 @@ def test_nc4_beyond_2048_records():
     back2 = nc_decode(more)
     assert back2["numrecs"] == n + 3
     np.testing.assert_array_equal(back2["vars"]["v"]["data"][-1], [7.0, 7.0])
+
+
+def test_nc4_chunksizes_knob():
+    # reference NetCdfXrFile(chunksizes=...) parity
+    # (tests/raster/native/netcdf/test_xarray.py:41-49): the user-given
+    # chunk shape lands in the file (clamped to extents on fixed dims)
+    from veranda_spark.functions.hdf5 import h5_read
+
+    n, h, w = 6, 25, 40
+    ncds = {
+        "dims": {"time": None, "y": h, "x": w},
+        "vars": {
+            "time": {"dims": ("time",),
+                     "data": np.arange(n, dtype="float64"), "attrs": {}},
+            "sig": {"dims": ("time", "y", "x"),
+                    "data": np.arange(n * h * w, dtype="float32")
+                    .reshape(n, h, w), "attrs": {}},
+        },
+        "attrs": {},
+    }
+    data = nc_encode(ncds, version=4, chunksizes=(100, 10, 10))
+    f = h5_read(data)
+    # record dim keeps the requested 100 (unlimited — may exceed the
+    # current extent, as netCDF4 allows); fixed dims clamp to size
+    assert f["datasets"]["sig"]["chunks"] == (100, 10, 10)
+    back = nc_decode(data)
+    np.testing.assert_array_equal(back["vars"]["sig"]["data"],
+                                  ncds["vars"]["sig"]["data"])
+    # clamping: chunk bigger than a fixed dim is cut to the dim
+    data2 = nc_encode(ncds, version=4, chunksizes=(2, 100, 100))
+    f2 = h5_read(data2)
+    assert f2["datasets"]["sig"]["chunks"] == (2, h, w)
+    # classic layouts have no chunking — loud error, not silent ignore
+    with pytest.raises(ValueError, match="version=4"):
+        nc_encode(ncds, version=1, chunksizes=(2, 10, 10))

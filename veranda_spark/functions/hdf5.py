@@ -684,7 +684,9 @@ def _read_dataset(buf: bytes, addr: int) -> dict:
     else:
         arr = arr.copy()
     return {"shape": shape, "maxshape": maxshape, "attrs": attrs,
-            "data": arr, "addr": addr}
+            "data": arr, "addr": addr,
+            "chunks": layout["chunk"] if layout["class"] == "chunked"
+            else None}
 
 
 def h5_read(buf: bytes) -> dict:

@@ -242,7 +242,8 @@ def _per_record_shape(v: dict, rec_dim: str | None) -> tuple[tuple, bool]:
     return (vdims[1:] if is_rec else vdims), is_rec
 
 
-def nc_encode(ncds: dict, version: int = 1) -> bytes:
+def nc_encode(ncds: dict, version: int = 1,
+              chunksizes: tuple | None = None) -> bytes:
     """ncds dict → NetCDF bytes.  Versions 1/2/5 are the classic wire
     formats (CDF-1; CDF-2 for 64-bit offsets; CDF-5 for 64-bit data —
     wide header fields plus the unsigned/64-bit external types);
@@ -252,7 +253,12 @@ def nc_encode(ncds: dict, version: int = 1) -> bytes:
     native/netcdf.py:29).  Shapes are validated against the declared
     dims; the record-dim length is taken from the data."""
     if version == 4:
-        return nc4_encode(ncds)
+        return nc4_encode(ncds, chunksizes=chunksizes)
+    if chunksizes is not None:
+        raise ValueError(
+            "chunksizes applies to the HDF5 container only — classic "
+            "CDF layouts are not chunked; pass version=4"
+        )
     if version not in (1, 2, 5):
         raise ValueError(
             "version must be 1 (CDF-1), 2 (CDF-2), 4 (NETCDF4_CLASSIC) "
@@ -655,7 +661,7 @@ _NC4_SPECIAL = ("CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
                 "_Netcdf4Dimid", "_Netcdf4Coordinates")
 
 
-def nc4_encode(ncds: dict) -> bytes:
+def nc4_encode(ncds: dict, chunksizes: tuple | None = None) -> bytes:
     """ncds dict → NETCDF4_CLASSIC bytes: every dimension becomes an
     HDF5 dimension-scale dataset (CLASS/NAME/_Netcdf4Dimid attrs; the
     dim's coordinate variable IS the scale when one exists, else a
@@ -664,7 +670,13 @@ def nc4_encode(ncds: dict) -> bytes:
     unlimited maxshape with per-record chunking, and the root group is
     stamped with _NCProperties.  The classic DATA MODEL is enforced —
     types outside CDF-1's set are rejected exactly like nc_encode
-    (that is what the _CLASSIC suffix means)."""
+    (that is what the _CLASSIC suffix means).
+
+    ``chunksizes`` mirrors the reference's NetCdfXrFile(chunksizes=...)
+    knob (native/netcdf.py chunking, pinned by its test_xarray.py
+    chunksizes test): a tuple applied to every variable whose rank
+    matches, each entry clamped to the dim's current size (unlimited
+    dims excepted); None keeps the automatic per-record chunking."""
     from veranda_spark.functions.hdf5 import h5_write
 
     dims = dict(ncds.get("dims", {}))
@@ -733,8 +745,18 @@ def nc4_encode(ncds: dict) -> bytes:
             attrs["DIMENSION_LIST"] = {"_kind": "dimlist",
                                        "refs": list(vdims)}
         spec = {"data": data, "attrs": attrs}
-        if rec_dim is not None and vdims[:1] == (rec_dim,):
+        is_rec_var = rec_dim is not None and vdims[:1] == (rec_dim,)
+        if is_rec_var:
             spec["maxshape"] = (None,) + data.shape[1:]
+        if chunksizes is not None and len(chunksizes) == data.ndim:
+            # user-directed chunking (reference chunksizes knob) —
+            # clamp to current extents except along the unlimited dim
+            spec["chunks"] = tuple(
+                max(1, c if (is_rec_var and i == 0)
+                    else min(int(c), max(s, 1)))
+                for i, (c, s) in enumerate(zip(chunksizes, data.shape))
+            )
+        elif is_rec_var:
             # chunk depth scales with the stack so the writer's 2-level
             # chunk B-tree (≤2048 chunks/dataset) never caps the record
             # count (review r7 #5) — same shape readers see from real
@@ -963,6 +985,7 @@ def nc_encode_stack(
     dtypes: dict[str, str] | None = None,
     attrs: dict | None = None,
     version: int = 1,
+    chunksizes: tuple | None = None,
 ) -> bytes:
     """The ``NetCdf4File(mode='w').write(ds)`` analog: a (rec, y, x)
     multi-variable stack → classic NetCDF with time/y/x coordinate
@@ -1051,7 +1074,8 @@ def nc_encode_stack(
         }
 
     return nc_encode(
-        {"dims": dims, "vars": vars_, "attrs": attrs or {}}, version=version
+        {"dims": dims, "vars": vars_, "attrs": attrs or {}},
+        version=version, chunksizes=chunksizes,
     )
 
 
