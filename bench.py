@@ -548,6 +548,35 @@ def write_bench_md(result: dict) -> None:
                 "weather.\n"
             )
             + (
+                "\n## Round-7 measurement notes\n\n"
+                "- `ann_ivf_query` is the leg to weigh against r5's 1.9s "
+                "retrain-per-call\n  wall; `ann_ivf` (round-5 list) times "
+                "strictly more work than either\n  r5 or r6 text implies: "
+                "build + persisted query + in-query brute\n  recall gate.\n"
+                "- `nc_roundtrip` now cycles FOUR container formats "
+                "(CDF-1/2/5 +\n  NETCDF4_CLASSIC incl. full HDF5 "
+                "encode/decode on a quarter of the\n  tiles) — not "
+                "comparable to r6's single-format wall.\n"
+                "- `resample_average` became a compound oracle (avg4 + "
+                "quicklook\n  stretch + two pyramid levels over formula "
+                "fixtures) — its wall is\n  dominated by fixed stage-"
+                "scheduling overhead of ~30 tiny stages and\n  is not "
+                "comparable to r4-r6.\n"
+                "- `reproject_merc` gained the NTv2 oracle leg (one "
+                "Arrow-batched\n  grid-shift UDF + .gsb write) — slightly "
+                "heavier than r6.\n"
+                "- Paired-estimator caveat: the within-round n2/n8 ratio "
+                "cancels\n  weather only when the host is STABLE across "
+                "the few minutes\n  separating that round's two runs.  In "
+                "a window where the bus\n  oscillates at minute scale "
+                "(observed: membw 8→32 control below 0.1\n  while the "
+                "2→8 control is healthy), individual paired rounds "
+                "collapse\n  and the min-based estimator — best n2 and "
+                "best n8 across rounds —\n  is the robust one; report "
+                "both and read the spread as the weather\n  band, not as "
+                "an engine property.\n"
+            )
+            + (
                 "\n## MinHash signature micro-bench\n\n"
                 f"{json.dumps(result['minhash_micro'])}\n\n"
                 "Same session, same cached web-page-length shingle arrays,\n"
