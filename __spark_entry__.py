@@ -1069,10 +1069,22 @@ def q_reproject_merc(spark, sf_dir):
         # not just the node values)
         (0.005 + ((F.col("id") * 7919) % 990) / 100.0).alias("lon_g"),
         (40.005 + ((F.col("id") * 104729) % 990) / 100.0).alias("lat_g"),
+        # Czech/Slovak service-area points for the Krovak leg (round 7)
+        (12.5 + ((F.col("id") * 7919) % 1000) / 100.0).alias("lon_k"),
+        (47.8 + ((F.col("id") * 104729) % 320) / 100.0).alias("lat_k"),
     )
     gx, gy = transform(
         SPARK, f"EPSG:4326|NTV2:{gsb}", "EPSG:4326",
         F.col("lon_g"), F.col("lat_g"),
+    )
+    # round-7: Krovak oblique conformal conic (EPSG 9819) on Bessel —
+    # the shorthand carries the pure projection (no Helmert leg), and
+    # DuckDB recomputes the Gaussian-sphere constants AND the per-point
+    # forward, so Krovak is graded every round like HOM
+    kx, ky = transform(
+        SPARK, "EPSG:4326",
+        "KROVAK:49.5,24.833333333333332,30.28813975,78.5,0.9999",
+        F.col("lon_k"), F.col("lat_k"),
     )
     mx, my = transform(
         SPARK, "EPSG:4326", "MERC:41,12.5", F.col("lon"), F.col("lat")
@@ -1105,6 +1117,8 @@ def q_reproject_merc(spark, sf_dir):
         .cast("long").alias("ntv2_dlon_mas"),
         F.floor((gy - F.col("lat_g")) * 3600000.0 + F.lit(1e-4))
         .cast("long").alias("ntv2_dlat_mas"),
+        F.floor(kx).cast("long").alias("krovak_e_m"),
+        F.floor(ky).cast("long").alias("krovak_n_m"),
     )
 
 
@@ -2277,7 +2291,9 @@ def oracle_sql() -> dict[str, str]:
                      109.0 + ((i*7919) % 1100) / 100.0 AS lon_h,
                      0.5 + ((i*104729) % 750) / 100.0 AS lat_h,
                      0.005 + ((i*7919) % 990) / 100.0 AS lon_g,
-                     40.005 + ((i*104729) % 990) / 100.0 AS lat_g
+                     40.005 + ((i*104729) % 990) / 100.0 AS lat_g,
+                     12.5 + ((i*7919) % 1000) / 100.0 AS lon_k,
+                     47.8 + ((i*104729) % 320) / 100.0 AS lat_k
               FROM range(2000) t(i)
             ), ell AS (
               -- WGS84: e2 = f(2-f), f = 1/298.257223563
@@ -2398,6 +2414,57 @@ def oracle_sql() -> dict[str, str]:
                      (a00*(1-wy)*(1-wx) + a01*(1-wy)*wx
                       + a10*wy*(1-wx) + a11*wy*wx) * 1000.0 AS dlat_mas
               FROM nv
+            ), kb AS (
+              -- Krovak (EPSG 9819) on Bessel 1841: Gaussian-sphere
+              -- constants recomputed from first principles
+              SELECT (1.0/299.1528128)*(2.0 - 1.0/299.1528128) AS e2b,
+                     sqrt((1.0/299.1528128)*(2.0 - 1.0/299.1528128)) AS eb,
+                     radians(49.5) AS phic,
+                     radians(78.5) AS phip,
+                     radians(30.28813975) AS ac
+            ), kc1 AS (
+              SELECT e2b, eb, phic, phip, ac,
+                     6377397.155*sqrt(1.0-e2b)
+                       /(1.0-e2b*sin(phic)*sin(phic)) AS ka,
+                     sqrt(1.0 + e2b*pow(cos(phic),4)/(1.0-e2b)) AS kbb
+              FROM kb
+            ), kc2 AS (
+              SELECT e2b, eb, phip, ac, ka, kbb,
+                     asin(sin(phic)/kbb) AS kg0
+              FROM kc1
+            ), kc AS (
+              SELECT e2b, eb, phip, ac, ka, kbb, kg0,
+                     tan(pi()/4 + kg0/2)
+                       * pow((1.0+eb*sin(radians(49.5)))
+                             /(1.0-eb*sin(radians(49.5))), eb*kbb/2.0)
+                       / pow(tan(pi()/4 + radians(49.5)/2), kbb) AS kt0,
+                     sin(phip) AS kn,
+                     (0.9999*ka/tan(phip))
+                       * pow(tan(pi()/4 + phip/2), sin(phip)) AS krt
+              FROM kc2
+            ), kp1 AS (
+              SELECT point_id, eb, kbb, kn, krt, ac, kg0, kt0,
+                     radians(lat_k) AS kphi,
+                     kbb*radians(24.833333333333332 - lon_k) AS kv
+              FROM pts, kc
+            ), kp2 AS (
+              SELECT point_id, kn, krt, ac, kg0, kv,
+                     2.0*(atan(kt0*pow(tan(kphi/2 + pi()/4), kbb)
+                               /pow((1.0+eb*sin(kphi))
+                                    /(1.0-eb*sin(kphi)), eb*kbb/2.0))
+                          - pi()/4) AS ku
+              FROM kp1
+            ), kp3 AS (
+              SELECT point_id, kn, krt, kv,
+                     asin(cos(ac)*sin(ku)
+                          + sin(ac)*cos(ku)*cos(kv)) AS kt,
+                     cos(ku) AS cku
+              FROM kp2
+            ), kp AS (
+              SELECT point_id,
+                     krt/pow(tan(kt/2 + pi()/4), kn) AS kr,
+                     kn*asin(cku*sin(kv)/cos(kt)) AS kth
+              FROM kp3
             )
             SELECT d.point_id,
                    cast(floor(ak * radians(dm)) AS bigint) AS merc_x_m,
@@ -2424,9 +2491,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor(nd.dlon_mas + 1e-4) AS bigint)
                      AS ntv2_dlon_mas,
                    cast(floor(nd.dlat_mas + 1e-4) AS bigint)
-                     AS ntv2_dlat_mas
+                     AS ntv2_dlat_mas,
+                   cast(floor(0.0 - kp.kr*sin(kp.kth)) AS bigint)
+                     AS krovak_e_m,
+                   cast(floor(0.0 - kp.kr*cos(kp.kth)) AS bigint)
+                     AS krovak_n_m
             FROM d JOIN hp ON d.point_id = hp.point_id
                  JOIN nd ON d.point_id = nd.point_id
+                 JOIN kp ON d.point_id = kp.point_id
         """,
         "temporal_oracle": """
             WITH px AS (
