@@ -1217,7 +1217,9 @@ def q_resample_average(spark, sf_dir):
         "layer_id int, bytes binary, h int, w int, channels int, "
         "dtype string",
     )
-    pyr = build_pyramid(tiles, levels=2)
+    # parts=4: a 4-tile fixture under the session's shuffle_partitions
+    # would schedule dozens of empty tasks per pyramid level
+    pyr = build_pyramid(tiles, levels=2, parts=4)
     pyr_px = pyr.mapInPandas(explode_raw(None), px_schema)
 
     return avg_px.unionByName(ql_px).unionByName(pyr_px)

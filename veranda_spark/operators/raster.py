@@ -1482,6 +1482,7 @@ def build_pyramid(
     tiles: DataFrame,
     levels: int = 2,
     nodata: float = -9999.0,
+    parts: int | None = None,
 ) -> DataFrame:
     """Distributed overview pyramid over burn-in tiles (the gdaladdo /
     COG-overview analog, computed ACROSS tiles instead of inside one
@@ -1510,7 +1511,12 @@ def build_pyramid(
     out: DataFrame | None = None
     cur = tiles
     level_frames: list[DataFrame] = []
-    n_parts = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # parts: override for small/fixture inputs where the session-wide
+    # shuffle_partitions would schedule mostly-empty tasks per level
+    n_parts = (
+        parts if parts is not None
+        else int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     for level in range(1, levels + 1):
         # persist each level: the returned union references level k from
         # BOTH its own branch and level k+1's lineage — without the shared
