@@ -1006,3 +1006,22 @@ def test_nc4_chunksizes_knob():
     # classic layouts have no chunking — loud error, not silent ignore
     with pytest.raises(ValueError, match="version=4"):
         nc_encode(ncds, version=1, chunksizes=(2, 10, 10))
+
+
+def test_nc4_chunksizes_validation():
+    # review r7 pass-2: float entries coerce cleanly, and a chunk shape
+    # exceeding the writer's 2048-chunk B-tree limit fails with a clear
+    # ValueError naming chunksizes — not a deep struct/NotImplemented
+    ncds = {
+        "dims": {"t": None, "y": 25, "x": 40},
+        "vars": {"v": {"dims": ("t", "y", "x"),
+                       "data": np.zeros((6, 25, 40), dtype="float32"),
+                       "attrs": {}}},
+        "attrs": {},
+    }
+    data = nc_encode(ncds, version=4, chunksizes=(100.0, 10.0, 10.0))
+    back = nc_decode(data)
+    np.testing.assert_array_equal(back["vars"]["v"]["data"],
+                                  ncds["vars"]["v"]["data"])
+    with pytest.raises(ValueError, match="chunksizes .* 2048"):
+        nc_encode(ncds, version=4, chunksizes=(1, 1, 2))

@@ -674,9 +674,14 @@ def nc4_encode(ncds: dict, chunksizes: tuple | None = None) -> bytes:
 
     ``chunksizes`` mirrors the reference's NetCdfXrFile(chunksizes=...)
     knob (native/netcdf.py chunking, pinned by its test_xarray.py
-    chunksizes test): a tuple applied to every variable whose rank
-    matches, each entry clamped to the dim's current size (unlimited
-    dims excepted); None keeps the automatic per-record chunking."""
+    chunksizes test): a tuple applied to every DATA variable whose rank
+    matches (coordinate/dimension-scale variables keep their automatic
+    single-chunk layout — same scope as the reference, which passes the
+    knob to its data variables), each entry clamped to the dim's
+    current size (unlimited dims excepted).  A chunk shape yielding
+    more than 2048 chunks for some variable is rejected with a clear
+    error (the writer's chunk-B-tree depth limit); None keeps the
+    automatic per-record chunking, which always stays under it."""
     from veranda_spark.functions.hdf5 import h5_write
 
     dims = dict(ncds.get("dims", {}))
@@ -751,11 +756,23 @@ def nc4_encode(ncds: dict, chunksizes: tuple | None = None) -> bytes:
         if chunksizes is not None and len(chunksizes) == data.ndim:
             # user-directed chunking (reference chunksizes knob) —
             # clamp to current extents except along the unlimited dim
-            spec["chunks"] = tuple(
-                max(1, c if (is_rec_var and i == 0)
+            # (int() everywhere: a float entry would otherwise crash
+            # deep in the struct packing — review r7 pass-2 #1)
+            chunks = tuple(
+                max(1, int(c) if (is_rec_var and i == 0)
                     else min(int(c), max(s, 1)))
                 for i, (c, s) in enumerate(zip(chunksizes, data.shape))
             )
+            n_chunks = 1
+            for c, s in zip(chunks, data.shape):
+                n_chunks *= -(-max(s, 1) // c)
+            if n_chunks > 2048:
+                raise ValueError(
+                    f"chunksizes {tuple(chunksizes)} yields {n_chunks} "
+                    f"chunks for variable {name!r} (> the writer's 2048 "
+                    "per-dataset chunk-B-tree limit) — use larger chunks"
+                )
+            spec["chunks"] = chunks
         elif is_rec_var:
             # chunk depth scales with the stack so the writer's 2-level
             # chunk B-tree (≤2048 chunks/dataset) never caps the record
