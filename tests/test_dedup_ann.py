@@ -341,3 +341,51 @@ def test_persisted_ivf_pq_index_matches_per_call(spark, embeddings, tmp_path):
         ).collect()
     )
     assert served == fresh
+
+
+def test_pq_lut_cells_subset_of_prune_list(spark, embeddings):
+    """ADVICE r7: the partition-prune cell list (_probe_cells_udf) and
+    the PQ LUT frame's cells (_pq_probe_udf) must agree, or pruning
+    silently drops cells the LUT probes.  Both now call the shared
+    _select_probe_cells; this guards the contract end-to-end through
+    the two UDFs (tie-breaks, dtype, rotation order)."""
+    import numpy as np
+
+    from veranda_spark.operators.ann import (
+        _explode_query_cells,
+        _explode_query_luts,
+        _kmeans,
+        _select_probe_cells,
+        _train_pq,
+        _train_sample,
+    )
+
+    qs = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sample = _train_sample(c, 200, 42)
+    centroids = _kmeans(sample, 8, seed=42)
+    books = _train_pq(sample, 8, 16, seed=42)
+
+    prune = {
+        (r["query_id"], r["cell"])
+        for r in _explode_query_cells(
+            qs, centroids, 4, "query_id", "embedding"
+        ).collect()
+    }
+    lut_cells = {
+        (r["query_id"], r["cell"])
+        for r in _explode_query_luts(
+            qs, centroids, books, None, False, 4, "query_id", "embedding"
+        ).collect()
+    }
+    assert lut_cells == prune  # equal, not just subset: same helper
+
+    # the helper itself is deterministic on ties (argsort is stable)
+    mat = np.stack([r["emb"] for r in c.limit(16).collect()])
+    a = _select_probe_cells(mat, centroids, 4)
+    b = _select_probe_cells(mat, centroids, 4)
+    assert (a == b).all()

@@ -330,10 +330,22 @@ def _parse_v2_messages(buf: bytes, pos: int, end: int, flags: int,
     # never emits v2)
     end -= 4
     track = bool(flags & 0x04)
-    while pos + 4 <= end:
+    # message prefix = type(1) + size(2) + flags(1) [+ creation order(2)]
+    prefix = 4 + (2 if track else 0)
+    while pos + prefix <= end:
         mtype = buf[pos]
         msize = struct.unpack_from("<H", buf, pos + 1)[0]
-        pos += 4 + (2 if track else 0)
+        if pos + prefix + msize > end:
+            # spec gaps are ALWAYS smaller than the message prefix, so a
+            # "message" whose body overruns the chunk means a layout we
+            # don't understand — raise a named error instead of parsing
+            # garbage (ADVICE r7)
+            raise ValueError(
+                f"v2 object header: message type {mtype} size {msize} at "
+                f"offset {pos} overruns the chunk — gap/unsupported v2 "
+                "header layout"
+            )
+        pos += prefix
         body = buf[pos:pos + msize]
         pos += msize
         if mtype == 0x0010:
@@ -343,6 +355,12 @@ def _parse_v2_messages(buf: bytes, pos: int, end: int, flags: int,
             _parse_v2_messages(buf, caddr + 4, caddr + clen, flags, out)
         else:
             out.append((mtype, body))
+    # trailing sub-prefix bytes are the spec's gap and must be zeros
+    if pos < end and any(buf[pos:end]):
+        raise ValueError(
+            "v2 object header: nonzero gap bytes before the chunk "
+            "checksum — gap/unsupported v2 header layout"
+        )
 
 
 def _read_object_header(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
@@ -883,7 +901,7 @@ def h5_write(datasets: dict[str, dict], attrs: dict | None = None) -> bytes:
             nd = len(chunks) + 1
 
             def node_bytes(level: int, ents: list, kids: list[int],
-                           next_key: tuple) -> bytes:
+                           next_csz: int, next_key: tuple) -> bytes:
                 b = b"TREE" + bytes([1, level])
                 b += struct.pack("<H", len(kids))
                 b += struct.pack("<QQ", UNDEF, UNDEF)
@@ -891,7 +909,9 @@ def h5_write(datasets: dict[str, dict], attrs: dict | None = None) -> bytes:
                     b += struct.pack("<II", csz, 0)
                     b += b"".join(struct.pack("<Q", o) for o in offs)
                     b += struct.pack("<Q", kid)
-                b += struct.pack("<II", 0, 0)
+                # the nkeys+1'th key: the right sibling's first chunk
+                # (real filtered size) or the past-the-end key (size 0)
+                b += struct.pack("<II", next_csz, 0)
                 b += b"".join(struct.pack("<Q", o) for o in next_key)
                 return b
 
@@ -901,19 +921,26 @@ def h5_write(datasets: dict[str, dict], attrs: dict | None = None) -> bytes:
             ) + (0,)
             leaf_addrs = []
             for i, leaf in enumerate(leaves):
-                nxt = (leaves[i + 1][0][0] if i + 1 < len(leaves)
-                       else end_key)
+                if i + 1 < len(leaves):
+                    nxt_csz, nxt = leaves[i + 1][0][1], leaves[i + 1][0][0]
+                else:
+                    nxt_csz, nxt = 0, end_key
                 lb = node_bytes(
-                    0, leaf, [a for (_o, _s, a) in leaf], nxt
+                    0, leaf, [a for (_o, _s, a) in leaf], nxt_csz, nxt
                 )
                 leaf_addrs.append(alloc.put(lb))
             if len(leaves) == 1:
                 data_addr[name] = leaf_addrs[0]
             else:
+                # internal-node keys mirror each child's FIRST key,
+                # including the real filtered chunk size — libhdf5 emits
+                # (and some tools consult) the size field at every level
+                # (ADVICE r7: a 0 size here misreads under external
+                # readers even though our own reader ignores it)
                 ib = node_bytes(
                     1,
-                    [(leaf[0][0], 0, 0) for leaf in leaves],
-                    leaf_addrs, end_key,
+                    [(leaf[0][0], leaf[0][1], 0) for leaf in leaves],
+                    leaf_addrs, 0, end_key,
                 )
                 data_addr[name] = alloc.put(ib)
             chunk_info[name] = entries

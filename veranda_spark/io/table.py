@@ -374,11 +374,16 @@ def _stage_dir(vdir: str, nonce: str) -> str:
     return os.path.join(vdir, f"_stage_{nonce}")
 
 
-def _promote_stage(stage: str, vdir: str) -> None:
+def _promote_stage(stage: str, vdir: str) -> list[str]:
     """Move every staged child up into the version dir (same-filesystem
     renames — metadata-only).  Runs strictly after ``_verify_claim``;
-    collisions mean a protocol violation and fail loudly."""
-    for name in sorted(os.listdir(stage)):
+    collisions mean a protocol violation and fail loudly.  Returns the
+    promoted child names so a post-promote fence failure can demote
+    them (ADVICE r7: N partition renames on a slow FS can take far
+    longer than the pre-promote check assumed, so the fence re-runs
+    after promotion too — see ``_fenced_promote_commit``)."""
+    names = sorted(os.listdir(stage))
+    for name in names:
         dst = os.path.join(vdir, name)
         if os.path.exists(dst):
             raise RuntimeError(
@@ -387,6 +392,38 @@ def _promote_stage(stage: str, vdir: str) -> None:
             )
         os.rename(os.path.join(stage, name), dst)
     os.rmdir(stage)
+    return names
+
+
+def _fenced_promote_commit(
+    path: str, stage: str, vdir: str, nonce: str, version: int
+) -> None:
+    """Fence → promote → fence again → commit.  The second fence closes
+    the window ADVICE r7 flagged: promoting N partition dirs is N
+    sequential renames, which on a slow/network FS can dwarf the
+    'microseconds' the first check assumed.  After the re-check the
+    unguarded window is genuinely just the final ``_current`` rename.
+    On a post-promote fence failure the promoted children are demoted
+    back into the stage and the stage removed (best-effort — a
+    re-claimer racing these renames collides loudly in its own
+    ``_promote_stage``, never silently)."""
+    try:
+        _verify_claim(vdir, nonce)
+    except RuntimeError:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    promoted = _promote_stage(stage, vdir)
+    try:
+        _verify_claim(vdir, nonce)
+    except RuntimeError:
+        os.makedirs(stage, exist_ok=True)
+        for name in promoted:
+            src = os.path.join(vdir, name)
+            if os.path.exists(src):
+                os.rename(src, os.path.join(stage, name))
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    _commit(path, version)
 
 
 def _claim_info(vdir: str) -> tuple[bool, str | None, float | None]:
@@ -655,15 +692,9 @@ def merge_into(
             # voiding the exclusive-mkdir claim
             merged.write.mode("append").parquet(stage)
 
-        try:
-            _verify_claim(new_dir, nonce)
-        except RuntimeError:
-            # our stage is ours to clean even inside a re-claimed dir;
-            # the committed state is untouched either way
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        _promote_stage(stage, new_dir)
-        _commit(path, new_v)
+        # our stage is ours to clean even inside a re-claimed dir; the
+        # committed state is untouched on any fence failure
+        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
 
@@ -763,13 +794,7 @@ def compact_table(
             read_table(spark, path).coalesce(max_files).write.mode(
                 "append"
             ).parquet(stage)
-            try:
-                _verify_claim(new_dir, nonce)
-            except RuntimeError:
-                shutil.rmtree(stage, ignore_errors=True)
-                raise
-            _promote_stage(stage, new_dir)
-            _commit(path, new_v)
+            _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
         return {"version": new_v, "compacted": 1, "files_before": before,
                 "files_after": _count_parquet(new_dir)}
 
@@ -819,13 +844,7 @@ def compact_table(
         )
         if manifest_entries:
             _write_manifest(stage, manifest_entries)
-        try:
-            _verify_claim(new_dir, nonce)
-        except RuntimeError:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        _promote_stage(stage, new_dir)
-        _commit(path, new_v)
+        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
     after = sum(
         _count_parquet(_partition_src(path, name, v, rel))
         for name, (v, rel) in _old_partitions(path, new_v, partition_by).items()

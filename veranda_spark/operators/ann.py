@@ -107,12 +107,23 @@ def _cell_udf(centroids: np.ndarray):
     return cell_of
 
 
+def _select_probe_cells(
+    mat: np.ndarray, centroids: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """THE probe-cell selection rule, (batch, nprobe) int32 — the single
+    source of truth shared by the prune-list path (_probe_cells_udf) and
+    the PQ LUT path (_pq_probe_udf).  ADVICE r7: the two paths used to
+    argsort independently; any divergence (tie-break, metric, rotation
+    order) would silently prune cells the LUT frame probes."""
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, axis=1)[:, :nprobe].astype("int32")
+
+
 def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
     def cells_of_query(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy())
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
         return pd.Series(
-            [list(np.argsort(row)[:nprobe].astype("int32")) for row in d]
+            [list(row) for row in _select_probe_cells(m, centroids, nprobe)]
         )
 
     return F.pandas_udf(cells_of_query, T.ArrayType(T.IntegerType()))
@@ -342,8 +353,7 @@ def _pq_probe_udf(
 
     def probe_lut(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.to_numpy())
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        cells = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
+        cells = _select_probe_cells(mat, centroids, nprobe)
         out = []
         for i in range(len(mat)):
             probes = []
