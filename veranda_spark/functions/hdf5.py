@@ -12,17 +12,22 @@ Spark kernels, no native library.
 Scope (honest statement — VERDICT r6 #1):
 
 READ side accepts superblock versions 0-3, object headers v1 AND v2,
-old-style groups (symbol-table message → v1 B-tree → SNOD → local heap)
-AND compact new-style groups (Link Info + Link messages), dataspace
-v1/v2, datatype classes fixed-point / float / string / reference /
-vlen-of-reference, data layout v3 contiguous + chunked (v1 B-tree chunk
-index, any tree depth), filter pipeline v1/v2 with deflate(1),
-shuffle(2) and fletcher32(3, verified), attribute messages v1/v2/v3,
-object-header continuation blocks, and global-heap collections (vlen
-attribute payloads — netCDF-4's ``DIMENSION_LIST``).  Everything
-outside that subset raises loudly with the feature name (dense/fractal
-link or attribute storage, v2 B-tree chunk indexes, szip/nbit, compound
-or enum datatypes, subgroups).
+ALL THREE group storage styles (old-style symbol-table → v1 B-tree →
+SNOD → local heap; compact Link messages; dense fractal-heap + v2
+B-tree name index), dataspace v1/v2, datatype classes fixed-point /
+float / string / reference / vlen-of-reference, data layout v3
+contiguous + chunked (v1 B-tree chunk index, any tree depth) AND v4
+with all five modern chunk indexes (single chunk, implicit, fixed
+array, extensible array, v2 B-tree — what libhdf5/h5py emit under
+libver="latest"), filter pipeline v1/v2 with deflate(1), shuffle(2)
+and fletcher32(3, verified), attribute messages v1/v2/v3 in compact
+AND dense (fractal-heap) storage, object-header continuation blocks,
+and global-heap collections (vlen attribute payloads — netCDF-4's
+``DIMENSION_LIST``).  Everything outside that subset raises loudly
+with the feature name (szip/nbit, compound or enum datatypes,
+subgroups, paged fixed/extensible-array blocks, filtered fractal
+heaps, huge heap objects, nested heap indirect blocks, SOHM-shared
+messages).
 
 WRITE side emits one fixed, spec-conformant shape: superblock v0, v1
 object headers, an old-style root group (the layout default libhdf5
@@ -326,9 +331,11 @@ def _parse_v1_messages(buf: bytes, pos: int, hsize: int, out: list) -> None:
 
 def _parse_v2_messages(buf: bytes, pos: int, end: int, flags: int,
                        out: list) -> None:
-    # v2 chunks end with a 4-byte checksum (not validated — write side
-    # never emits v2)
-    end -= 4
+    """Parse v2 object-header messages in [pos, end).  ``end`` is the
+    TRUE end of the message area: chunk 0's stored size already excludes
+    the trailing checksum (libhdf5 semantics), while an OCHK
+    continuation's stored length includes its signature AND checksum —
+    the recursion below strips both.  Checksums are not validated."""
     track = bool(flags & 0x04)
     # message prefix = type(1) + size(2) + flags(1) [+ creation order(2)]
     prefix = 4 + (2 if track else 0)
@@ -352,7 +359,7 @@ def _parse_v2_messages(buf: bytes, pos: int, end: int, flags: int,
             caddr, clen = struct.unpack_from("<QQ", body, 0)
             if buf[caddr:caddr + 4] != b"OCHK":
                 raise ValueError("bad OCHK continuation signature")
-            _parse_v2_messages(buf, caddr + 4, caddr + clen, flags, out)
+            _parse_v2_messages(buf, caddr + 4, caddr + clen - 4, flags, out)
         else:
             out.append((mtype, body))
     # trailing sub-prefix bytes are the spec's gap and must be zeros
@@ -416,6 +423,455 @@ def _btree1_chunks(buf: bytes, addr: int, ndims: int,
         else:
             _btree1_chunks(buf, child, ndims, out)
         pos += ksize + 8
+
+
+# ---- modern-writer structures: v2 B-tree, fractal heap, v4 chunk indexes ---
+# What libhdf5/h5py emit under libver="latest" (and increasingly by
+# default): version-2 B-trees (spec §III.A.2), fractal heaps (§III.G),
+# Fixed/Extensible Array chunk indexes (§III.H, §III.I) and Data Layout
+# message version 4 (§IV.A.2.i).  Read-only — the write side keeps the
+# v0/v1 "libhdf5 default" shape.  Metadata checksums (Jenkins lookup3)
+# are not validated, the same posture as the v2 object-header path.
+
+
+def _v2b_limit_enc(n: int) -> int:
+    """Minimum bytes to store ``n`` (libhdf5's H5VM_limit_enc_size)."""
+    sz = 0
+    while True:
+        sz += 1
+        n >>= 8
+        if n == 0:
+            return sz
+
+
+def _v2btree_records(buf: bytes, addr: int) -> tuple[int, int, list[bytes]]:
+    """Walk a version-2 B-tree → (record type, record size, raw records
+    in tree order).  Handles any depth; the variable-width child-pointer
+    fields are sized with libhdf5's capacity algorithm (node capacities
+    determine the on-disk width of each node's "number of records")."""
+    if buf[addr:addr + 4] != b"BTHD":
+        raise ValueError(f"bad v2 B-tree header signature at {addr:#x}")
+    btype = buf[addr + 5]
+    node_size, rec_size, depth = struct.unpack_from("<IHH", buf, addr + 6)
+    root_addr, root_nrec = struct.unpack_from("<QH", buf, addr + 16)
+    # node-capacity table: leaf/internal prefix = sig(4)+ver(1)+type(1)
+    # +checksum(4) = 10 bytes; internal child pointer = addr(8) +
+    # nrec(max_nrec_size) + [cum total(cum_size[d-1]) when child depth>0]
+    leaf_cap = (node_size - 10) // rec_size
+    nrec_size = _v2b_limit_enc(leaf_cap)
+    cum_max = [leaf_cap]
+    cum_size = [0]
+    for d in range(1, depth + 1):
+        ptr = 8 + nrec_size + cum_size[d - 1]
+        cap = (node_size - (10 + ptr)) // (rec_size + ptr)
+        cum = (cap + 1) * cum_max[d - 1] + cap
+        cum_max.append(cum)
+        cum_size.append(_v2b_limit_enc(cum))
+    out: list[bytes] = []
+
+    def walk(a: int, nrec: int, d: int) -> None:
+        sig = buf[a:a + 4]
+        pos = a + 6
+        if d == 0:
+            if sig != b"BTLF":
+                raise ValueError(f"bad v2 B-tree leaf signature at {a:#x}")
+            for _ in range(nrec):
+                out.append(buf[pos:pos + rec_size])
+                pos += rec_size
+            return
+        if sig != b"BTIN":
+            raise ValueError(f"bad v2 B-tree internal signature at {a:#x}")
+        recs = []
+        for _ in range(nrec):
+            recs.append(buf[pos:pos + rec_size])
+            pos += rec_size
+        kids = []
+        for _ in range(nrec + 1):
+            ka = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+            knrec = int.from_bytes(buf[pos:pos + nrec_size], "little")
+            pos += nrec_size
+            if d >= 2:  # "total records in subtree" present below depth-1
+                pos += cum_size[d - 1]
+            kids.append((ka, knrec))
+        for i in range(nrec):
+            walk(kids[i][0], kids[i][1], d - 1)
+            out.append(recs[i])
+        walk(kids[nrec][0], kids[nrec][1], d - 1)
+
+    if root_addr != UNDEF and (root_nrec > 0 or depth > 0):
+        walk(root_addr, root_nrec, depth)
+    return btype, rec_size, out
+
+
+def _fractal_heap_reader(buf: bytes, addr: int):
+    """Parse a fractal heap header (FRHP) → ``get(heap_id) -> bytes``.
+
+    Managed IDs (direct-mapped through the doubling table: root direct
+    block, or a root indirect block of direct children) and tiny IDs
+    (payload packed in the ID).  Gated loudly: filtered heaps, huge
+    IDs, nested indirect blocks — none appear in netCDF-4 attribute or
+    link heaps at classic-model scale."""
+    if buf[addr:addr + 4] != b"FRHP":
+        raise ValueError(f"bad fractal heap signature at {addr:#x}")
+    id_len, filt_len = struct.unpack_from("<HH", buf, addr + 5)
+    flags = buf[addr + 9]
+    if filt_len:
+        raise NotImplementedError(
+            "filtered fractal heap (compressed direct blocks) is outside "
+            "the subset"
+        )
+    width, start_size, max_direct = struct.unpack_from("<HQQ", buf, addr + 110)
+    max_heap_bits, _start_rows = struct.unpack_from("<HH", buf, addr + 128)
+    root_addr = struct.unpack_from("<Q", buf, addr + 132)[0]
+    cur_rows = struct.unpack_from("<H", buf, addr + 140)[0]
+    off_size = (max_heap_bits + 7) // 8
+    len_size = id_len - 1 - off_size
+    if len_size < 1:
+        raise ValueError(f"implausible fractal heap ID length {id_len}")
+    max_direct_rows = (
+        max_direct.bit_length() - start_size.bit_length()
+    ) + 2
+    del flags  # direct-block checksum presence — not needed: the heap
+    # offset space maps 1:1 onto block images, headers included
+
+    def row_size(r: int) -> int:
+        return start_size if r < 2 else start_size << (r - 1)
+
+    def locate(off: int) -> int:
+        """Heap offset → file address (managed space)."""
+        if cur_rows == 0:  # root IS a direct block of the starting size
+            if off >= start_size:
+                raise ValueError(
+                    f"heap offset {off} beyond lone root direct block"
+                )
+            return root_addr + off
+        if buf[root_addr:root_addr + 4] != b"FHIB":
+            raise ValueError(
+                f"bad fractal heap indirect block at {root_addr:#x}"
+            )
+        body = root_addr + 4 + 1 + 8 + off_size
+        row_off = 0
+        for r in range(cur_rows):
+            sz = row_size(r)
+            span = width * sz
+            if off < row_off + span:
+                if r >= max_direct_rows:
+                    raise NotImplementedError(
+                        "nested indirect fractal-heap blocks are outside "
+                        "the subset"
+                    )
+                col = (off - row_off) // sz
+                child = struct.unpack_from(
+                    "<Q", buf, body + (r * width + col) * 8
+                )[0]
+                if child == UNDEF:
+                    raise ValueError(f"heap offset {off} in unallocated block")
+                return child + (off - (row_off + col * sz))
+            row_off += span
+        raise ValueError(f"heap offset {off} beyond root indirect block rows")
+
+    def get(heap_id: bytes) -> bytes:
+        idtype = (heap_id[0] >> 4) & 0x3
+        if idtype == 0:  # managed
+            off = int.from_bytes(heap_id[1:1 + off_size], "little")
+            ln = int.from_bytes(
+                heap_id[1 + off_size:1 + off_size + len_size], "little"
+            )
+            a = locate(off)
+            return bytes(buf[a:a + ln])
+        if idtype == 2:  # tiny, normal sub-type (id_len <= 18 always here)
+            ln = (heap_id[0] & 0x0F) + 1
+            return bytes(heap_id[1:1 + ln])
+        raise NotImplementedError(
+            "huge fractal-heap objects (v2-B-tree indexed) are outside "
+            "the subset"
+        )
+
+    return get
+
+
+def _dense_attr_bodies(buf: bytes, body: bytes) -> list[bytes]:
+    """Attribute Info message (0x0015) → raw attribute-message bodies
+    from the fractal heap, in name-index order (dense storage)."""
+    flags = body[1]
+    pos = 2 + (2 if flags & 1 else 0)
+    fheap, name_bt = struct.unpack_from("<QQ", body, pos)
+    if fheap == UNDEF:
+        return []
+    get = _fractal_heap_reader(buf, fheap)
+    btype, _rs, recs = _v2btree_records(buf, name_bt)
+    if btype != 8:
+        raise ValueError(f"attribute name index has v2-B-tree type {btype}")
+    out = []
+    for r in recs:
+        # type-8 record: heap ID(8) + message flags(1) + corder(4) + hash(4)
+        if r[8] & 0x02:
+            raise NotImplementedError(
+                "shared (SOHM) dense attribute message is outside the subset"
+            )
+        out.append(get(r[0:8]))
+    return out
+
+
+def _dense_links(buf: bytes, body: bytes, links: dict[str, int]) -> None:
+    """Link Info message (0x0002) with a fractal heap → hard links."""
+    flags = body[1]
+    pos = 2 + (8 if flags & 1 else 0)
+    fheap, name_bt = struct.unpack_from("<QQ", body, pos)
+    if fheap == UNDEF:
+        return
+    get = _fractal_heap_reader(buf, fheap)
+    btype, _rs, recs = _v2btree_records(buf, name_bt)
+    if btype != 5:
+        raise ValueError(f"link name index has v2-B-tree type {btype}")
+    for r in recs:
+        # type-5 record: hash of name(4) + heap ID(7)
+        name, a = _parse_link_msg(get(r[4:11]))
+        links[name] = a
+
+
+# ---- v4 chunk indexes (Single/Implicit/Fixed Array/Extensible/v2 B-tree) ---
+
+
+def _chunk_grid_counts(shape: tuple, cdims: tuple) -> list[int]:
+    return [max(0, -(-s // c)) for s, c in zip(shape, cdims)]
+
+
+def _linear_to_offsets(idx: int, counts: list[int], cdims: tuple) -> tuple:
+    """Row-major linear chunk index → element offsets."""
+    offs = []
+    for n, c in zip(reversed(counts), reversed(cdims)):
+        offs.append((idx % n) * c)
+        idx //= n
+    return tuple(reversed(offs))
+
+
+def _fixed_array_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
+                        chunk_bytes: int,
+                        out: list[tuple[tuple, int, int, int]]) -> None:
+    """Fixed Array chunk index (FAHD → FADB), client 0 (raw) and 1
+    (filtered).  Non-paged only — a paged data block (more entries than
+    2^page_bits) raises with the feature name."""
+    if buf[addr:addr + 4] != b"FAHD":
+        raise ValueError(f"bad fixed array header signature at {addr:#x}")
+    client, entry_size, page_bits = buf[addr + 5], buf[addr + 6], buf[addr + 7]
+    max_nelmts, db_addr = struct.unpack_from("<QQ", buf, addr + 8)
+    if client not in (0, 1):
+        raise NotImplementedError(f"fixed array client id {client}")
+    if db_addr == UNDEF:
+        return
+    if max_nelmts > (1 << page_bits):
+        raise NotImplementedError(
+            "paged fixed-array data block is outside the subset"
+        )
+    if buf[db_addr:db_addr + 4] != b"FADB":
+        raise ValueError(f"bad fixed array data block at {db_addr:#x}")
+    pos = db_addr + 4 + 1 + 1 + 8
+    counts = _chunk_grid_counts(shape, cdims)
+    for i in range(max_nelmts):
+        e = buf[pos + i * entry_size:pos + (i + 1) * entry_size]
+        a = struct.unpack_from("<Q", e, 0)[0]
+        if a == UNDEF:
+            continue
+        offs = _linear_to_offsets(i, counts, cdims)
+        if client == 1:
+            csize = int.from_bytes(e[8:entry_size - 4], "little")
+            fmask = struct.unpack_from("<I", e, entry_size - 4)[0]
+            out.append((offs, csize, fmask, a))
+        else:
+            out.append((offs, chunk_bytes, 0, a))
+
+
+def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
+                   chunk_bytes: int,
+                   out: list[tuple[tuple, int, int, int]]) -> None:
+    """Extensible Array chunk index (EAHD → EAIB → EASB/EADB) — the
+    index libhdf5 picks for one unlimited dimension (netCDF-4 record
+    variables under libver="latest").  Elements live in the index
+    block, then in data blocks of doubling size grouped into super
+    blocks, per libhdf5's H5EA super-block geometry: super block s
+    holds 2^(s//2) data blocks of 2^((s+1)//2)·min_elmts elements."""
+    if buf[addr:addr + 4] != b"EAHD":
+        raise ValueError(f"bad extensible array header signature at {addr:#x}")
+    (client, elt_size, max_bits, ib_elmts, db_min_elmts,
+     sb_min_ptrs, db_page_bits) = buf[addr + 5:addr + 12]
+    max_index_set = struct.unpack_from("<Q", buf, addr + 44)[0]
+    ib_addr = struct.unpack_from("<Q", buf, addr + 60)[0]
+    if client not in (0, 1):
+        raise NotImplementedError(f"extensible array client id {client}")
+    if ib_addr == UNDEF or max_index_set == 0:
+        return
+    if buf[ib_addr:ib_addr + 4] != b"EAIB":
+        raise ValueError(f"bad extensible array index block at {ib_addr:#x}")
+    arr_off_size = (max_bits + 7) // 8
+    nsblks_total = 1 + (max_bits - (db_min_elmts.bit_length() - 1)) // 2
+    ib_nsblks = 2 * (sb_min_ptrs.bit_length() - 1)
+    ib_ndblk_addrs = 2 * (sb_min_ptrs - 1)
+    ib_body = ib_addr + 4 + 1 + 1 + 8
+
+    # super-block geometry table
+    sb_ndblks, sb_nelmts, sb_start_idx, sb_start_dblk = [], [], [], []
+    si = sd = 0
+    for s in range(nsblks_total):
+        nd = 1 << (s // 2)
+        ne = (1 << ((s + 1) // 2)) * db_min_elmts
+        sb_ndblks.append(nd)
+        sb_nelmts.append(ne)
+        sb_start_idx.append(si)
+        sb_start_dblk.append(sd)
+        si += nd * ne
+        sd += nd
+
+    def parse_elem(e: bytes, idx: int) -> None:
+        a = struct.unpack_from("<Q", e, 0)[0]
+        if a == UNDEF:
+            return
+        offs = _linear_to_offsets(idx, counts, cdims)
+        if client == 1:
+            csize = int.from_bytes(e[8:elt_size - 4], "little")
+            fmask = struct.unpack_from("<I", e, elt_size - 4)[0]
+            out.append((offs, csize, fmask, a))
+        else:
+            out.append((offs, chunk_bytes, 0, a))
+
+    def dblock_elems(da: int, nelmts: int) -> int:
+        """→ file position of the first element in a data block."""
+        if da == UNDEF:
+            return -1
+        if nelmts > (1 << db_page_bits):
+            raise NotImplementedError(
+                "paged extensible-array data block is outside the subset"
+            )
+        if buf[da:da + 4] != b"EADB":
+            raise ValueError(f"bad extensible array data block at {da:#x}")
+        return da + 4 + 1 + 1 + 8 + arr_off_size
+
+    counts = _chunk_grid_counts(shape, cdims)
+    sblk_cache: dict[int, int] = {}
+    for idx in range(max_index_set):
+        if idx < ib_elmts:
+            pos = ib_body + idx * elt_size
+            parse_elem(buf[pos:pos + elt_size], idx)
+            continue
+        u = idx - ib_elmts
+        s = (u // db_min_elmts + 1).bit_length() - 1
+        rel = u - sb_start_idx[s]
+        dblk = rel // sb_nelmts[s]
+        within = rel % sb_nelmts[s]
+        if s < ib_nsblks:
+            # data-block pointer lives in the index block
+            da = struct.unpack_from(
+                "<Q", buf,
+                ib_body + ib_elmts * elt_size
+                + (sb_start_dblk[s] + dblk) * 8,
+            )[0]
+        else:
+            key = s - ib_nsblks
+            if key not in sblk_cache:
+                sa = struct.unpack_from(
+                    "<Q", buf,
+                    ib_body + ib_elmts * elt_size
+                    + ib_ndblk_addrs * 8 + key * 8,
+                )[0]
+                sblk_cache[key] = sa
+            sa = sblk_cache[key]
+            if sa == UNDEF:
+                continue
+            if buf[sa:sa + 4] != b"EASB":
+                raise ValueError(
+                    f"bad extensible array super block at {sa:#x}"
+                )
+            if sb_nelmts[s] > (1 << db_page_bits):
+                # a page bitmap precedes the addresses in that case
+                raise NotImplementedError(
+                    "paged extensible-array super block is outside the "
+                    "subset"
+                )
+            da = struct.unpack_from(
+                "<Q", buf, sa + 4 + 1 + 1 + 8 + arr_off_size + dblk * 8
+            )[0]
+        base = dblock_elems(da, sb_nelmts[s])
+        if base < 0:
+            continue
+        pos = base + within * elt_size
+        parse_elem(buf[pos:pos + elt_size], idx)
+
+
+def _btree2_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
+                   chunk_bytes: int,
+                   out: list[tuple[tuple, int, int, int]]) -> None:
+    """Version-2 B-tree chunk index: record type 10 (raw: address +
+    scaled offsets) / 11 (filtered: address + chunk size + filter mask
+    + scaled offsets).  Scaled offsets are chunk-grid indices; the
+    B-tree's own type field says which record shape is stored."""
+    btype, rec_size, recs = _v2btree_records(buf, addr)
+    rank = len(cdims)
+    if btype == 11:
+        csize_len = rec_size - 12 - 8 * rank
+        if csize_len < 1:
+            raise ValueError(
+                f"v2 B-tree record size {rec_size} inconsistent with "
+                f"rank {rank}"
+            )
+        for r in recs:
+            a = struct.unpack_from("<Q", r, 0)[0]
+            csize = int.from_bytes(r[8:8 + csize_len], "little")
+            fmask = struct.unpack_from("<I", r, 8 + csize_len)[0]
+            scaled = struct.unpack_from(f"<{rank}Q", r, 12 + csize_len)
+            out.append(
+                (tuple(s * c for s, c in zip(scaled, cdims)), csize, fmask, a)
+            )
+    elif btype == 10:
+        if rec_size != 8 * (rank + 1):
+            raise ValueError(
+                f"v2 B-tree record size {rec_size} inconsistent with "
+                f"rank {rank}"
+            )
+        for r in recs:
+            a = struct.unpack_from("<Q", r, 0)[0]
+            scaled = struct.unpack_from(f"<{rank}Q", r, 8)
+            out.append(
+                (tuple(s * c for s, c in zip(scaled, cdims)), chunk_bytes, 0, a)
+            )
+    else:
+        raise ValueError(f"chunk index has v2-B-tree type {btype}")
+
+
+def _v4_chunks(buf: bytes, layout: dict, shape: tuple, cdims: tuple,
+               itemsize: int,
+               out: list[tuple[tuple, int, int, int]]) -> None:
+    """Dispatch a Data Layout v4 chunk index → (offsets, size, mask,
+    addr) entries in the same shape the v1 B-tree walker produces."""
+    chunk_bytes = int(np.prod(cdims, dtype=np.int64)) * itemsize
+    itype = layout["index"]
+    addr = layout["addr"]
+    if addr == UNDEF:
+        return
+    counts = _chunk_grid_counts(shape, cdims)
+    if itype == 1:  # single chunk
+        sf = layout.get("single_filt")
+        if sf is not None:
+            out.append(((0,) * len(cdims), sf[0], sf[1], addr))
+        else:
+            out.append(((0,) * len(cdims), chunk_bytes, 0, addr))
+    elif itype == 2:  # implicit: unfiltered chunks, contiguous row-major
+        n = 1
+        for c in counts:
+            n *= c
+        for i in range(n):
+            out.append((
+                _linear_to_offsets(i, counts, cdims),
+                chunk_bytes, 0, addr + i * chunk_bytes,
+            ))
+    elif itype == 3:
+        _fixed_array_chunks(buf, addr, shape, cdims, chunk_bytes, out)
+    elif itype == 4:
+        _earray_chunks(buf, addr, shape, cdims, chunk_bytes, out)
+    elif itype == 5:
+        _btree2_chunks(buf, addr, shape, cdims, chunk_bytes, out)
+    else:
+        raise NotImplementedError(f"chunk indexing type {itype}")
 
 
 def _fletcher32(data: bytes) -> int:
@@ -509,8 +965,36 @@ def _heap_str(buf: bytes, data_addr: int, off: int) -> str:
     return buf[data_addr + off:end].decode("utf-8")
 
 
+def _parse_link_msg(body: bytes) -> tuple[str, int]:
+    """Link message (0x0006) body → (name, object header address).
+    Used for compact new-style groups AND dense-storage heap objects
+    (the fractal heap stores the same serialized message)."""
+    version, flags = body[0], body[1]
+    if version != 1:
+        raise ValueError(f"link message version {version}")
+    pos = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[pos]
+        pos += 1
+    if flags & 0x04:
+        pos += 8  # creation order
+    if flags & 0x10:
+        pos += 1  # charset
+    lsz = 1 << (flags & 0x03)
+    nlen = int.from_bytes(body[pos:pos + lsz], "little")
+    pos += lsz
+    name = body[pos:pos + nlen].decode("utf-8")
+    pos += nlen
+    if ltype != 0:
+        raise NotImplementedError(f"non-hard link {name!r} (type {ltype})")
+    return name, struct.unpack_from("<Q", body, pos)[0]
+
+
 def _group_links(buf: bytes, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
-    """link name → object header address, both group storage styles."""
+    """link name → object header address, all three group storage
+    styles: old-style symbol table, compact link messages, dense
+    (fractal heap + v2 B-tree name index)."""
     links: dict[str, int] = {}
     for mtype, body in msgs:
         if mtype == 0x0011:  # symbol table (old-style)
@@ -518,41 +1002,10 @@ def _group_links(buf: bytes, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
             hdata = _read_local_heap(buf, heap)
             _walk_group_btree(buf, bt, hdata, links)
         elif mtype == 0x0006:  # link message (compact new-style)
-            version, flags = body[0], body[1]
-            if version != 1:
-                raise ValueError(f"link message version {version}")
-            pos = 2
-            ltype = 0
-            if flags & 0x08:
-                ltype = body[pos]
-                pos += 1
-            if flags & 0x04:
-                pos += 8  # creation order
-            if flags & 0x10:
-                pos += 1  # charset
-            lsz = 1 << (flags & 0x03)
-            nlen = int.from_bytes(body[pos:pos + lsz], "little")
-            pos += lsz
-            name = body[pos:pos + nlen].decode("utf-8")
-            pos += nlen
-            if ltype != 0:
-                raise NotImplementedError(
-                    f"non-hard link {name!r} (type {ltype})"
-                )
-            links[name] = struct.unpack_from("<Q", body, pos)[0]
-        elif mtype == 0x0002:  # link info
-            fheap = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))[0]
-            if fheap != UNDEF:
-                raise NotImplementedError(
-                    "dense (fractal-heap) link storage is outside the subset"
-                )
-        elif mtype == 0x0015:  # attribute info
-            fheap = struct.unpack_from("<Q", body, 2 + (2 if body[1] & 1 else 0))[0]
-            if fheap != UNDEF:
-                raise NotImplementedError(
-                    "dense (fractal-heap) attribute storage is outside "
-                    "the subset"
-                )
+            name, a = _parse_link_msg(body)
+            links[name] = a
+        elif mtype == 0x0002:  # link info (dense storage when heap set)
+            _dense_links(buf, body, links)
     return links
 
 
@@ -604,20 +1057,47 @@ def _read_dataset(buf: bytes, addr: int) -> dict:
                     fill = body[6:6 + sz]
         elif mtype == 0x0008:
             version = body[0]
-            if version != 3:
+            if version not in (3, 4):
                 raise NotImplementedError(
-                    f"data layout message version {version} (v3 only)"
+                    f"data layout message version {version} (v3/v4 only)"
                 )
             lclass = body[1]
             if lclass == 1:
                 a, s = struct.unpack_from("<QQ", body, 2)
                 layout = {"class": "contiguous", "addr": a, "size": s}
-            elif lclass == 2:
+            elif lclass == 2 and version == 3:
                 nd = body[2]
                 bt = struct.unpack_from("<Q", body, 3)[0]
                 cdims = struct.unpack_from(f"<{nd}I", body, 11)
                 layout = {"class": "chunked", "btree": bt,
                           "chunk": tuple(cdims[:-1]), "ndims": nd}
+            elif lclass == 2:  # version 4 (libver="latest" writers)
+                lflags, nd, encl = body[2], body[3], body[4]
+                cdims = tuple(
+                    int.from_bytes(
+                        body[5 + i * encl:5 + (i + 1) * encl], "little"
+                    )
+                    for i in range(nd)
+                )
+                pos = 5 + nd * encl
+                itype = body[pos]
+                pos += 1
+                single_filt = None
+                if itype == 1 and lflags & 0x02:
+                    fsz = struct.unpack_from("<Q", body, pos)[0]
+                    fmask = struct.unpack_from("<I", body, pos + 8)[0]
+                    single_filt = (fsz, fmask)
+                    pos += 12
+                elif itype == 3:
+                    pos += 1  # page bits (re-read from FAHD)
+                elif itype == 4:
+                    pos += 5  # EA creation params (re-read from EAHD)
+                elif itype == 5:
+                    pos += 6  # node size + split/merge (from BTHD)
+                a = struct.unpack_from("<Q", body, pos)[0]
+                layout = {"class": "chunked", "v4": True, "index": itype,
+                          "addr": a, "chunk": cdims,
+                          "single_filt": single_filt}
             elif lclass == 0:
                 sz = struct.unpack_from("<H", body, 2)[0]
                 layout = {"class": "compact", "data": body[4:4 + sz]}
@@ -628,11 +1108,19 @@ def _read_dataset(buf: bytes, addr: int) -> dict:
             nf = body[1]
             pos = 8 if version == 1 else 2
             for _ in range(nf):
-                fid, nlen, fl, ncd = struct.unpack_from("<HHHH", body, pos)
-                pos += 8
-                if version == 1 or fid >= 256:
-                    nl = nlen + (-nlen % 8 if version == 1 else 0)
-                    pos += nl
+                fid = struct.unpack_from("<H", body, pos)[0]
+                pos += 2
+                # v2 OMITS the name-length field for ids < 256 (the
+                # standard filters modern writers emit)
+                has_name = version == 1 or fid >= 256
+                nlen = 0
+                if has_name:
+                    nlen = struct.unpack_from("<H", body, pos)[0]
+                    pos += 2
+                fl, ncd = struct.unpack_from("<HH", body, pos)
+                pos += 4
+                if has_name:
+                    pos += nlen + (-nlen % 8 if version == 1 else 0)
                 pos += 4 * ncd
                 if version == 1 and ncd % 2:
                     pos += 4
@@ -641,14 +1129,11 @@ def _read_dataset(buf: bytes, addr: int) -> dict:
             k, v = _attr_decode(body, buf)
             if v is not _ATTR_SKIPPED:
                 attrs[k] = v
-        elif mtype == 0x0015:
-            fheap = struct.unpack_from(
-                "<Q", body, 2 + (2 if body[1] & 1 else 0)
-            )[0]
-            if fheap != UNDEF:
-                raise NotImplementedError(
-                    "dense attribute storage is outside the subset"
-                )
+        elif mtype == 0x0015:  # attribute info → dense storage when set
+            for ab in _dense_attr_bodies(buf, body):
+                k, v = _attr_decode(ab, buf)
+                if v is not _ATTR_SKIPPED:
+                    attrs[k] = v
         elif mtype == 0x0011:
             raise NotImplementedError(
                 "subgroups are outside the NETCDF4-classic subset"
@@ -672,7 +1157,16 @@ def _read_dataset(buf: bytes, addr: int) -> dict:
                                  offset=layout["addr"])
     else:
         chunks: list[tuple[tuple, int, int, int]] = []
-        _btree1_chunks(buf, layout["btree"], layout["ndims"], chunks)
+        if layout.get("v4"):
+            # v4 chunk dims include the element size as a trailing dim
+            # (same in-memory struct as v3); normalize to dataset rank
+            cd = layout["chunk"]
+            if len(cd) == len(shape) + 1 and cd[-1] == npdt.itemsize:
+                cd = cd[:-1]
+            layout["chunk"] = cd
+            _v4_chunks(buf, layout, shape, cd, npdt.itemsize, chunks)
+        else:
+            _btree1_chunks(buf, layout["btree"], layout["ndims"], chunks)
         full = np.zeros(shape, dtype=npdt)
         if fill:
             full[...] = np.frombuffer(fill, dtype=npdt, count=1)[0]
@@ -722,6 +1216,11 @@ def h5_read(buf: bytes) -> dict:
             k, v = _attr_decode(body, buf)
             if v is not _ATTR_SKIPPED:
                 attrs[k] = v
+        elif mtype == 0x0015:  # dense attribute storage on the root group
+            for ab in _dense_attr_bodies(buf, body):
+                k, v = _attr_decode(ab, buf)
+                if v is not _ATTR_SKIPPED:
+                    attrs[k] = v
     links = _group_links(buf, msgs)
     datasets = {name: _read_dataset(buf, a) for name, a in links.items()}
     return {"attrs": attrs, "datasets": datasets}
