@@ -871,8 +871,10 @@ def q_burn_in_tiles(spark, sf_dir):
 
 def q_tile_algebra(spark, sf_dir):
     # per-pixel band math between two aligned burn-ins (NDVI idiom);
-    # rows-only (pixel payloads have no SQL oracle) — numpy parity is
-    # pytest-asserted in test_tile_algebra
+    # THIS entry grades the join/schema shape at burn-in scale
+    # (rows-only); the VALUE semantics are oracle-graded since round 8
+    # by the 'alg' leg of resample_average (exact integer-formula
+    # fixture), plus numpy parity in test_tile_algebra
     from veranda_spark.fixtures import generate_images
     from veranda_spark.operators.cube import tile_algebra
     from veranda_spark.operators.raster import burn_in
@@ -1222,7 +1224,68 @@ def q_resample_average(spark, sf_dir):
     pyr = build_pyramid(tiles, levels=2, parts=4)
     pyr_px = pyr.mapInPandas(explode_raw(None), px_schema)
 
-    return avg_px.unionByName(ql_px).unionByName(pyr_px)
+    # round-8 (VERDICT r7 #2/#3): three more closed-form legs convert
+    # the last rows-only raster surfaces to oracle grade:
+    # - 'bilin': warp_window method="bilinear" at scale 2.5 — sample
+    #   coords land on the k/4 dyadic lattice ((j+0.5)*2.5 - 0.5 =
+    #   2.5j + 0.75), so the 4-tap blend is EXACT in float64 (integer
+    #   taps x dyadic weights, every partial on a 2^-4 lattice under
+    #   2^53) and SQL recomputes the identical blend.
+    # - 'cub': Catmull-Rom (GDAL a=-0.5 = Keys' kernel) over a
+    #   PRODUCT-OF-QUADRATICS fixture.  Keys' a=-1/2 kernel reproduces
+    #   quadratics exactly per axis (its defining third-order-accuracy
+    #   property), the separable 2-d sum factorizes, and with dyadic
+    #   sample offsets every tap term is a 2^-14-lattice rational
+    #   < 2^44, so the float64 kernel sum EQUALS the real polynomial
+    #   value — which the SQL oracle evaluates directly at the sample
+    #   point (no kernel math in SQL).  Window offset (1,1) keeps all
+    #   4x4 taps on real data so the valid-tap renormalizer stays
+    #   den == 1.0 exactly.
+    # - 'alg': tile_algebra NDVI idiom ((x-y)/(x+y+1)) on two aligned
+    #   integer-formula tiles — one IEEE divide of exactly-represented
+    #   integers on both engines (tile_algebra value parity, VERDICT
+    #   r7 #3; q_tile_algebra keeps grading the join/schema shape).
+    dst25 = RegularGrid(ul_x=0, ul_y=0, psx=2.5, psy=2.5,
+                        tile_cols=16, tile_rows=16,
+                        n_tile_cols=1, n_tile_rows=1)
+    bil = warp_window(df, src, dst25, 0, 0, 16, 16, method="bilinear")
+    bil_px = bil.mapInPandas(explode_raw("bilin"), px_schema)
+
+    rq, cq = np.mgrid[0:64, 0:64].astype("float64")
+    quad = (rq * rq + 3 * rq + 7) * (cq * cq + 5 * cq + 11)
+    df_q = spark.createDataFrame(
+        [("imgq", quad.tobytes(), 64, 64, "raw", "float64", 0, 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "dtype string, px_col0 long, px_row0 long",
+    )
+    cub = warp_window(df_q, src, dst25, 1, 1, 16, 16, method="cubic")
+    cub_px = cub.mapInPandas(explode_raw("cub"), px_schema)
+
+    from veranda_spark.operators.cube import tile_algebra
+
+    rr8, cc8 = np.mgrid[0:64, 0:64]
+    va = ((3 * cc8 + 5 * rr8) % 251).astype("float64")
+    vb = ((2 * cc8 + 7 * rr8) % 113).astype("float64")
+    tile_schema = (
+        "tile_id string, tile_row long, tile_col long, var string, "
+        "layer_id int, bytes binary, h int, w int, channels int, "
+        "dtype string, n_images long"
+    )
+    ta = spark.createDataFrame(
+        [("A00", 0, 0, "x", 1, va.tobytes(), 64, 64, 1, "float64", 1)],
+        tile_schema,
+    )
+    tb = spark.createDataFrame(
+        [("A00", 0, 0, "y", 1, vb.tobytes(), 64, 64, 1, "float64", 1)],
+        tile_schema,
+    )
+    alg = tile_algebra(ta, tb, lambda x, y: (x - y) / (x + y + 1.0))
+    alg_px = alg.mapInPandas(explode_raw("alg"), px_schema)
+
+    return (
+        avg_px.unionByName(ql_px).unionByName(pyr_px)
+        .unionByName(bil_px).unionByName(cub_px).unionByName(alg_px)
+    )
 
 
 def q_warp_cubic(spark, sf_dir):
@@ -2569,10 +2632,53 @@ def oracle_sql() -> dict[str, str]:
                      ) / 16.0 ELSE -9999.0 END AS val
               FROM range(64) t(r), range(64) s(c)
             )
+            , bilin AS (
+              -- bilinear at scale 2.5: sample coords fr = 2.5*i + 0.75
+              -- sit on the k/4 lattice, so the 4-tap blend below is the
+              -- EXACT same float64 value the engine's kernel produces
+              SELECT 'bilin' AS leg, i AS out_r, j AS out_c,
+                     ( cast((3*c0     + 5*r0    ) % 251 AS double) * (1-wr) * (1-wc)
+                     + cast((3*(c0+1) + 5*r0    ) % 251 AS double) * (1-wr) * wc
+                     + cast((3*c0     + 5*(r0+1)) % 251 AS double) * wr * (1-wc)
+                     + cast((3*(c0+1) + 5*(r0+1)) % 251 AS double) * wr * wc
+                     ) AS val
+              FROM (
+                SELECT i, j,
+                       cast(floor((10*i+3)/4.0) AS bigint) AS r0,
+                       cast(floor((10*j+3)/4.0) AS bigint) AS c0,
+                       (10*i+3)/4.0 - floor((10*i+3)/4.0) AS wr,
+                       (10*j+3)/4.0 - floor((10*j+3)/4.0) AS wc
+                FROM range(16) t(i), range(16) s(j)
+              )
+            ), cub AS (
+              -- Catmull-Rom reproduces quadratics exactly; the source is
+              -- (r^2+3r+7)*(c^2+5c+11), the dst window starts at (1,1),
+              -- so the oracle just evaluates the polynomial at the
+              -- dyadic sample point fr = 2.5*(i+1) + 0.75
+              SELECT 'cub' AS leg, i AS out_r, j AS out_c,
+                     (fr*fr + 3*fr + 7) * (fc*fc + 5*fc + 11) AS val
+              FROM (
+                SELECT i, j, (10*i+13)/4.0 AS fr, (10*j+13)/4.0 AS fc
+                FROM range(16) t(i), range(16) s(j)
+              )
+            ), alg AS (
+              -- tile_algebra NDVI idiom: one IEEE divide of exact ints
+              SELECT 'alg' AS leg, r AS out_r, c AS out_c,
+                     (va - vb) / (va + vb + 1.0) AS val
+              FROM (
+                SELECT r, c,
+                       cast((3*c + 5*r) % 251 AS double) AS va,
+                       cast((2*c + 7*r) % 113 AS double) AS vb
+                FROM range(64) t(r), range(64) s(c)
+              )
+            )
             SELECT * FROM avg4
             UNION ALL SELECT * FROM quick
             UNION ALL SELECT * FROM pyr1
             UNION ALL SELECT * FROM pyr2
+            UNION ALL SELECT * FROM bilin
+            UNION ALL SELECT * FROM cub
+            UNION ALL SELECT * FROM alg
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus, cast(sum(l_quantity) as double) AS sum_qty,
