@@ -473,3 +473,93 @@ def test_predictor2_on_complex_raises():
     # combo and must raise loudly, never reach the integer cumsum
     with pytest.raises(NotImplementedError, match="SampleFormat"):
         tiff_decode(bytes(f))
+
+
+# ---- property-based fuzz (VERDICT r7 #6): randomized round-trips -----------
+# Same strategy as the netcdf fuzz (test_netcdf.py): hypothesis drives
+# dims/dtype/compression/container shape through encode∘decode equality,
+# plus a decode-side corruption sweep (mutated bytes must fail loudly or
+# decode to SOMETHING — never hang or crash the interpreter).
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_FUZZ_DT = ["uint8", "uint16", "int16", "int32", "float32", "float64",
+            "complex64", "complex128"]
+_FUZZ_COMP = ["none", "lzw", "deflate", "packbits"]
+
+
+def _fuzz_arr(rng, dtype, h, w, spp):
+    shape = (h, w) if spp == 1 else (h, w, spp)
+    if dtype.startswith("complex"):
+        return (rng.random(shape) + 1j * rng.random(shape)).astype(dtype)
+    if dtype.startswith("float"):
+        return rng.random(shape).astype(dtype)
+    info = np.iinfo(dtype)
+    return rng.integers(info.min, int(info.max) + 1, shape, dtype=dtype)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    dtype=st.sampled_from(_FUZZ_DT),
+    comp=st.sampled_from(_FUZZ_COMP),
+    h=st.integers(1, 37),
+    w=st.integers(1, 37),
+    spp=st.sampled_from([1, 1, 1, 3]),
+    big=st.booleans(),
+)
+def test_fuzz_tiff_strip_roundtrip(seed, dtype, comp, h, w, spp, big):
+    rng = np.random.default_rng(seed)
+    arr = _fuzz_arr(rng, dtype, h, w, spp)
+    blob = tiff_encode(arr, compression=comp, big=big)
+    np.testing.assert_array_equal(tiff_decode(blob), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    dtype=st.sampled_from(["uint8", "uint16", "int32", "float32"]),
+    comp=st.sampled_from(_FUZZ_COMP),
+    h=st.integers(1, 70),
+    w=st.integers(1, 70),
+    tile=st.sampled_from([16, 32]),
+)
+def test_fuzz_tiff_cog_roundtrip(seed, dtype, comp, h, w, tile):
+    from veranda_spark.functions.tiff import tiff_encode_cog, tiff_overview_count
+
+    rng = np.random.default_rng(seed)
+    arr = _fuzz_arr(rng, dtype, h, w, 1)
+    blob = tiff_encode_cog(arr, tile=tile, overviews=(2,), compression=comp)
+    np.testing.assert_array_equal(tiff_decode(blob, ifd=0), arr)
+    assert tiff_overview_count(blob) == 1
+    # overview 0 must be the block-mean at factor 2 (same helper the
+    # encoder uses — the roundtrip checks the TILED segment plumbing)
+    from veranda_spark.functions.tiff import _block_mean
+
+    np.testing.assert_array_equal(tiff_decode(blob, ifd=1), _block_mean(
+        arr.astype(arr.dtype.newbyteorder("<")), 2))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_flips=st.integers(1, 8),
+)
+def test_fuzz_tiff_decode_corruption_is_loud(seed, n_flips):
+    """Mutated container bytes must either raise a normal Python
+    exception or return an ndarray — never hang, recurse forever, or
+    allocate unboundedly.  Payload-region mutations that survive the
+    container checks are allowed to decode to different VALUES; the
+    property is bounded, loud behavior."""
+    rng = np.random.default_rng(seed)
+    arr = _fuzz_arr(rng, "uint16", 9, 11, 1)
+    blob = bytearray(tiff_encode(arr, compression="lzw"))
+    for _ in range(n_flips):
+        pos = int(rng.integers(0, len(blob)))
+        blob[pos] = int(rng.integers(0, 256))
+    try:
+        out = tiff_decode(bytes(blob))
+        assert isinstance(out, np.ndarray)
+        assert out.size <= 10_000_000  # no unbounded allocation
+    except Exception as e:  # noqa: BLE001 — loudness is the property
+        assert not isinstance(e, (SystemExit, KeyboardInterrupt))

@@ -284,6 +284,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs → (node, component) where
     component = the smallest node id reachable from node.  Near-dup
@@ -295,7 +296,11 @@ def connected_components(
     label-of-label (path halving), so even a pure chain converges in
     O(log n) rounds instead of O(diameter).  Each round is two shuffles;
     lineage is truncated with localCheckpoint every round so plans stay
-    flat at web scale.  Raises if max_iter rounds do not converge."""
+    flat at web scale.  Raises if max_iter rounds do not converge.
+
+    ``stats`` (optional) receives {"rounds": <rounds run including the
+    final no-change round>} — the hook the scale stress-test uses to
+    assert the O(log diameter) convergence claim (VERDICT r7 #5)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -306,7 +311,9 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = it + 1
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
