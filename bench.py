@@ -367,6 +367,25 @@ def _membw_unit(_):
     return s
 
 
+def _pass_membw_control() -> float:
+    """Same-moment bus probe interleaved into EVERY headline pass
+    (VERDICT r7 #4): 16 membw units on 8 processes, best of 2 reps —
+    a couple of seconds of cost, run in the pass's child process BEFORE
+    its Spark session exists (never concurrent with engine work).  The
+    per-query normalized walls divide by this, so a pass that landed in
+    a bus-thrash window is normalized by the thrash it actually saw
+    instead of being explained by a paragraph of weather disclaimers."""
+    import multiprocessing as mp
+
+    best = 1e9
+    for _ in range(2):
+        with mp.Pool(8) as p:
+            t0 = time.monotonic()
+            p.map(_membw_unit, range(16))
+            best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
 def hardware_controls() -> dict:
     """Environment ceiling controls: the same 8-vs-32-process comparison on
     (a) pure-ALU work and (b) memory-streaming work, no Spark involved.
@@ -392,6 +411,37 @@ def hardware_controls() -> dict:
             "efficiency": round((walls[8] / walls[32]) / 4.0, 3),
         }
     return out
+
+
+def _norm_table(result: dict) -> str:
+    """Raw + weather-normalized per-query columns (VERDICT r7 #4)."""
+    norm = result.get("queries_norm")
+    ctls = result.get("membw_ctl_per_pass")
+    if not norm:
+        return ""
+    raw = {}
+    for key in ("queries", "newop_queries", "round3_queries",
+                "round4_queries", "round5_queries", "round6_queries",
+                "round7_queries"):
+        raw.update(result.get(key) or {})
+    rows = "".join(
+        f"| {q} | {raw.get(q, '—')} | {norm[q]} |\n"
+        for q in sorted(norm) if q in raw
+    )
+    return (
+        "\n## Weather-normalized per-query walls\n\n"
+        "Every headline pass runs a ~2s membw probe (8-process numpy\n"
+        "copy+sum, `_pass_membw_control`) in its child process BEFORE\n"
+        "the Spark session exists.  The normalized column is\n"
+        "min-across-passes of (query wall ÷ SAME-PASS control wall) —\n"
+        "dimensionless multiples of the bus bandwidth that pass actually\n"
+        "had, so host-weather swings cancel and rounds compare without\n"
+        "disclaimers.  Raw seconds remain the headline for cross-round\n"
+        f"continuity.  Per-pass control walls: {json.dumps(ctls)}.\n\n"
+        "| query | raw best (s) | normalized (× membw ctl) |\n|---|---|---|\n"
+        + rows
+        + f"\nNormalized total: {result.get('value_norm')}\n"
+    )
 
 
 def write_bench_md(result: dict) -> None:
@@ -472,6 +522,7 @@ def write_bench_md(result: dict) -> None:
             + f"\nHeadline per-query seconds at sf={result['sf']} "
             f"(fresh-JVM best-of-{result.get('headline_passes', 3)}): "
             f"{json.dumps(result['queries'])}\n"
+            + _norm_table(result)
             + f"\nr2-comparable 14-query sum: {result.get('value_r2_comparable')}s "
             "(r2 printed 29.198s for the same set, single shared-session pass)\n"
             + (
@@ -604,6 +655,7 @@ def headline_pass(
     r2-comparable sum) lives in its OWN dedicated pass
     (``legacy_doc_tokens``) instead of re-running doc_tokens after its
     full-eval timing in the same JVM."""
+    ctl = _pass_membw_control()  # BEFORE the session: never concurrent
     spark = get_spark(master=f"local[{cpus}]", app_name="bench")
     # warm-up outside measurement: JVM, codegen, and python workers on
     # every task slot (session startup is excluded per BASELINE.md)
@@ -632,7 +684,9 @@ def headline_pass(
             timings[name] = round(time.monotonic() - t0, 3)
     mh = minhash_micro(spark, sf_dir) if with_micro else None
     spark.stop()
-    print("HEADLINE_RESULT " + json.dumps({"timings": timings, "minhash_micro": mh}))
+    print("HEADLINE_RESULT " + json.dumps(
+        {"timings": timings, "minhash_micro": mh, "membw_ctl_sec": ctl}
+    ))
 
 
 def run_headline(sf_dir: str, cpus: int, passes: int) -> dict:
@@ -655,14 +709,29 @@ def run_headline(sf_dir: str, cpus: int, passes: int) -> dict:
         if line is None:
             raise RuntimeError(f"headline pass failed: {proc.stderr[-3000:]}")
         res = json.loads(line[len("HEADLINE_RESULT "):])
+        res["timings"]["_membw_ctl_sec"] = res.get("membw_ctl_sec")
         per_pass.append(res["timings"])
         micro = micro or res.get("minhash_micro")
         print(f"headline pass {i + 1}/{passes + 1}"
               f"{' (legacy doc_tokens)' if legacy else ''}: "
-              f"{round(sum(res['timings'].values()), 1)}s total", file=sys.stderr)
+              f"{round(sum(v for k, v in res['timings'].items() if not k.startswith('_')), 1)}s total"
+              f" (membw ctl {res.get('membw_ctl_sec')}s)", file=sys.stderr)
+    ctls = [p.pop("_membw_ctl_sec", None) for p in per_pass]
     keys = set().union(*per_pass)
     best = {k: min(p[k] for p in per_pass if k in p) for k in keys}
-    return {"best": best, "per_pass": per_pass, "minhash_micro": micro}
+    # weather-normalized estimator (VERDICT r7 #4): each pass's walls in
+    # units of the SAME-PASS membw control wall, then min across passes
+    # — the ratio cancels the bus weather the pass actually saw, so it
+    # is the cross-round-comparable column; raw stays the headline
+    best_norm = {
+        k: round(min(
+            p[k] / c for p, c in zip(per_pass, ctls) if k in p and c
+        ), 3)
+        for k in keys
+        if any(k in p and c for p, c in zip(per_pass, ctls))
+    }
+    return {"best": best, "best_norm": best_norm, "per_pass": per_pass,
+            "membw_ctl_per_pass": ctls, "minhash_micro": micro}
 
 
 def main() -> None:
@@ -725,6 +794,18 @@ def main() -> None:
         # full-evaluation hash-agg action instead of count() (VERDICT r3
         # #1) — their walls are NOT comparable to r1-r3
         "full_eval_queries": sorted(FULL_EVAL),
+        # weather-normalized column (VERDICT r7 #4): per-query wall in
+        # units of the same-pass membw control wall (dimensionless) —
+        # cancels host bus weather; raw seconds stay the headline
+        "membw_ctl_per_pass": hl.get("membw_ctl_per_pass"),
+        "queries_norm": {
+            k: v for k, v in sorted(hl.get("best_norm", {}).items())
+            if k != "doc_tokens_legacy_count"
+        },
+        "value_norm": round(
+            sum(v for k, v in hl.get("best_norm", {}).items()
+                if k != "doc_tokens_legacy_count"), 3
+        ) if hl.get("best_norm") else None,
     }
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         result["scaling"] = run_scaling()
