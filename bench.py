@@ -419,14 +419,10 @@ def _norm_table(result: dict) -> str:
     ctls = result.get("membw_ctl_per_pass")
     if not norm:
         return ""
-    raw = {}
-    for key in ("queries", "newop_queries", "round3_queries",
-                "round4_queries", "round5_queries", "round6_queries",
-                "round7_queries"):
-        raw.update(result.get(key) or {})
+    raw = result.get("queries_raw_best") or {}
     rows = "".join(
         f"| {q} | {raw.get(q, '—')} | {norm[q]} |\n"
-        for q in sorted(norm) if q in raw
+        for q in sorted(norm)
     )
     return (
         "\n## Weather-normalized per-query walls\n\n"
@@ -798,6 +794,13 @@ def main() -> None:
         # units of the same-pass membw control wall (dimensionless) —
         # cancels host bus weather; raw seconds stay the headline
         "membw_ctl_per_pass": hl.get("membw_ctl_per_pass"),
+        # authoritative raw-best map over EVERY query (review r8 pass-1
+        # #2: _norm_table must not rebuild this from per-round group
+        # keys, or a future group silently drops out of the table)
+        "queries_raw_best": {
+            k: v for k, v in sorted(best.items())
+            if k != "doc_tokens_legacy_count"
+        },
         "queries_norm": {
             k: v for k, v in sorted(hl.get("best_norm", {}).items())
             if k != "doc_tokens_legacy_count"

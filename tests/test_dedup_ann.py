@@ -426,8 +426,13 @@ def test_pq_lut_cells_subset_of_prune_list(spark, embeddings):
     }
     assert lut_cells == prune  # equal, not just subset: same helper
 
-    # the helper itself is deterministic on ties (argsort is stable)
-    mat = np.stack([r["emb"] for r in c.limit(16).collect()])
-    a = _select_probe_cells(mat, centroids, 4)
-    b = _select_probe_cells(mat, centroids, 4)
-    assert (a == b).all()
+    # tie-break contract: kind="stable" argsort resolves EQUAL distances
+    # to the lowest cell id — probe with points equidistant from two
+    # identical centroids so the tie is real, not accidental
+    twin_cents = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, 1.0], [9.0, 9.0]])
+    pts = np.array([[1.0, 1.0], [0.5, 0.5]])
+    sel = _select_probe_cells(pts, twin_cents, 3)
+    assert list(sel[0][:2]) == [1, 2]  # tied cells in id order
+    assert list(sel[1]) == list(
+        _select_probe_cells(pts, twin_cents, 3)[1]
+    )

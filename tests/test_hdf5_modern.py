@@ -349,10 +349,13 @@ def _ea_file(n_chunks: int) -> tuple[bytes, np.ndarray]:
     arr_off = (max_bits + 7) // 8
     hdr = blob.reserve(72)
 
-    # super-block geometry (mirrors the spec rule, not the module code)
+    # super-block geometry (mirrors the spec rule, not the module code):
+    # sblk s holds 2^s*db_min elements, so the table spans
+    # 1 + (max_bits - log2(db_min)) entries (= libhdf5's hdr->nsblks)
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
     geo = []  # (ndblks, nelmts, start_idx, start_dblk)
     si = sd = 0
-    for s in range(16):
+    for s in range(nsblks):
         nd, ne = 1 << (s // 2), (1 << ((s + 1) // 2)) * db_min
         geo.append((nd, ne, si, sd))
         si += nd * ne
@@ -374,7 +377,7 @@ def _ea_file(n_chunks: int) -> tuple[bytes, np.ndarray]:
             # unused slots (past the last chunk) stay UNDEF, no block
             ib_dblk_addrs.append(blob.put(img) if lo < n_chunks else UNDEF)
     # super block 4 via EASB when needed
-    sblk_addrs = [UNDEF] * (1 + (max_bits - 1) // 2 - 4)
+    sblk_addrs = [UNDEF] * (nsblks - 4)
     nd4, ne4, start4, _ = geo[4]
     if n_chunks > ib_elmts + start4:
         dblks = []
@@ -424,6 +427,45 @@ def test_v4_extensible_array_through_super_block():
     buf, arr = _ea_file(40)  # indices 34+ resolved via an EASB
     out = h5_read(buf)
     np.testing.assert_array_equal(out["datasets"]["v"]["data"], arr)
+
+
+def test_v4_extensible_array_high_index_geometry():
+    """Review r8 pass-1 #1 regression: with db_min=2/max_bits=32, chunk
+    index ~131k maps to super block s=16 — beyond the first cut's
+    halved geometry table (bare IndexError) yet still far below the
+    1024-element paged gate.  A sparse EA (every pointer UNDEF) with
+    max_index_set past that point must decode to all-fill, exercising
+    the geometry walk at every super-block index up to s=17."""
+    n_chunks = (1 << 17) + 9  # deep into s=16/17 territory
+    arr_len = n_chunks * 5
+    blob = FileBlob()
+    max_bits, ib_elmts, db_min, sb_min_ptrs, page_bits = 32, 2, 2, 4, 10
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
+    ib_nsblks = 2 * (sb_min_ptrs.bit_length() - 1)
+    hdr = blob.reserve(72)
+    ib = blob.put(
+        b"EAIB" + bytes([0, 0]) + struct.pack("<Q", hdr)
+        + struct.pack("<Q", UNDEF) * ib_elmts
+        + struct.pack("<Q", UNDEF) * (2 * (sb_min_ptrs - 1))
+        + struct.pack("<Q", UNDEF) * (nsblks - ib_nsblks)
+        + b"\x00" * 4
+    )
+    blob.patch(hdr, (
+        b"EAHD" + bytes([0, 0, 8, max_bits, ib_elmts, db_min,
+                         sb_min_ptrs, page_bits])
+        + struct.pack("<QQQQQQ", 0, 0, 0, 0, n_chunks, 0)
+        + struct.pack("<Q", ib) + b"\x00" * 4
+    ))
+    lay = layout_v4((5, 4), 4, hdr,
+                    extra=bytes([max_bits, ib_elmts, sb_min_ptrs,
+                                 db_min, page_bits]))
+    fill = bytes([3, 0x20]) + struct.pack("<I", 4) + struct.pack("<i", -7)
+    arr = np.zeros(arr_len, dtype="<i4")
+    ds = dataset_oh(blob, arr, lay, [(0x0005, fill)])
+    out = h5_read(blob.finish([("v", ds)]))
+    got = out["datasets"]["v"]["data"]
+    assert got.shape == (arr_len,)
+    assert (got == -7).all()
 
 
 def test_v4_btree2_raw_depth0():

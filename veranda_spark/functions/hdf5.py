@@ -705,7 +705,12 @@ def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
     if buf[ib_addr:ib_addr + 4] != b"EAIB":
         raise ValueError(f"bad extensible array index block at {ib_addr:#x}")
     arr_off_size = (max_bits + 7) // 8
-    nsblks_total = 1 + (max_bits - (db_min_elmts.bit_length() - 1)) // 2
+    # super block s spans 2^s * db_min elements, so indices up to
+    # 2^max_bits need s through (max_bits - log2(db_min)) — review r8
+    # pass-1 #1: the first cut halved this, overflowing the geometry
+    # table (bare IndexError) on long record variables still far below
+    # the paged-block gate
+    nsblks_total = 1 + (max_bits - (db_min_elmts.bit_length() - 1))
     ib_nsblks = 2 * (sb_min_ptrs.bit_length() - 1)
     ib_ndblk_addrs = 2 * (sb_min_ptrs - 1)
     ib_body = ib_addr + 4 + 1 + 1 + 8

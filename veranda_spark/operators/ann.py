@@ -114,9 +114,12 @@ def _select_probe_cells(
     source of truth shared by the prune-list path (_probe_cells_udf) and
     the PQ LUT path (_pq_probe_udf).  ADVICE r7: the two paths used to
     argsort independently; any divergence (tie-break, metric, rotation
-    order) would silently prune cells the LUT frame probes."""
+    order) would silently prune cells the LUT frame probes.
+    kind="stable" pins equal-distance ties to lowest-cell-id order —
+    review r8 pass-1 #3: the default quicksort is NOT stable, so ties
+    were only accidentally consistent."""
     d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-    return np.argsort(d, axis=1)[:, :nprobe].astype("int32")
+    return np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
 
 
 def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
