@@ -427,12 +427,14 @@ def test_pq_lut_cells_subset_of_prune_list(spark, embeddings):
     assert lut_cells == prune  # equal, not just subset: same helper
 
     # tie-break contract: kind="stable" argsort resolves EQUAL distances
-    # to the lowest cell id — probe with points equidistant from two
-    # identical centroids so the tie is real, not accidental
-    twin_cents = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, 1.0], [9.0, 9.0]])
-    pts = np.array([[1.0, 1.0], [0.5, 0.5]])
-    sel = _select_probe_cells(pts, twin_cents, 3)
-    assert list(sel[0][:2]) == [1, 2]  # tied cells in id order
-    assert list(sel[1]) == list(
-        _select_probe_cells(pts, twin_cents, 3)[1]
-    )
+    # to the lowest cell id.  Review r8 pass-2 #1: numpy's DEFAULT sort
+    # is accidentally stable below its ~16-element insertion-sort
+    # cutoff, so the guard needs >16 centroids with real ties to be
+    # able to fail if kind="stable" is ever removed.
+    tie_cents = np.zeros((64, 2))
+    tie_cents[0:10] = np.arange(10)[:, None] + 100.0  # far, distinct
+    tie_cents[10:30] = 1.0                            # 20 identical cells
+    tie_cents[30:] = np.arange(34)[:, None] + 200.0   # far, distinct
+    pts2 = np.array([[1.0, 1.0]])
+    sel = _select_probe_cells(pts2, tie_cents, 8)
+    assert list(sel[0]) == list(range(10, 18))  # tied cells in id order

@@ -435,8 +435,9 @@ def test_v4_extensible_array_high_index_geometry():
     halved geometry table (bare IndexError) yet still far below the
     1024-element paged gate.  A sparse EA (every pointer UNDEF) with
     max_index_set past that point must decode to all-fill, exercising
-    the geometry walk at every super-block index up to s=17."""
-    n_chunks = (1 << 17) + 9  # deep into s=16/17 territory
+    the geometry walk at every super-block index up to s=16 (the old
+    table topped out at s=15)."""
+    n_chunks = (1 << 17) + 9  # u_max=131078 -> s=16, past the old table
     arr_len = n_chunks * 5
     blob = FileBlob()
     max_bits, ib_elmts, db_min, sb_min_ptrs, page_bits = 32, 2, 2, 4, 10
@@ -641,6 +642,24 @@ def test_v2_pipeline_shuffle_deflate():
     ds = dataset_oh(blob, ARR, lay, [(0x000B, pipeline_v2([2, 1]))])
     out = h5_read(blob.finish([("v", ds)]))
     np.testing.assert_array_equal(out["datasets"]["v"]["data"], ARR)
+
+
+def test_malformed_ea_max_index_gated():
+    """Review r8 pass-2 #2: a crafted EAHD whose max_index_set exceeds
+    the 2^max_bits addressable range must raise a named ValueError, not
+    drive a near-unbounded loop into a bare IndexError."""
+    blob = FileBlob()
+    hdr = blob.reserve(72)
+    blob.patch(hdr, (
+        b"EAHD" + bytes([0, 0, 8, 16, 2, 2, 4, 10])  # max_bits=16
+        + struct.pack("<QQQQQQ", 0, 0, 0, 0, 1 << 40, 0)
+        + struct.pack("<Q", 0) + b"\x00" * 4
+    ))
+    lay = layout_v4((5, 4), 4, hdr, extra=bytes([16, 2, 4, 2, 10]))
+    arr = np.zeros(10, dtype="<i4")
+    ds = dataset_oh(blob, arr, lay)
+    with pytest.raises(ValueError, match="addressable range"):
+        h5_read(blob.finish([("v", ds)]))
 
 
 def test_paged_fixed_array_gated():

@@ -700,6 +700,14 @@ def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
     ib_addr = struct.unpack_from("<Q", buf, addr + 60)[0]
     if client not in (0, 1):
         raise NotImplementedError(f"extensible array client id {client}")
+    if max_index_set > (1 << max_bits):
+        # review r8 pass-2 #2: a malformed/crafted header would
+        # otherwise drive a near-unbounded python loop into a bare
+        # IndexError past the geometry table
+        raise ValueError(
+            f"extensible array: max index set {max_index_set} exceeds "
+            f"the 2^{max_bits} addressable range"
+        )
     if ib_addr == UNDEF or max_index_set == 0:
         return
     if buf[ib_addr:ib_addr + 4] != b"EAIB":
