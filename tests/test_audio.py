@@ -76,3 +76,43 @@ def test_audio_pipeline(spark):
     got = feats["clip_00000000"]
     for k in ("duration_sec", "rms", "zcr", "spectral_centroid_hz", "peak"):
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+# ---- property-based fuzz (round 8, same strategy as tiff/netcdf fuzz) ------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from veranda_spark.functions.wav import wav_decode, wav_encode  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(0, 5000),
+    ch=st.sampled_from([1, 2, 6]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_fuzz_wav_roundtrip_exact(seed, n, ch, rate):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+    if ch == 1:
+        s = s[:, 0]
+    out, r = wav_decode(wav_encode(s, rate=rate))
+    assert r == rate
+    want = s if ch > 1 else s  # mono decodes to (n,)
+    np.testing.assert_array_equal(out.reshape(-1), want.reshape(-1))
+
+
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 6))
+def test_fuzz_wav_decode_corruption_is_loud(seed, n_flips):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-1000, 1000, 400, dtype=np.int16)
+    blob = bytearray(wav_encode(s))
+    for _ in range(n_flips):
+        blob[int(rng.integers(0, len(blob)))] = int(rng.integers(0, 256))
+    try:
+        out, r = wav_decode(bytes(blob))
+        assert out.dtype == np.int16 and out.size <= 10_000_000
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, (SystemExit, KeyboardInterrupt))

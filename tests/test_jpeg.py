@@ -148,3 +148,70 @@ def test_fixture_images_meet_psnr_invariant():
         out = decode_image(encode_image(arr, "jpg"), "jpg", h, w)
         worst = min(worst, psnr(arr.astype(float), out.astype(float)))
     assert worst >= 40.0, worst
+
+
+# ---- property-based fuzz (round 8, same strategy as tiff/netcdf fuzz) ------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from veranda_spark.functions.jpeg import jpeg_decode, jpeg_encode  # noqa: E402
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a.astype("f8") - b.astype("f8")) ** 2))
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    gray=st.booleans(),
+    quality=st.sampled_from([60, 85, 95]),
+    sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    rst=st.sampled_from([0, 1, 3]),
+)
+def test_fuzz_jpeg_roundtrip_smooth_psnr(seed, h, w, gray, quality, sub, rst):
+    """Lossy codec property: SMOOTH content must survive encode∘decode
+    above a PSNR floor at every size/subsampling/restart combination
+    (odd dims exercise the padding paths; rst>0 the restart markers)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        120 + 60 * np.sin(xx / 9.0 + rng.uniform(0, 6))
+        + 50 * np.cos(yy / 7.0 + rng.uniform(0, 6))
+    )
+    if gray:
+        arr = np.clip(base, 0, 255).astype("uint8")
+        blob = jpeg_encode(arr, quality=quality, restart_interval=rst)
+    else:
+        arr = np.clip(
+            np.stack([base, base * 0.8 + 20, 255 - base], axis=-1), 0, 255
+        ).astype("uint8")
+        blob = jpeg_encode(arr, quality=quality, subsampling=sub,
+                           restart_interval=rst)
+    out = jpeg_decode(blob)
+    assert out.shape == arr.shape
+    floor = 28.0 if quality == 60 else 30.0
+    if not gray and sub != "4:4:4":
+        floor -= 4.0  # chroma decimation on a saturated gradient
+    assert _psnr(arr, out) >= floor, (arr.shape, quality, sub)
+
+
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 6))
+def test_fuzz_jpeg_decode_corruption_is_loud(seed, n_flips):
+    """Mutated JFIF bytes must raise a normal exception or decode to a
+    bounded uint8 array — never hang or crash the interpreter."""
+    rng = np.random.default_rng(seed)
+    arr = (np.arange(24 * 17, dtype="uint8").reshape(24, 17) * 3) % 251
+    blob = bytearray(jpeg_encode(arr, quality=85))
+    for _ in range(n_flips):
+        blob[int(rng.integers(0, len(blob)))] = int(rng.integers(0, 256))
+    try:
+        out = jpeg_decode(bytes(blob))
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+        assert out.size <= 50_000_000
+    except Exception as e:  # noqa: BLE001 — loudness is the property
+        assert not isinstance(e, (SystemExit, KeyboardInterrupt))
