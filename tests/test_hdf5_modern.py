@@ -644,6 +644,122 @@ def test_v2_pipeline_shuffle_deflate():
     np.testing.assert_array_equal(out["datasets"]["v"]["data"], ARR)
 
 
+def test_v4_fixed_array_paged():
+    """Paged FADB: page_bits=2 → 4 entries/page, 6 chunks → 2 pages.
+    The block stores a page-init bitmap + its checksum, then the pages
+    (entries + 4-byte page checksum each) contiguously after it."""
+    blob = FileBlob()
+    addrs = []
+    for r in (0, 2, 4):
+        for c in (0, 2):
+            addrs.append(blob.put(np.ascontiguousarray(
+                ARR[r:r + 2, c:c + 2]).tobytes()))
+    hdr = blob.reserve(28)
+    page0 = b"".join(struct.pack("<Q", a) for a in addrs[0:4]) + b"\x00" * 4
+    page1 = b"".join(struct.pack("<Q", a) for a in addrs[4:6]) + b"\x00" * 4
+    db = blob.put(
+        b"FADB" + bytes([0, 0]) + struct.pack("<Q", hdr)
+        + b"\x03"          # page bitmap: both pages initialized
+        + b"\x00" * 4      # block checksum
+        + page0 + page1
+    )
+    blob.patch(hdr, b"FAHD" + bytes([0, 0, 8, 2])
+               + struct.pack("<QQ", 6, db) + b"\x00" * 4)
+    ds = dataset_oh(blob, ARR, layout_v4((2, 2, 4), 3, hdr, extra=b"\x02"))
+    out = h5_read(blob.finish([("v", ds)]))
+    np.testing.assert_array_equal(out["datasets"]["v"]["data"], ARR)
+
+
+def test_v4_fixed_array_paged_uninit_page():
+    """An uninitialized page (bitmap bit 0) holds no chunks → fill."""
+    blob = FileBlob()
+    addrs = []
+    for r in (0, 2, 4):
+        for c in (0, 2):
+            addrs.append(blob.put(np.ascontiguousarray(
+                ARR[r:r + 2, c:c + 2]).tobytes()))
+    hdr = blob.reserve(28)
+    page0 = b"".join(struct.pack("<Q", a) for a in addrs[0:4]) + b"\x00" * 4
+    db = blob.put(
+        b"FADB" + bytes([0, 0]) + struct.pack("<Q", hdr)
+        + b"\x01"          # only page 0 initialized
+        + b"\x00" * 4
+        + page0            # page 1 never allocated
+    )
+    blob.patch(hdr, b"FAHD" + bytes([0, 0, 8, 2])
+               + struct.pack("<QQ", 6, db) + b"\x00" * 4)
+    fill = bytes([3, 0x20]) + struct.pack("<I", 4) + struct.pack("<i", -5)
+    ds = dataset_oh(blob, ARR, layout_v4((2, 2, 4), 3, hdr, extra=b"\x02"),
+                    [(0x0005, fill)])
+    out = h5_read(blob.finish([("v", ds)]))
+    want = ARR.copy()
+    want[4:6, :] = -5  # chunks 4,5 (grid row 2) were in the dead page
+    np.testing.assert_array_equal(out["datasets"]["v"]["data"], want)
+
+
+def test_v4_extensible_array_paged_super_block():
+    """Paged EADB under an EASB: db_min=2/page_bits=3 puts super block
+    5 (4 data blocks x 16 elements) past the 8-element page size, so
+    its EASB carries a page-init bitmap (4 dblks x 2 pages) and its
+    data blocks store pages + per-page checksums.  Chunks 64-69 live in
+    dblk 0 / page 0; everything below stays UNDEF → fill."""
+    n_chunks = 70
+    arr = np.arange(n_chunks * 5, dtype="<i4")
+    blob = FileBlob()
+    max_bits, ib_elmts, db_min, sb_min_ptrs, page_bits = 32, 2, 2, 4, 3
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
+    ib_nsblks = 2 * (sb_min_ptrs.bit_length() - 1)
+    arr_off = (max_bits + 7) // 8
+    hdr = blob.reserve(72)
+
+    chunk_addr = {i: blob.put(arr[i * 5:(i + 1) * 5].tobytes())
+                  for i in range(64, n_chunks)}
+    # s=5 starts at relative element 62 → absolute index 64; dblk 0 page
+    # 0 covers indices 64..71 (we fill 64..69, leave 70..71 UNDEF)
+    page0 = b"".join(
+        struct.pack("<Q", chunk_addr.get(64 + j, UNDEF)) for j in range(8)
+    ) + b"\x00" * 4
+    dblk0 = blob.put(
+        b"EADB" + bytes([0, 0]) + struct.pack("<Q", hdr)
+        + (64).to_bytes(arr_off, "little")
+        + b"\x00" * 4      # paged block: header checksum, then pages
+        + page0            # page 1 uninitialized, not emitted
+    )
+    easb5 = blob.put(
+        b"EASB" + bytes([0, 0]) + struct.pack("<Q", hdr)
+        + (64).to_bytes(arr_off, "little")
+        + b"\x01"          # bitmap: 4 dblks x 2 pages; only dblk0/page0
+        + struct.pack("<Q", dblk0)
+        + struct.pack("<Q", UNDEF) * 3
+        + b"\x00" * 4
+    )
+    sblk_addrs = [UNDEF] * (nsblks - ib_nsblks)
+    sblk_addrs[1] = easb5  # s=5 → key 1
+    ib = blob.put(
+        b"EAIB" + bytes([0, 0]) + struct.pack("<Q", hdr)
+        + struct.pack("<Q", UNDEF) * ib_elmts
+        + struct.pack("<Q", UNDEF) * (2 * (sb_min_ptrs - 1))
+        + b"".join(struct.pack("<Q", a) for a in sblk_addrs)
+        + b"\x00" * 4
+    )
+    blob.patch(hdr, (
+        b"EAHD" + bytes([0, 0, 8, max_bits, ib_elmts, db_min,
+                         sb_min_ptrs, page_bits])
+        + struct.pack("<QQQQQQ", 0, 0, 0, 0, n_chunks, 6)
+        + struct.pack("<Q", ib) + b"\x00" * 4
+    ))
+    lay = layout_v4((5, 4), 4, hdr,
+                    extra=bytes([max_bits, ib_elmts, sb_min_ptrs,
+                                 db_min, page_bits]))
+    fill = bytes([3, 0x20]) + struct.pack("<I", 4) + struct.pack("<i", -3)
+    ds = dataset_oh(blob, arr, lay, [(0x0005, fill)])
+    out = h5_read(blob.finish([("v", ds)]))
+    got = out["datasets"]["v"]["data"]
+    want = np.full(n_chunks * 5, -3, dtype="<i4")
+    want[64 * 5:70 * 5] = arr[64 * 5:70 * 5]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_malformed_ea_max_index_gated():
     """Review r8 pass-2 #2: a crafted EAHD whose max_index_set exceeds
     the 2^max_bits addressable range must raise a named ValueError, not
@@ -662,13 +778,33 @@ def test_malformed_ea_max_index_gated():
         h5_read(blob.finish([("v", ds)]))
 
 
-def test_paged_fixed_array_gated():
+def test_paged_dblock_in_index_block_gated():
+    """The one remaining EA paging gate: a paged data block whose
+    pointer lives in the INDEX block (no page bitmap exists there) —
+    a geometry libhdf5 never produces (db_min=16 > 2^page_bits=8)."""
     blob = FileBlob()
-    hdr = blob.reserve(28)
-    blob.patch(hdr, b"FAHD" + bytes([0, 0, 8, 2])  # page_bits 2 → 4/page
-               + struct.pack("<QQ", 6, 0) + b"\x00" * 4)
-    ds = dataset_oh(blob, ARR, layout_v4((2, 2, 4), 3, hdr, extra=b"\x02"))
-    with pytest.raises(NotImplementedError, match="paged fixed-array"):
+    max_bits, ib_elmts, db_min, sb_min_ptrs, page_bits = 32, 2, 16, 4, 3
+    nsblks = 1 + (max_bits - (db_min.bit_length() - 1))
+    ib_nsblks = 2 * (sb_min_ptrs.bit_length() - 1)
+    hdr = blob.reserve(72)
+    ib = blob.put(
+        b"EAIB" + bytes([0, 0]) + struct.pack("<Q", hdr)
+        + struct.pack("<Q", UNDEF) * ib_elmts
+        + struct.pack("<Q", UNDEF) * (2 * (sb_min_ptrs - 1))
+        + struct.pack("<Q", UNDEF) * (nsblks - ib_nsblks)
+        + b"\x00" * 4
+    )
+    blob.patch(hdr, (
+        b"EAHD" + bytes([0, 0, 8, max_bits, ib_elmts, db_min,
+                         sb_min_ptrs, page_bits])
+        + struct.pack("<QQQQQQ", 0, 0, 0, 0, 3, 0)
+        + struct.pack("<Q", ib) + b"\x00" * 4
+    ))
+    lay = layout_v4((5, 4), 4, hdr,
+                    extra=bytes([max_bits, ib_elmts, sb_min_ptrs,
+                                 db_min, page_bits]))
+    ds = dataset_oh(blob, np.zeros(15, dtype="<i4"), lay)
+    with pytest.raises(NotImplementedError, match="index block"):
         h5_read(blob.finish([("v", ds)]))
 
 

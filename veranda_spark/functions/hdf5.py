@@ -23,11 +23,13 @@ libver="latest"), filter pipeline v1/v2 with deflate(1), shuffle(2)
 and fletcher32(3, verified), attribute messages v1/v2/v3 in compact
 AND dense (fractal-heap) storage, object-header continuation blocks,
 and global-heap collections (vlen attribute payloads — netCDF-4's
-``DIMENSION_LIST``).  Everything outside that subset raises loudly
-with the feature name (szip/nbit, compound or enum datatypes,
-subgroups, paged fixed/extensible-array blocks, filtered fractal
+``DIMENSION_LIST``), fixed/extensible-array data-block PAGING (the
+layout libhdf5 switches to for very long record variables).
+Everything outside that subset raises loudly with the feature name
+(szip/nbit, compound or enum datatypes, subgroups, filtered fractal
 heaps, huge heap objects, nested heap indirect blocks, SOHM-shared
-messages).
+messages, paged data blocks pointed directly from an EA index block —
+a geometry libhdf5 never produces).
 
 WRITE side emits one fixed, spec-conformant shape: superblock v0, v1
 object headers, an old-style root group (the layout default libhdf5
@@ -651,8 +653,11 @@ def _fixed_array_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
                         chunk_bytes: int,
                         out: list[tuple[tuple, int, int, int]]) -> None:
     """Fixed Array chunk index (FAHD → FADB), client 0 (raw) and 1
-    (filtered).  Non-paged only — a paged data block (more entries than
-    2^page_bits) raises with the feature name."""
+    (filtered), non-paged AND paged data blocks.  Paged layout (more
+    entries than 2^page_bits): the block carries a page-init bitmap
+    instead of elements, and the pages — each 2^page_bits elements
+    (last one short) followed by a 4-byte checksum — sit contiguously
+    right after the block.  Uninitialized pages hold no chunks."""
     if buf[addr:addr + 4] != b"FAHD":
         raise ValueError(f"bad fixed array header signature at {addr:#x}")
     client, entry_size, page_bits = buf[addr + 5], buf[addr + 6], buf[addr + 7]
@@ -661,19 +666,14 @@ def _fixed_array_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
         raise NotImplementedError(f"fixed array client id {client}")
     if db_addr == UNDEF:
         return
-    if max_nelmts > (1 << page_bits):
-        raise NotImplementedError(
-            "paged fixed-array data block is outside the subset"
-        )
     if buf[db_addr:db_addr + 4] != b"FADB":
         raise ValueError(f"bad fixed array data block at {db_addr:#x}")
-    pos = db_addr + 4 + 1 + 1 + 8
     counts = _chunk_grid_counts(shape, cdims)
-    for i in range(max_nelmts):
-        e = buf[pos + i * entry_size:pos + (i + 1) * entry_size]
+
+    def emit(i: int, e: bytes) -> None:
         a = struct.unpack_from("<Q", e, 0)[0]
         if a == UNDEF:
-            continue
+            return
         offs = _linear_to_offsets(i, counts, cdims)
         if client == 1:
             csize = int.from_bytes(e[8:entry_size - 4], "little")
@@ -681,6 +681,25 @@ def _fixed_array_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
             out.append((offs, csize, fmask, a))
         else:
             out.append((offs, chunk_bytes, 0, a))
+
+    prefix = db_addr + 4 + 1 + 1 + 8
+    page_n = 1 << page_bits
+    if max_nelmts <= page_n:
+        for i in range(max_nelmts):
+            emit(i, buf[prefix + i * entry_size:prefix + (i + 1) * entry_size])
+        return
+    npages = -(-max_nelmts // page_n)
+    bitmap = buf[prefix:prefix + (npages + 7) // 8]
+    pages_base = prefix + len(bitmap) + 4  # bitmap + block checksum
+    page_stride = page_n * entry_size + 4  # full page + page checksum
+    for pg in range(npages):
+        if not (bitmap[pg // 8] >> (pg % 8)) & 1:
+            continue  # uninitialized page: no chunks allocated
+        base = pages_base + pg * page_stride
+        lo = pg * page_n
+        for j in range(min(page_n, max_nelmts - lo)):
+            emit(lo + j,
+                 buf[base + j * entry_size:base + (j + 1) * entry_size])
 
 
 def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
@@ -691,7 +710,10 @@ def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
     variables under libver="latest").  Elements live in the index
     block, then in data blocks of doubling size grouped into super
     blocks, per libhdf5's H5EA super-block geometry: super block s
-    holds 2^(s//2) data blocks of 2^((s+1)//2)·min_elmts elements."""
+    holds 2^(s//2) data blocks of 2^((s+1)//2)·min_elmts elements.
+    Data blocks past 2^page_bits elements are PAGED (pages of
+    2^page_bits elements + checksum each, page-init bitmap in the
+    owning super block) — the shape long record variables reach."""
     if buf[addr:addr + 4] != b"EAHD":
         raise ValueError(f"bad extensible array header signature at {addr:#x}")
     (client, elt_size, max_bits, ib_elmts, db_min_elmts,
@@ -748,20 +770,32 @@ def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
         else:
             out.append((offs, chunk_bytes, 0, a))
 
-    def dblock_elems(da: int, nelmts: int) -> int:
-        """→ file position of the first element in a data block."""
+    page_n = 1 << db_page_bits
+    dblk_hdr = 4 + 1 + 1 + 8 + arr_off_size  # EADB prefix
+
+    def elem_pos(da: int, nelmts: int, within: int,
+                 page_ok) -> int:
+        """→ file position of element ``within`` of a data block, or -1
+        when the block/page holds nothing.  Paged blocks (nelmts >
+        2^page_bits) store pages of 2^page_bits elements, each followed
+        by a 4-byte checksum, contiguously after the block header;
+        ``page_ok(page)`` consults the owning super block's page-init
+        bitmap."""
         if da == UNDEF:
             return -1
-        if nelmts > (1 << db_page_bits):
-            raise NotImplementedError(
-                "paged extensible-array data block is outside the subset"
-            )
         if buf[da:da + 4] != b"EADB":
             raise ValueError(f"bad extensible array data block at {da:#x}")
-        return da + 4 + 1 + 1 + 8 + arr_off_size
+        if nelmts <= page_n:
+            return da + dblk_hdr + within * elt_size
+        pg, j = within // page_n, within % page_n
+        if not page_ok(pg):
+            return -1  # uninitialized page: no chunks allocated
+        # paged EADB: header + its checksum, then full pages
+        return (da + dblk_hdr + 4
+                + pg * (page_n * elt_size + 4) + j * elt_size)
 
     counts = _chunk_grid_counts(shape, cdims)
-    sblk_cache: dict[int, int] = {}
+    sblk_cache: dict[int, tuple[int, bytes]] = {}
     for idx in range(max_index_set):
         if idx < ib_elmts:
             pos = ib_body + idx * elt_size
@@ -772,8 +806,15 @@ def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
         rel = u - sb_start_idx[s]
         dblk = rel // sb_nelmts[s]
         within = rel % sb_nelmts[s]
+        page_ok = lambda pg: True  # noqa: E731 — overridden on EASB path
         if s < ib_nsblks:
-            # data-block pointer lives in the index block
+            # data-block pointer lives in the index block; libhdf5's
+            # geometry keeps these first blocks below the page size
+            if sb_nelmts[s] > page_n:
+                raise NotImplementedError(
+                    "paged data block pointed from the index block is "
+                    "outside the subset (no page bitmap exists there)"
+                )
             da = struct.unpack_from(
                 "<Q", buf,
                 ib_body + ib_elmts * elt_size
@@ -787,27 +828,33 @@ def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
                     ib_body + ib_elmts * elt_size
                     + ib_ndblk_addrs * 8 + key * 8,
                 )[0]
-                sblk_cache[key] = sa
-            sa = sblk_cache[key]
+                bmp = b""
+                if sa != UNDEF:
+                    if buf[sa:sa + 4] != b"EASB":
+                        raise ValueError(
+                            f"bad extensible array super block at {sa:#x}"
+                        )
+                    if sb_nelmts[s] > page_n:
+                        # page-init bitmap: ndblks * pages-per-dblk bits,
+                        # preceding the data block addresses
+                        nbits = sb_ndblks[s] * (sb_nelmts[s] // page_n)
+                        b0 = sa + 4 + 1 + 1 + 8 + arr_off_size
+                        bmp = bytes(buf[b0:b0 + (nbits + 7) // 8])
+                sblk_cache[key] = (sa, bmp)
+            sa, bmp = sblk_cache[key]
             if sa == UNDEF:
                 continue
-            if buf[sa:sa + 4] != b"EASB":
-                raise ValueError(
-                    f"bad extensible array super block at {sa:#x}"
+            addrs0 = sa + 4 + 1 + 1 + 8 + arr_off_size + len(bmp)
+            da = struct.unpack_from("<Q", buf, addrs0 + dblk * 8)[0]
+            if bmp:
+                dpp = sb_nelmts[s] // page_n  # pages per data block
+                page_ok = (
+                    lambda pg, _b=bmp, _o=dblk * dpp:
+                    bool((_b[(_o + pg) // 8] >> ((_o + pg) % 8)) & 1)
                 )
-            if sb_nelmts[s] > (1 << db_page_bits):
-                # a page bitmap precedes the addresses in that case
-                raise NotImplementedError(
-                    "paged extensible-array super block is outside the "
-                    "subset"
-                )
-            da = struct.unpack_from(
-                "<Q", buf, sa + 4 + 1 + 1 + 8 + arr_off_size + dblk * 8
-            )[0]
-        base = dblock_elems(da, sb_nelmts[s])
-        if base < 0:
+        pos = elem_pos(da, sb_nelmts[s], within, page_ok)
+        if pos < 0:
             continue
-        pos = base + within * elt_size
         parse_elem(buf[pos:pos + elt_size], idx)
 
 
