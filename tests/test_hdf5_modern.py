@@ -885,6 +885,46 @@ def test_nc4_decode_modern_container():
     assert nc["vars"]["temp"]["attrs"]["units"] == "K"
 
 
+def oh2_flags(msgs: list[tuple[int, bytes]], flags: int) -> bytes:
+    """v2 OH with arbitrary prefix flags: optional times (0x20),
+    max-compact/min-dense (0x10), creation-order-tracked message
+    headers (0x04), chunk0-size width from flags&3."""
+    track = bool(flags & 0x04)
+    block = b""
+    for i, (t, b) in enumerate(msgs):
+        block += bytes([t]) + struct.pack("<H", len(b)) + b"\x00"
+        if track:
+            block += struct.pack("<H", i)
+        block += b
+    so = 1 << (flags & 0x03)
+    out = b"OHDR" + bytes([2, flags])
+    if flags & 0x20:
+        out += b"\x00" * 16  # access/mod/change/birth times
+    if flags & 0x10:
+        out += struct.pack("<HH", 8, 6)  # max compact / min dense
+    out += len(block).to_bytes(so, "little") + block + b"\x00" * 4
+    return out
+
+
+@pytest.mark.parametrize("flags", [0x00, 0x01, 0x03, 0x06, 0x32, 0x37])
+def test_v2_oh_prefix_flag_variants(flags):
+    """Every v2 object-header prefix shape modern writers emit: 1/2/4/
+    8-byte chunk-0 sizes, creation-order-tracked message headers,
+    timestamps, max-compact/min-dense counts — all decode the same
+    dataset."""
+    blob = FileBlob()
+    data = blob.put(ARR.tobytes())
+    ds = blob.put(oh2_flags([
+        (0x0001, _ds_encode(ARR.shape, None)),
+        (0x0003, _dt_encode(ARR.dtype)),
+        (0x0008, layout_v4((6, 4, 4), 1, data)),
+        (0x000C, attr_msg_v3("k", np.array(7, dtype="<i4"))),
+    ], flags))
+    out = h5_read(blob.finish([("v", ds)]))
+    np.testing.assert_array_equal(out["datasets"]["v"]["data"], ARR)
+    assert out["datasets"]["v"]["attrs"]["k"] == 7
+
+
 def test_v2_oh_chunk0_size_excludes_checksum():
     """Regression for the chunk-0 size semantics fix: a v2 OH whose last
     message ends exactly at prefix+size must parse that message (the old
