@@ -860,3 +860,74 @@ def test_frozen_writer_aborts_instead_of_dual_commit(spark, base, monkeypatch):
     v2 = os.path.join(base, "_versions", "000002")
     visible = [n for n in os.listdir(v2) if not n.startswith("_")]
     assert visible == [], f"parquet debris leaked into version dir: {visible}"
+
+
+# ---- schema evolution (round 8: Delta/Iceberg mergeSchema analog) ----------
+
+
+def test_merge_schema_evolve_adds_column(spark, base):
+    upd = spark.createDataFrame(
+        [(3, 3, "u3", "hot"), (100, 0, "n100", "cold")],
+        "k long, p long, val string, tag string",
+    )
+    with pytest.raises(ValueError, match="schema_mode='evolve'"):
+        merge_into(spark, base, upd, keys=["k"], partition_by="p")
+    res = merge_into(
+        spark, base, upd, keys=["k"], partition_by="p", schema_mode="evolve"
+    )
+    assert res["version"] == 2
+    t = read_table(spark, base)
+    assert "tag" in t.columns
+    got = {(r["k"], r["tag"]) for r in t.collect()}
+    assert (3, "hot") in got and (100, "cold") in got
+    # untouched rows — both in affected partitions and in CARRIED
+    # partitions whose parquet files predate the column — read as null
+    assert (7, None) in got and (1, None) in got and (2, None) in got
+    assert t.count() == 21
+    # time travel: version 1 keeps its own schema
+    v1 = read_table(spark, base, version=1)
+    assert "tag" not in v1.columns and v1.count() == 20
+
+
+def test_merge_schema_evolve_missing_update_column(spark, base):
+    upd = spark.createDataFrame([(200, 1)], "k long, p long")
+    res = merge_into(
+        spark, base, upd, keys=["k"], partition_by="p", schema_mode="evolve"
+    )
+    assert res["version"] == 2
+    t = read_table(spark, base)
+    row = {r["k"]: (r["p"], r["val"]) for r in t.collect()}[200]
+    assert row == (1, None)
+    assert t.count() == 21
+
+
+def test_merge_schema_evolve_guards(spark, base):
+    # type conflict: add-only, never a cast
+    upd = spark.createDataFrame([(3, 3, 7)], "k long, p long, val int")
+    with pytest.raises(ValueError, match="add-only"):
+        merge_into(spark, base, upd, keys=["k"], partition_by="p",
+                   schema_mode="evolve")
+    # updates lacking the partition column can never be null-routed
+    upd2 = spark.createDataFrame([(3, "x")], "k long, val string")
+    with pytest.raises(ValueError, match="key/partition"):
+        merge_into(spark, base, upd2, keys=["k"], partition_by="p",
+                   schema_mode="evolve")
+    with pytest.raises(ValueError, match="schema_mode"):
+        merge_into(spark, base, upd2, keys=["k"], partition_by="p",
+                   schema_mode="wat")
+
+
+def test_merge_schema_evolve_then_compact(spark, base):
+    from veranda_spark.io.table import compact_table
+
+    upd = spark.createDataFrame(
+        [(3, 3, "u3", 1.5)], "k long, p long, val string, score double"
+    )
+    merge_into(spark, base, upd, keys=["k"], partition_by="p",
+               schema_mode="evolve")
+    before = {(r["k"], r["val"], r["score"])
+              for r in read_table(spark, base).collect()}
+    compact_table(spark, base, partition_by="p", max_files=1)
+    after = {(r["k"], r["val"], r["score"])
+             for r in read_table(spark, base).collect()}
+    assert after == before and (3, "u3", 1.5) in after

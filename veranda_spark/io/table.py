@@ -155,8 +155,13 @@ def read_table(
     if v > cur or not os.path.isdir(vdir):
         raise ValueError(f"version {v} does not exist (current={cur})")
     entries = _read_manifest(vdir)
+    # mergeSchema: after a schema-evolving merge (merge_into
+    # schema_mode="evolve") a snapshot legitimately mixes parquet files
+    # written under different schemas (carried partitions keep their old
+    # files); schema union fills missing columns with nulls.  Cost: one
+    # footer read per file instead of per sample — O(files), not O(rows).
     if not entries:
-        return spark.read.parquet(vdir)
+        return spark.read.option("mergeSchema", "true").parquet(vdir)
     # group by (version, relocated?) — each group scans with a basePath
     # anchored at the directory holding the partition dirs, so partition
     # columns resolve from the dir names either way
@@ -171,12 +176,18 @@ def read_table(
         base = _version_path(path, v2)
         if rel:
             base = os.path.join(base, "_relocated")
-        parts.append(spark.read.option("basePath", base).parquet(*paths))
+        parts.append(
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true").parquet(*paths)
+        )
     if _has_parquet(vdir):
-        parts.append(spark.read.option("basePath", vdir).parquet(vdir))
+        parts.append(
+            spark.read.option("basePath", vdir)
+            .option("mergeSchema", "true").parquet(vdir)
+        )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -563,6 +574,48 @@ def recover_orphans(
     return removed
 
 
+def _evolve_schemas(
+    tgt: DataFrame, updates: DataFrame, keys: list[str],
+    partition_by: str | None
+) -> tuple[DataFrame, DataFrame]:
+    """Additive schema evolution for ``merge_into(schema_mode="evolve")``:
+    align both frames onto the UNION of their columns (new side fills
+    null, typed from the side that has the column).  Key and partition
+    columns must exist on both sides (a null partition/key from
+    evolution would silently misroute rows); shared columns with
+    differing types raise — evolution is add-only, never a cast."""
+    t_fields = {f.name: f.dataType for f in tgt.schema.fields}
+    u_fields = {f.name: f.dataType for f in updates.schema.fields}
+    for name in sorted(set(t_fields) & set(u_fields)):
+        if name == partition_by:
+            # the partition column's table-side type is INFERRED from
+            # directory names (int for small values even when written
+            # as long) — a type delta there is an inference artifact,
+            # not schema drift; the union coerces it
+            continue
+        if t_fields[name] != u_fields[name]:
+            raise ValueError(
+                f"merge_into schema evolution: column {name!r} has type "
+                f"{t_fields[name].simpleString()} in the table but "
+                f"{u_fields[name].simpleString()} in the updates — "
+                "evolution is add-only, cast explicitly first"
+            )
+    required = set(keys) | ({partition_by} if partition_by else set())
+    missing = sorted(required - set(u_fields))
+    if missing:
+        raise ValueError(
+            f"merge_into schema evolution: updates lack key/partition "
+            f"column(s) {missing} — these can never be null-filled"
+        )
+    for name in sorted(set(u_fields) - set(t_fields)):
+        tgt = tgt.withColumn(name, F.lit(None).cast(u_fields[name]))
+    for name in sorted(set(t_fields) - set(u_fields)):
+        updates = updates.withColumn(name, F.lit(None).cast(t_fields[name]))
+    # deterministic, matching column order for the union downstream
+    cols = sorted(set(t_fields) | set(u_fields))
+    return tgt.select(cols), updates.select(cols)
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -571,6 +624,7 @@ def merge_into(
     partition_by: str | None = None,
     commit_mode: str = "auto",
     owner: str | None = None,
+    schema_mode: str = "strict",
 ) -> dict:
     """Upsert (MERGE INTO): matched target rows are replaced by the
     update row, unmatched update rows are inserted, unmatched target
@@ -596,18 +650,36 @@ def merge_into(
     Scale: the per-partition rewrite is `target_partition ⊕ updates` —
     a broadcast-able anti-join when the update batch is small; the
     untouched bulk of a 100 TB table is never read, moved, or decoded.
+
+    ``schema_mode``: ``"strict"`` (default) raises on any column-set
+    difference; ``"evolve"`` is the Delta/Iceberg schema-evolution
+    analog — NEW update columns widen the table schema (pre-existing
+    rows read back as null), update batches MISSING table columns fill
+    them with null in the inserted/replaced rows.  Only additive
+    evolution: a column present on both sides with a different type
+    still raises (no implicit casts).  Touched partitions are written
+    under the evolved schema; carried-over partitions keep their old
+    parquet files — ``read_table`` merges schemas at scan time
+    (nulls for the missing columns), so old versions time-travel with
+    their own schema.
     """
     if commit_mode not in ("auto", "link", "manifest"):
         raise ValueError(f"commit_mode must be auto|link|manifest, got {commit_mode!r}")
+    if schema_mode not in ("strict", "evolve"):
+        raise ValueError(f"schema_mode must be strict|evolve, got {schema_mode!r}")
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no committed table at {path}")
     tgt = read_table(spark, path)
-    if set(tgt.columns) != set(updates.columns):
-        raise ValueError(
-            f"merge_into schema mismatch: target {sorted(tgt.columns)} vs "
-            f"updates {sorted(updates.columns)}"
-        )
+    if schema_mode == "strict":
+        if set(tgt.columns) != set(updates.columns):
+            raise ValueError(
+                f"merge_into schema mismatch: target {sorted(tgt.columns)} "
+                f"vs updates {sorted(updates.columns)} (pass "
+                "schema_mode='evolve' for additive evolution)"
+            )
+    else:
+        tgt, updates = _evolve_schemas(tgt, updates, keys, partition_by)
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
     new_v = cur + 1
