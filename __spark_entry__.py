@@ -791,7 +791,24 @@ def q_merge_upsert(spark, sf_dir):
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     create_table(base, path, partition_by="p")
     merge_into(spark, path, upd, keys=["k"], partition_by="p")
-    return read_table(spark, path).select("k", "p", "val")
+    # round-8: second merge SCHEMA-EVOLVES the table (a new `flag`
+    # column rides in with the updates; untouched rows — including
+    # carried-over partitions whose parquet files predate the column —
+    # must read back as NULL).  The oracle reproduces both merges and
+    # the null-fill in SQL, so evolution semantics are value-graded.
+    upd2 = o.filter(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 5).alias("p"),
+        (F.col("o_totalprice") * 3).alias("val"),
+        (F.col("o_orderkey") % 7).alias("flag"),
+    )
+    merge_into(
+        spark, path, upd2, keys=["k"], partition_by="p",
+        schema_mode="evolve",
+    )
+    return read_table(spark, path).select("k", "p", "val", "flag")
 
 
 def q_doc_repetition(spark, sf_dir):
@@ -3013,10 +3030,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey AS k, (o_orderkey + 1) % 5 AS p,
                      o_totalprice * 2 AS val
               FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+            ),
+            s1 AS (
+              SELECT k, p, val FROM base WHERE k NOT IN (SELECT k FROM upd)
+              UNION ALL
+              SELECT k, p, val FROM upd
+            ),
+            upd2 AS (
+              SELECT o_orderkey AS k, o_orderkey % 5 AS p,
+                     o_totalprice * 3 AS val, o_orderkey % 7 AS flag
+              FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
             )
-            SELECT k, p, val FROM base WHERE k NOT IN (SELECT k FROM upd)
+            SELECT k, p, val, CAST(NULL AS BIGINT) AS flag
+            FROM s1 WHERE k NOT IN (SELECT k FROM upd2)
             UNION ALL
-            SELECT k, p, val FROM upd
+            SELECT k, p, val, flag FROM upd2
         """,
         "neardup_groups": r"""
             WITH RECURSIVE pairs AS (
