@@ -99,8 +99,7 @@ def test_fuzz_wav_roundtrip_exact(seed, n, ch, rate):
         s = s[:, 0]
     out, r = wav_decode(wav_encode(s, rate=rate))
     assert r == rate
-    want = s if ch > 1 else s  # mono decodes to (n,)
-    np.testing.assert_array_equal(out.reshape(-1), want.reshape(-1))
+    np.testing.assert_array_equal(out.reshape(-1), s.reshape(-1))
 
 
 @settings(max_examples=80, deadline=None)

@@ -659,7 +659,7 @@ def test_v4_fixed_array_paged():
     page1 = b"".join(struct.pack("<Q", a) for a in addrs[4:6]) + b"\x00" * 4
     db = blob.put(
         b"FADB" + bytes([0, 0]) + struct.pack("<Q", hdr)
-        + b"\x03"          # page bitmap: both pages initialized
+        + b"\xc0"          # page bitmap, H5VM MSB-first: pages 0+1 init
         + b"\x00" * 4      # block checksum
         + page0 + page1
     )
@@ -682,7 +682,7 @@ def test_v4_fixed_array_paged_uninit_page():
     page0 = b"".join(struct.pack("<Q", a) for a in addrs[0:4]) + b"\x00" * 4
     db = blob.put(
         b"FADB" + bytes([0, 0]) + struct.pack("<Q", hdr)
-        + b"\x01"          # only page 0 initialized
+        + b"\x80"          # H5VM MSB-first: only page 0 initialized
         + b"\x00" * 4
         + page0            # page 1 never allocated
     )
@@ -728,7 +728,8 @@ def test_v4_extensible_array_paged_super_block():
     easb5 = blob.put(
         b"EASB" + bytes([0, 0]) + struct.pack("<Q", hdr)
         + (64).to_bytes(arr_off, "little")
-        + b"\x01"          # bitmap: 4 dblks x 2 pages; only dblk0/page0
+        + b"\x80"  # bitmap (H5VM MSB-first): 4 dblks x 2 pages; only
+        #            dblk0/page0 initialized
         + struct.pack("<Q", dblk0)
         + struct.pack("<Q", UNDEF) * 3
         + b"\x00" * 4

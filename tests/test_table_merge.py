@@ -907,6 +907,20 @@ def test_merge_schema_evolve_guards(spark, base):
     with pytest.raises(ValueError, match="add-only"):
         merge_into(spark, base, upd, keys=["k"], partition_by="p",
                    schema_mode="evolve")
+    # case-only name delta: withColumn resolves case-insensitively, so
+    # "evolving" here would null the existing column (review r8 #2)
+    updc = spark.createDataFrame([(3, 3, "x")], "k long, p long, VAL string")
+    with pytest.raises(ValueError, match="only in case"):
+        merge_into(spark, base, updc, keys=["k"], partition_by="p",
+                   schema_mode="evolve")
+    # non-integral partition type delta: '0.0' directories would bypass
+    # the touched-partition match and duplicate rows (review r8 #3)
+    updd = spark.createDataFrame(
+        [(3, 3.0, "x")], "k long, p double, val string"
+    )
+    with pytest.raises(ValueError, match="add-only"):
+        merge_into(spark, base, updd, keys=["k"], partition_by="p",
+                   schema_mode="evolve")
     # updates lacking the partition column can never be null-routed
     upd2 = spark.createDataFrame([(3, "x")], "k long, val string")
     with pytest.raises(ValueError, match="key/partition"):

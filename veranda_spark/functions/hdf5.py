@@ -636,6 +636,14 @@ def _dense_links(buf: bytes, body: bytes, links: dict[str, int]) -> None:
 # ---- v4 chunk indexes (Single/Implicit/Fixed Array/Extensible/v2 B-tree) ---
 
 
+def _h5vm_bit(bitmap: bytes, offset: int) -> bool:
+    """libhdf5's H5VM bit convention for page-init bitmaps: bit 0 is
+    the HIGH bit of byte 0 (`1 << (7 - offset % 8)`), i.e. MSB-first —
+    review r8 pass-3 #1: the first cut read LSB-first, which the
+    like-minded golden builder couldn't catch."""
+    return bool((bitmap[offset // 8] >> (7 - offset % 8)) & 1)
+
+
 def _chunk_grid_counts(shape: tuple, cdims: tuple) -> list[int]:
     return [max(0, -(-s // c)) for s, c in zip(shape, cdims)]
 
@@ -693,7 +701,7 @@ def _fixed_array_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
     pages_base = prefix + len(bitmap) + 4  # bitmap + block checksum
     page_stride = page_n * entry_size + 4  # full page + page checksum
     for pg in range(npages):
-        if not (bitmap[pg // 8] >> (pg % 8)) & 1:
+        if not _h5vm_bit(bitmap, pg):
             continue  # uninitialized page: no chunks allocated
         base = pages_base + pg * page_stride
         lo = pg * page_n
@@ -850,7 +858,7 @@ def _earray_chunks(buf: bytes, addr: int, shape: tuple, cdims: tuple,
                 dpp = sb_nelmts[s] // page_n  # pages per data block
                 page_ok = (
                     lambda pg, _b=bmp, _o=dblk * dpp:
-                    bool((_b[(_o + pg) // 8] >> ((_o + pg) % 8)) & 1)
+                    _h5vm_bit(_b, _o + pg)
                 )
         pos = elem_pos(da, sb_nelmts[s], within, page_ok)
         if pos < 0:

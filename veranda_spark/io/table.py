@@ -158,10 +158,23 @@ def read_table(
     # mergeSchema: after a schema-evolving merge (merge_into
     # schema_mode="evolve") a snapshot legitimately mixes parquet files
     # written under different schemas (carried partitions keep their old
-    # files); schema union fills missing columns with nulls.  Cost: one
-    # footer read per file instead of per sample — O(files), not O(rows).
+    # files); schema union fills missing columns with nulls.  Gated on
+    # the table-root marker an evolving merge writes (review r8 pass-3
+    # #4): never-evolved tables keep the cheap single-footer schema
+    # inference AND the loud unionByName guard against a column
+    # genuinely lost to corruption in one manifest group.
+    evolved = os.path.exists(_evolved_marker(path))
+
+    def scan(base: str | None, *paths: str):
+        r = spark.read
+        if base is not None:
+            r = r.option("basePath", base)
+        if evolved:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*paths)
+
     if not entries:
-        return spark.read.option("mergeSchema", "true").parquet(vdir)
+        return scan(None, vdir)
     # group by (version, relocated?) — each group scans with a basePath
     # anchored at the directory holding the partition dirs, so partition
     # columns resolve from the dir names either way
@@ -176,18 +189,12 @@ def read_table(
         base = _version_path(path, v2)
         if rel:
             base = os.path.join(base, "_relocated")
-        parts.append(
-            spark.read.option("basePath", base)
-            .option("mergeSchema", "true").parquet(*paths)
-        )
+        parts.append(scan(base, *paths))
     if _has_parquet(vdir):
-        parts.append(
-            spark.read.option("basePath", vdir)
-            .option("mergeSchema", "true").parquet(vdir)
-        )
+        parts.append(scan(vdir, vdir))
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
+        out = out.unionByName(p, allowMissingColumns=evolved)
     return out
 
 
@@ -574,10 +581,17 @@ def recover_orphans(
     return removed
 
 
+def _evolved_marker(path: str) -> str:
+    """Table-root marker an evolving merge writes once the column set
+    actually changed: readers switch to mergeSchema scans +
+    null-filling unions only from then on."""
+    return os.path.join(path, "_schema_evolved")
+
+
 def _evolve_schemas(
     tgt: DataFrame, updates: DataFrame, keys: list[str],
     partition_by: str | None
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, bool]:
     """Additive schema evolution for ``merge_into(schema_mode="evolve")``:
     align both frames onto the UNION of their columns (new side fills
     null, typed from the side that has the column).  Key and partition
@@ -586,18 +600,40 @@ def _evolve_schemas(
     differing types raise — evolution is add-only, never a cast."""
     t_fields = {f.name: f.dataType for f in tgt.schema.fields}
     u_fields = {f.name: f.dataType for f in updates.schema.fields}
+    # review r8 pass-3 #2: withColumn resolves names CASE-INSENSITIVELY
+    # under the default spark.sql.caseSensitive=false, so a case-only
+    # name delta classified as "new column" would silently null out the
+    # existing column's data on both sides — raise instead
+    t_lower = {n.lower(): n for n in t_fields}
+    for n in u_fields:
+        other = t_lower.get(n.lower())
+        if other is not None and other != n:
+            raise ValueError(
+                f"merge_into schema evolution: updates column {n!r} "
+                f"differs from table column {other!r} only in case — "
+                "rename it explicitly (Spark resolves names "
+                "case-insensitively, so evolving here would null the "
+                "existing data)"
+            )
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
     for name in sorted(set(t_fields) & set(u_fields)):
-        if name == partition_by:
+        ts, us = t_fields[name].simpleString(), u_fields[name].simpleString()
+        if (
+            name == partition_by
+            and ts in _INTEGRAL and us in _INTEGRAL
+        ):
             # the partition column's table-side type is INFERRED from
             # directory names (int for small values even when written
-            # as long) — a type delta there is an inference artifact,
-            # not schema drift; the union coerces it
+            # as long) — an integral-WIDTH delta there is an inference
+            # artifact, not schema drift; the union coerces it.  Any
+            # other partition type delta still raises (review r8 pass-3
+            # #3: e.g. double-vs-int renders '0.0' directories that
+            # bypass the touched-partition match and duplicate rows).
             continue
         if t_fields[name] != u_fields[name]:
             raise ValueError(
                 f"merge_into schema evolution: column {name!r} has type "
-                f"{t_fields[name].simpleString()} in the table but "
-                f"{u_fields[name].simpleString()} in the updates — "
+                f"{ts} in the table but {us} in the updates — "
                 "evolution is add-only, cast explicitly first"
             )
     required = set(keys) | ({partition_by} if partition_by else set())
@@ -613,7 +649,8 @@ def _evolve_schemas(
         updates = updates.withColumn(name, F.lit(None).cast(t_fields[name]))
     # deterministic, matching column order for the union downstream
     cols = sorted(set(t_fields) | set(u_fields))
-    return tgt.select(cols), updates.select(cols)
+    widened = bool(set(u_fields) - set(t_fields))
+    return tgt.select(cols), updates.select(cols), widened
 
 
 def merge_into(
@@ -679,7 +716,15 @@ def merge_into(
                 "schema_mode='evolve' for additive evolution)"
             )
     else:
-        tgt, updates = _evolve_schemas(tgt, updates, keys, partition_by)
+        tgt, updates, widened = _evolve_schemas(
+            tgt, updates, keys, partition_by
+        )
+        if widened and not os.path.exists(_evolved_marker(path)):
+            # flip readers to schema-merging scans BEFORE any write:
+            # a marker without a commit is harmless (mergeSchema on a
+            # uniform table is just slower), the reverse is data loss
+            with open(_evolved_marker(path), "w") as f:
+                f.write("1")
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
     new_v = cur + 1
