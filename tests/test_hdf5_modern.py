@@ -512,6 +512,48 @@ def test_v4_btree2_raw_depth1_internal_node():
     np.testing.assert_array_equal(out["datasets"]["v"]["data"], ARR)
 
 
+def test_v4_btree2_raw_depth2_cum_size_branch():
+    """Depth-2 tree: exercises the 'total records in subtree' field
+    that exists only in child pointers BELOW depth 1.  Independent
+    sizing arithmetic (libhdf5's capacity rule, node 512 / record 24):
+    leaf cap (512-10)//24 = 20 → nrec field 1 byte; depth-1 pointer =
+    8+1 = 9 → depth-1 cap (512-19)//33 = 14 → cum max = 15·20+14 = 314
+    → 2-byte totals in the root's child pointers."""
+    blob = FileBlob()
+    recs = []
+    for gi, r in enumerate((0, 2, 4)):
+        for gj, c in enumerate((0, 2)):
+            a = blob.put(np.ascontiguousarray(ARR[r:r + 2, c:c + 2]).tobytes())
+            recs.append(struct.pack("<QQQ", a, gi, gj))
+    # in-order layout: [L00: r0] p=r1 [L01: r2]  ROOT r3  [L10: r4] p=r5 [L11: -]
+    l00 = btlf(blob, 10, [recs[0]])
+    l01 = btlf(blob, 10, [recs[2]])
+    l10 = btlf(blob, 10, [recs[4]])
+    l11 = btlf(blob, 10, [])
+    i0 = blob.put(
+        b"BTIN" + bytes([0, 10]) + recs[1]
+        + struct.pack("<QB", l00, 1) + struct.pack("<QB", l01, 1)
+        + b"\x00" * 4
+    )
+    i1 = blob.put(
+        b"BTIN" + bytes([0, 10]) + recs[5]
+        + struct.pack("<QB", l10, 1) + struct.pack("<QB", l11, 0)
+        + b"\x00" * 4
+    )
+    root = blob.put(
+        b"BTIN" + bytes([0, 10]) + recs[3]
+        + struct.pack("<QBH", i0, 1, 3)   # addr + nrec(1B) + total(2B)
+        + struct.pack("<QBH", i1, 1, 2)
+        + b"\x00" * 4
+    )
+    hdr = bthd(blob, 10, 24, 2, root, 1, len(recs))
+    lay = layout_v4((2, 2, 4), 5, hdr,
+                    extra=struct.pack("<IBB", 512, 100, 40))
+    ds = dataset_oh(blob, ARR, lay)
+    out = h5_read(blob.finish([("v", ds)]))
+    np.testing.assert_array_equal(out["datasets"]["v"]["data"], ARR)
+
+
 def test_v4_btree2_filtered():
     blob = FileBlob()
     recs = []
