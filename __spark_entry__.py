@@ -808,6 +808,13 @@ def q_merge_upsert(spark, sf_dir):
         spark, path, upd2, keys=["k"], partition_by="p",
         schema_mode="evolve",
     )
+    # round-8: keyed DELETE (delete_rows — the right-to-be-forgotten
+    # primitive); the oracle appends the NOT-IN filter, so deletion
+    # semantics are value-graded alongside upsert and evolution.
+    from veranda_spark.io.table import delete_rows
+
+    dels = spark.range(1500, 1600).select(F.col("id").alias("k"))
+    delete_rows(spark, path, dels, keys=["k"], partition_by="p")
     return read_table(spark, path).select("k", "p", "val", "flag")
 
 
@@ -3041,10 +3048,14 @@ def oracle_sql() -> dict[str, str]:
                      o_totalprice * 3 AS val, o_orderkey % 7 AS flag
               FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
             )
-            SELECT k, p, val, CAST(NULL AS BIGINT) AS flag
-            FROM s1 WHERE k NOT IN (SELECT k FROM upd2)
-            UNION ALL
-            SELECT k, p, val, flag FROM upd2
+            , s2 AS (
+              SELECT k, p, val, CAST(NULL AS BIGINT) AS flag
+              FROM s1 WHERE k NOT IN (SELECT k FROM upd2)
+              UNION ALL
+              SELECT k, p, val, flag FROM upd2
+            )
+            SELECT k, p, val, flag FROM s2
+            WHERE k NOT BETWEEN 1500 AND 1599
         """,
         "neardup_groups": r"""
             WITH RECURSIVE pairs AS (

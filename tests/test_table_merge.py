@@ -945,3 +945,74 @@ def test_merge_schema_evolve_then_compact(spark, base):
     after = {(r["k"], r["val"], r["score"])
              for r in read_table(spark, base).collect()}
     assert after == before and (3, "u3", 1.5) in after
+
+
+# ---- keyed DELETE (round 8: right-to-be-forgotten primitive) ---------------
+
+
+def test_delete_rows_partitioned(spark, base):
+    from veranda_spark.io.table import delete_rows
+
+    dels = spark.createDataFrame([(3,), (7,), (999,)], "k long")
+    res = delete_rows(spark, base, dels, keys=["k"], partition_by="p")
+    assert res["version"] == 2
+    t = read_table(spark, base)
+    ks = {r["k"] for r in t.collect()}
+    assert 3 not in ks and 7 not in ks and len(ks) == 18
+    # snapshot isolation: v1 still serves the deleted rows
+    v1 = {r["k"] for r in read_table(spark, base, version=1).collect()}
+    assert v1 >= {3, 7}
+
+
+def test_delete_rows_whole_partition_disappears(spark, base):
+    from veranda_spark.io.table import delete_rows
+
+    # partition p=2 holds keys 2,6,10,14,18 — delete all of them
+    dels = spark.createDataFrame([(k,) for k in (2, 6, 10, 14, 18)], "k long")
+    delete_rows(spark, base, dels, keys=["k"], partition_by="p")
+    t = read_table(spark, base)
+    assert t.filter(t.p == 2).count() == 0
+    assert t.count() == 15
+
+
+def test_delete_rows_partition_hint(spark, base):
+    from veranda_spark.io.table import delete_rows
+
+    # correct hint: pruned scan, same result
+    dels = spark.createDataFrame([(5, 1)], "k long, p long")
+    delete_rows(spark, base, dels, keys=["k"], partition_by="p",
+                trust_partition_hint=True)
+    assert 5 not in {r["k"] for r in read_table(spark, base).collect()}
+    # WRONG hint silently skips (the documented opt-in hazard)
+    dels2 = spark.createDataFrame([(6, 0)], "k long, p long")  # 6 lives in p=2
+    delete_rows(spark, base, dels2, keys=["k"], partition_by="p",
+                trust_partition_hint=True)
+    assert 6 in {r["k"] for r in read_table(spark, base).collect()}
+
+
+def test_delete_rows_all_rows_guarded(spark, base):
+    from veranda_spark.io.table import current_version, delete_rows
+
+    dels = spark.createDataFrame([(k,) for k in range(20)], "k long")
+    with pytest.raises(ValueError, match="every row"):
+        delete_rows(spark, base, dels, keys=["k"], partition_by="p")
+    # table untouched, no orphan version directory left behind
+    assert current_version(base) == 1
+    assert read_table(spark, base).count() == 20
+    assert not os.path.isdir(os.path.join(base, "_versions", "2"))
+
+
+def test_delete_rows_unpartitioned(spark, tmp_path):
+    from veranda_spark.io.table import create_table, delete_rows
+
+    path = str(tmp_path / "flat")
+    create_table(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                              "k long, val string"),
+        path,
+    )
+    delete_rows(spark, path, spark.createDataFrame([(4,)], "k long"),
+                keys=["k"])
+    assert {r["k"] for r in read_table(spark, path).collect()} == (
+        set(range(10)) - {4}
+    )

@@ -815,6 +815,136 @@ def merge_into(
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+    commit_mode: str = "auto",
+    owner: str | None = None,
+    trust_partition_hint: bool = False,
+) -> dict:
+    """DELETE by key (`DELETE FROM t WHERE (k) IN (SELECT k FROM d)`) —
+    the right-to-be-forgotten primitive for training-data tables:
+    every target row whose key tuple appears in ``keys_df`` is removed
+    in a NEW committed version with the same partition-granular
+    copy-on-write as ``merge_into`` (only partitions holding matched
+    rows are rewritten; a partition whose rows ALL match simply
+    disappears from the new version).
+
+    Snapshot isolation means older versions still SERVE the deleted
+    rows; physical removal is ``delete_rows`` + ``expire_versions``
+    (plus ``relocate_versions`` first for manifest-mode bytes) — the
+    documented GDPR erasure sequence.
+
+    Scale: finding the affected partitions is a semi-join of the table
+    against the (typically tiny, broadcast) key set — a full scan at
+    100 TB unless the keys carry their partition.  When ``keys_df``
+    includes ``partition_by`` AND ``trust_partition_hint=True``, the
+    scan is pruned to the hinted partitions up front; a WRONG hint
+    then silently skips rows living elsewhere, which is why trusting
+    it is opt-in.
+    """
+    if commit_mode not in ("auto", "link", "manifest"):
+        raise ValueError(f"commit_mode must be auto|link|manifest, got {commit_mode!r}")
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {path}")
+    tgt = read_table(spark, path)
+    missing = sorted(set(keys) - set(keys_df.columns))
+    if missing:
+        raise ValueError(f"delete_rows: keys_df lacks key column(s) {missing}")
+    kcols = list(keys)
+    hint = (
+        trust_partition_hint
+        and partition_by is not None
+        and partition_by in keys_df.columns
+    )
+    dels = keys_df.select(kcols + ([partition_by] if hint else [])).distinct()
+    if commit_mode == "auto":
+        commit_mode = "link" if _links_supported(path) else "manifest"
+    new_v = cur + 1
+    new_dir = _version_path(path, new_v)
+    os.mkdir(new_dir)
+    nonce = uuid.uuid4().hex
+    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
+    stage = _stage_dir(new_dir, nonce)
+
+    with _claim_heartbeat(new_dir):
+        if partition_by:
+            scan = tgt
+            if hint:
+                hrows = dels.select(partition_by).distinct().collect()
+                hvals = [r[0] for r in hrows if r[0] is not None]
+                hcond = (
+                    F.col(partition_by).isin(hvals) if hvals else F.lit(False)
+                )
+                if any(r[0] is None for r in hrows):
+                    hcond = hcond | F.col(partition_by).isNull()
+                scan = tgt.filter(hcond)
+            aff_rows = (
+                scan.join(dels.select(kcols), kcols, "left_semi")
+                .select(
+                    F.col(partition_by).alias("_v"),
+                    F.col(partition_by).cast("string").alias("_s"),
+                )
+                .distinct()
+                .collect()
+            )
+            aff_vals = [r["_v"] for r in aff_rows if r["_v"] is not None]
+            aff_set = {r["_s"] for r in aff_rows if r["_s"] is not None}
+            aff_null = any(r["_v"] is None for r in aff_rows)
+            part_vers = _old_partitions(path, cur, partition_by)
+            touched_names = {
+                name for name in part_vers
+                if (
+                    (v := _unescape_partition_dir(name)) is None and aff_null
+                ) or (v is not None and v in aff_set)
+            }
+            manifest_entries = _carry_untouched(
+                path, stage, part_vers, touched_names, commit_mode
+            )
+            aff_cond = (
+                F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
+            )
+            if aff_null:
+                aff_cond = aff_cond | F.col(partition_by).isNull()
+            remaining = tgt.filter(aff_cond).join(
+                dels.select(kcols), kcols, "left_anti"
+            )
+            (
+                remaining.write.mode("append")
+                .partitionBy(partition_by)
+                .parquet(stage)
+            )
+            if manifest_entries:
+                _write_manifest(stage, manifest_entries)
+            if not manifest_entries and not _has_parquet(stage):
+                shutil.rmtree(stage, ignore_errors=True)
+                os.remove(os.path.join(new_dir, "_claim.json"))
+                os.rmdir(new_dir)
+                raise ValueError(
+                    "delete_rows removed every row of the table — an "
+                    "empty snapshot has no readable parquet schema; "
+                    "recreate with create_table instead"
+                )
+        else:
+            remaining = tgt.join(dels.select(kcols), kcols, "left_anti")
+            remaining.write.mode("append").parquet(stage)
+            if not _has_parquet(stage):
+                shutil.rmtree(stage, ignore_errors=True)
+                os.remove(os.path.join(new_dir, "_claim.json"))
+                os.rmdir(new_dir)
+                raise ValueError(
+                    "delete_rows removed every row of the table — an "
+                    "empty snapshot has no readable parquet schema; "
+                    "recreate with create_table instead"
+                )
+        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
+    return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
