@@ -997,9 +997,33 @@ def test_delete_rows_all_rows_guarded(spark, base):
     with pytest.raises(ValueError, match="every row"):
         delete_rows(spark, base, dels, keys=["k"], partition_by="p")
     # table untouched, no orphan version directory left behind
+    # (version dirs are zero-padded — review r8 pass-4 #2 fixed an
+    # assertion that checked the never-existing "2")
     assert current_version(base) == 1
     assert read_table(spark, base).count() == 20
-    assert not os.path.isdir(os.path.join(base, "_versions", "2"))
+    assert not os.path.isdir(os.path.join(base, "_versions", "000002"))
+    # a typo'd key name fails BEFORE the version claim (no orphan)
+    with pytest.raises(ValueError, match="table lacks key"):
+        delete_rows(spark, base, spark.createDataFrame([(1,)], "K long"),
+                    keys=["K"], partition_by="p")
+    assert not os.path.isdir(os.path.join(base, "_versions", "000002"))
+
+
+def test_delete_rows_all_rows_unpartitioned_ok(spark, tmp_path):
+    # unpartitioned delete-all is SAFE: Spark writes a schema-only
+    # empty part file, so the empty snapshot stays readable
+    from veranda_spark.io.table import create_table, delete_rows
+
+    path = str(tmp_path / "flat_all")
+    create_table(
+        spark.createDataFrame([(i,) for i in range(5)], "k long"), path
+    )
+    res = delete_rows(spark, path,
+                      spark.createDataFrame([(i,) for i in range(5)],
+                                            "k long"), keys=["k"])
+    assert res["version"] == 2
+    t = read_table(spark, path)
+    assert t.count() == 0 and t.columns == ["k"]
 
 
 def test_delete_rows_unpartitioned(spark, tmp_path):

@@ -581,6 +581,16 @@ def recover_orphans(
     return removed
 
 
+def _isin_or_null(col_name: str, vals: list, has_null: bool):
+    """Null-safe membership filter: ``isin()`` never matches NULL, so
+    the NULL partition needs its own disjunct — shared by merge_into
+    and delete_rows (review r8 pass-4 #5)."""
+    cond = F.col(col_name).isin(vals) if vals else F.lit(False)
+    if has_null:
+        cond = cond | F.col(col_name).isNull()
+    return cond
+
+
 def _evolved_marker(path: str) -> str:
     """Table-root marker an evolving merge writes once the column set
     actually changed: readers switch to mergeSchema scans +
@@ -784,11 +794,9 @@ def merge_into(
             manifest_entries = _carry_untouched(
                 path, stage, part_vers, touched_names, commit_mode
             )
-            # null-safe affected filter: isin() never matches NULL
-            aff_cond = F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
-            if aff_null:
-                aff_cond = aff_cond | F.col(partition_by).isNull()
-            tgt_aff = tgt.filter(aff_cond)
+            tgt_aff = tgt.filter(
+                _isin_or_null(partition_by, aff_vals, aff_null)
+            )
             # every update row's partition is in `affected` by construction
             merged = tgt_aff.join(
                 updates.select(keys).distinct(), keys, "left_anti"
@@ -838,6 +846,12 @@ def delete_rows(
     (plus ``relocate_versions`` first for manifest-mode bytes) — the
     documented GDPR erasure sequence.
 
+    Deleting EVERY row: allowed on an unpartitioned table (Spark
+    writes a schema-only empty part file, so the empty snapshot stays
+    readable) but refused on a partitioned one (every partition dir
+    would vanish, leaving no parquet schema anywhere) — recreate with
+    ``create_table`` in that case.
+
     Scale: finding the affected partitions is a semi-join of the table
     against the (typically tiny, broadcast) key set — a full scan at
     100 TB unless the keys carry their partition.  When ``keys_df``
@@ -855,6 +869,14 @@ def delete_rows(
     missing = sorted(set(keys) - set(keys_df.columns))
     if missing:
         raise ValueError(f"delete_rows: keys_df lacks key column(s) {missing}")
+    # validate against the TARGET too, before the version claim — a
+    # typo'd key name failing inside the claim block would leave an
+    # orphan claimed dir behind (review r8 pass-4 #3)
+    missing_t = sorted(set(keys) - set(tgt.columns))
+    if missing_t:
+        raise ValueError(
+            f"delete_rows: table lacks key column(s) {missing_t}"
+        )
     kcols = list(keys)
     hint = (
         trust_partition_hint
@@ -876,13 +898,11 @@ def delete_rows(
             scan = tgt
             if hint:
                 hrows = dels.select(partition_by).distinct().collect()
-                hvals = [r[0] for r in hrows if r[0] is not None]
-                hcond = (
-                    F.col(partition_by).isin(hvals) if hvals else F.lit(False)
-                )
-                if any(r[0] is None for r in hrows):
-                    hcond = hcond | F.col(partition_by).isNull()
-                scan = tgt.filter(hcond)
+                scan = tgt.filter(_isin_or_null(
+                    partition_by,
+                    [r[0] for r in hrows if r[0] is not None],
+                    any(r[0] is None for r in hrows),
+                ))
             aff_rows = (
                 scan.join(dels.select(kcols), kcols, "left_semi")
                 .select(
@@ -905,14 +925,9 @@ def delete_rows(
             manifest_entries = _carry_untouched(
                 path, stage, part_vers, touched_names, commit_mode
             )
-            aff_cond = (
-                F.col(partition_by).isin(aff_vals) if aff_vals else F.lit(False)
-            )
-            if aff_null:
-                aff_cond = aff_cond | F.col(partition_by).isNull()
-            remaining = tgt.filter(aff_cond).join(
-                dels.select(kcols), kcols, "left_anti"
-            )
+            remaining = tgt.filter(
+                _isin_or_null(partition_by, aff_vals, aff_null)
+            ).join(dels.select(kcols), kcols, "left_anti")
             (
                 remaining.write.mode("append")
                 .partitionBy(partition_by)
@@ -921,26 +936,24 @@ def delete_rows(
             if manifest_entries:
                 _write_manifest(stage, manifest_entries)
             if not manifest_entries and not _has_parquet(stage):
+                # PARTITIONED delete-all: every partition directory
+                # vanished, so the snapshot has no parquet schema
+                # anywhere — refuse and leave no orphan dir.  (The
+                # unpartitioned path has no such hazard: Spark writes a
+                # schema-only empty part file, so an empty snapshot
+                # stays readable — verified on this Spark version.)
                 shutil.rmtree(stage, ignore_errors=True)
                 os.remove(os.path.join(new_dir, "_claim.json"))
                 os.rmdir(new_dir)
                 raise ValueError(
-                    "delete_rows removed every row of the table — an "
-                    "empty snapshot has no readable parquet schema; "
-                    "recreate with create_table instead"
+                    "delete_rows removed every row of the partitioned "
+                    "table — an all-partitions-deleted snapshot has no "
+                    "readable parquet schema; recreate with create_table "
+                    "instead"
                 )
         else:
             remaining = tgt.join(dels.select(kcols), kcols, "left_anti")
             remaining.write.mode("append").parquet(stage)
-            if not _has_parquet(stage):
-                shutil.rmtree(stage, ignore_errors=True)
-                os.remove(os.path.join(new_dir, "_claim.json"))
-                os.rmdir(new_dir)
-                raise ValueError(
-                    "delete_rows removed every row of the table — an "
-                    "empty snapshot has no readable parquet schema; "
-                    "recreate with create_table instead"
-                )
         _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
