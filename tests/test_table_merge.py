@@ -1040,3 +1040,51 @@ def test_delete_rows_unpartitioned(spark, tmp_path):
     assert {r["k"] for r in read_table(spark, path).collect()} == (
         set(range(10)) - {4}
     )
+
+
+# ---- RESTORE (round 8: Delta RESTORE analog) --------------------------------
+
+
+def test_restore_version_partitioned(spark, base):
+    from veranda_spark.io.table import delete_rows, restore_version
+
+    upd = spark.createDataFrame([(3, 3, "X3")], "k long, p long, val string")
+    merge_into(spark, base, upd, keys=["k"], partition_by="p")       # v2
+    delete_rows(spark, base,
+                spark.createDataFrame([(7,)], "k long"),
+                keys=["k"], partition_by="p")                         # v3
+    res = restore_version(spark, base, 1, partition_by="p")          # v4
+    assert res == {"version": 4, "restored": 1, "previous": 3,
+                   "commit_mode": res["commit_mode"]}
+    # content identical to v1: un-deleted, un-merged
+    assert _rows(read_table(spark, base)) == _rows(
+        read_table(spark, base, version=1)
+    )
+    # non-destructive: v2/v3 still time-travel
+    assert (3, 3, "X3") in _rows(read_table(spark, base, version=2))
+    assert 7 not in {r["k"]
+                     for r in read_table(spark, base, version=3).collect()}
+    # the table keeps working: a merge after restore claims v5
+    upd2 = spark.createDataFrame([(0, 0, "Z")], "k long, p long, val string")
+    assert merge_into(spark, base, upd2, keys=["k"],
+                      partition_by="p")["version"] == 5
+    assert (0, 0, "Z") in _rows(read_table(spark, base))
+
+
+def test_restore_version_guards_and_unpartitioned(spark, tmp_path):
+    from veranda_spark.io.table import delete_rows, restore_version
+
+    path = str(tmp_path / "flat_r")
+    create_table(
+        spark.createDataFrame([(i, f"v{i}") for i in range(6)],
+                              "k long, val string"), path,
+    )
+    delete_rows(spark, path, spark.createDataFrame([(2,)], "k long"),
+                keys=["k"])                                           # v2
+    with pytest.raises(ValueError, match="already current"):
+        restore_version(spark, path, 2)
+    with pytest.raises(ValueError, match="does not exist"):
+        restore_version(spark, path, 9)
+    restore_version(spark, path, 1)                                   # v3
+    got = {(r["k"], r["val"]) for r in read_table(spark, path).collect()}
+    assert got == {(i, f"v{i}") for i in range(6)}

@@ -958,6 +958,71 @@ def delete_rows(
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
 
+def restore_version(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    partition_by: str | None = None,
+    commit_mode: str = "auto",
+    owner: str | None = None,
+) -> dict:
+    """Delta RESTORE analog: make an older snapshot current again by
+    committing a NEW version whose content is ``version``'s — a
+    metadata-only operation (links or manifest entries; zero data
+    bytes move in manifest mode, zero bytes COPY in link mode).
+
+    Non-destructive by design: later versions stay on disk and
+    time-travel-readable until ``expire_versions``, and the new
+    version slots into the normal claim protocol (``cur+1``), so
+    concurrent writers keep failing loudly instead of colliding with a
+    re-pointed ``_current``.  Composes with ``delete_rows`` as the
+    oops-recovery path: restore(v_before_delete) un-deletes.
+    """
+    if commit_mode not in ("auto", "link", "manifest"):
+        raise ValueError(f"commit_mode must be auto|link|manifest, got {commit_mode!r}")
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {path}")
+    if version == cur:
+        raise ValueError(f"version {version} is already current")
+    src_dir = _version_path(path, version)
+    if version > cur or not os.path.isdir(src_dir):
+        raise ValueError(f"version {version} does not exist (current={cur})")
+    if commit_mode == "auto":
+        commit_mode = "link" if _links_supported(path) else "manifest"
+    new_v = cur + 1
+    new_dir = _version_path(path, new_v)
+    os.mkdir(new_dir)
+    nonce = uuid.uuid4().hex
+    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
+    stage = _stage_dir(new_dir, nonce)
+    os.makedirs(stage, exist_ok=True)
+    with _claim_heartbeat(new_dir):
+        if partition_by:
+            part_vers = _old_partitions(path, version, partition_by)
+            manifest_entries = _carry_untouched(
+                path, stage, part_vers, set(), commit_mode
+            )
+            if manifest_entries:
+                _write_manifest(stage, manifest_entries)
+        else:
+            # unpartitioned versions are self-contained (every merge
+            # rewrites the full row set) — link the files across, or
+            # copy where the fs refuses links (manifest entries are
+            # partition-named and cannot represent loose files)
+            for fn in sorted(os.listdir(src_dir)):
+                if fn.endswith(".parquet"):
+                    src = os.path.join(src_dir, fn)
+                    dst = os.path.join(stage, fn)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
+    return {"version": new_v, "restored": version, "previous": cur,
+            "commit_mode": commit_mode}
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
