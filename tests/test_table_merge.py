@@ -1088,3 +1088,21 @@ def test_restore_version_guards_and_unpartitioned(spark, tmp_path):
     restore_version(spark, path, 1)                                   # v3
     got = {(r["k"], r["val"]) for r in read_table(spark, path).collect()}
     assert got == {(i, f"v{i}") for i in range(6)}
+
+
+def test_restore_then_expire_preserves_content(spark, base):
+    """restore_version's carried partitions (links or manifest refs to
+    the restored snapshot's holders) must survive expire_versions: the
+    transitive manifest-retention rule keeps referenced versions, and
+    link-mode inodes survive directory removal."""
+    from veranda_spark.io.table import (
+        delete_rows, expire_versions, restore_version,
+    )
+
+    delete_rows(spark, base, spark.createDataFrame([(3,), (7,)], "k long"),
+                keys=["k"], partition_by="p")                         # v2
+    restore_version(spark, base, 1, partition_by="p")                 # v3
+    want = _rows(read_table(spark, base))
+    expire_versions(base, keep=1)
+    assert _rows(read_table(spark, base)) == want
+    assert len(want) == 20  # the restore really un-deleted
