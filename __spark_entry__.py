@@ -809,12 +809,18 @@ def q_merge_upsert(spark, sf_dir):
         schema_mode="evolve",
     )
     # round-8: keyed DELETE (delete_rows — the right-to-be-forgotten
-    # primitive); the oracle appends the NOT-IN filter, so deletion
-    # semantics are value-graded alongside upsert and evolution.
-    from veranda_spark.io.table import delete_rows
+    # primitive) and RESTORE (restore_version — non-destructive
+    # rollback).  Keys 1500-1599 are deleted, the pre-delete snapshot
+    # is restored (keys 1500-1549 MUST come back — a broken restore
+    # hash-mismatches), then 1550-1599 are re-deleted; the oracle's
+    # final filter grades all three table mutations together.
+    from veranda_spark.io.table import delete_rows, restore_version
 
     dels = spark.range(1500, 1600).select(F.col("id").alias("k"))
-    delete_rows(spark, path, dels, keys=["k"], partition_by="p")
+    delete_rows(spark, path, dels, keys=["k"], partition_by="p")   # v4
+    restore_version(path, 3)                                        # v5
+    dels2 = spark.range(1550, 1600).select(F.col("id").alias("k"))
+    delete_rows(spark, path, dels2, keys=["k"], partition_by="p")  # v6
     return read_table(spark, path).select("k", "p", "val", "flag")
 
 
@@ -3055,7 +3061,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT k, p, val, flag FROM upd2
             )
             SELECT k, p, val, flag FROM s2
-            WHERE k NOT BETWEEN 1500 AND 1599
+            WHERE k NOT BETWEEN 1550 AND 1599
         """,
         "neardup_groups": r"""
             WITH RECURSIVE pairs AS (

@@ -1053,7 +1053,7 @@ def test_restore_version_partitioned(spark, base):
     delete_rows(spark, base,
                 spark.createDataFrame([(7,)], "k long"),
                 keys=["k"], partition_by="p")                         # v3
-    res = restore_version(spark, base, 1, partition_by="p")          # v4
+    res = restore_version(base, 1)                                   # v4
     assert res == {"version": 4, "restored": 1, "previous": 3,
                    "commit_mode": res["commit_mode"]}
     # content identical to v1: un-deleted, un-merged
@@ -1082,10 +1082,10 @@ def test_restore_version_guards_and_unpartitioned(spark, tmp_path):
     delete_rows(spark, path, spark.createDataFrame([(2,)], "k long"),
                 keys=["k"])                                           # v2
     with pytest.raises(ValueError, match="already current"):
-        restore_version(spark, path, 2)
+        restore_version(path, 2)
     with pytest.raises(ValueError, match="does not exist"):
-        restore_version(spark, path, 9)
-    restore_version(spark, path, 1)                                   # v3
+        restore_version(path, 9)
+    restore_version(path, 1)                                          # v3
     got = {(r["k"], r["val"]) for r in read_table(spark, path).collect()}
     assert got == {(i, f"v{i}") for i in range(6)}
 
@@ -1101,8 +1101,23 @@ def test_restore_then_expire_preserves_content(spark, base):
 
     delete_rows(spark, base, spark.createDataFrame([(3,), (7,)], "k long"),
                 keys=["k"], partition_by="p")                         # v2
-    restore_version(spark, base, 1, partition_by="p")                 # v3
+    restore_version(base, 1)                                          # v3
     want = _rows(read_table(spark, base))
     expire_versions(base, keep=1)
     assert _rows(read_table(spark, base)) == want
     assert len(want) == 20  # the restore really un-deleted
+
+
+def test_restore_layout_self_derived(spark, base):
+    """Review r8 pass-5 #1 regression: restore on a PARTITIONED table
+    takes no partition argument — the snapshot's own layout drives the
+    carry, so the old failure mode (wrong/omitted partition name →
+    empty snapshot committed, table unreadable) is unrepresentable."""
+    from veranda_spark.io.table import delete_rows, restore_version
+
+    delete_rows(spark, base, spark.createDataFrame([(3,)], "k long"),
+                keys=["k"], partition_by="p")                         # v2
+    res = restore_version(base, 1)                                    # v3
+    assert res["restored"] == 1
+    t = read_table(spark, base)
+    assert t.count() == 20 and 3 in {r["k"] for r in t.collect()}

@@ -35,6 +35,7 @@ import os
 import shutil
 import threading
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -444,6 +445,31 @@ def _fenced_promote_commit(
     _commit(path, version)
 
 
+@contextmanager
+def _claimed_version(path: str, new_v: int, owner: str | None):
+    """THE claim protocol, in one place (review r8 pass-5 #3 — it was
+    hand-rolled at five sites, and every hardening had to be re-applied
+    to each): exclusive ``os.mkdir`` claim, ownership stamp + nonce,
+    nonce-keyed stage dir (created eagerly), heartbeat while the body
+    runs, then fence → promote → fence → commit.  Yields
+    ``(new_dir, stage, nonce)``.  An exception from the body skips the
+    commit and propagates (the claim stays for recover_orphans /
+    owner-scoped recovery, exactly like the previous inline code); a
+    body that wants to ABORT cleanly removes stage+claim+dir itself
+    before raising."""
+    new_dir = _version_path(path, new_v)
+    # exclusive claim: fails loudly on a concurrent writer or a crashed
+    # orphan (recover_orphans clears the latter) — never rmtree here
+    os.mkdir(new_dir)
+    nonce = uuid.uuid4().hex
+    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
+    stage = _stage_dir(new_dir, nonce)
+    os.makedirs(stage, exist_ok=True)
+    with _claim_heartbeat(new_dir):
+        yield new_dir, stage, nonce
+        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
+
+
 def _claim_info(vdir: str) -> tuple[bool, str | None, float | None]:
     """(has_readable_claim, owner, hb_s).  A PRESENT claim with a null
     owner (``merge_into(owner=None)``) is distinct from NO claim: the
@@ -738,17 +764,7 @@ def merge_into(
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
     new_v = cur + 1
-    new_dir = _version_path(path, new_v)
-    # exclusive claim: fails loudly on a concurrent writer or a crashed
-    # orphan (recover_orphans clears the latter) — never rmtree here
-    os.mkdir(new_dir)
-    # stamp ownership right away so an automated recoverer (the CDC
-    # stream) can clear THIS writer's crash debris and nobody else's
-    nonce = uuid.uuid4().hex
-    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
-    stage = _stage_dir(new_dir, nonce)
-
-    with _claim_heartbeat(new_dir):
+    with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
         if partition_by:
             # partitions touched by the update batch: the updates' own
             # partition values PLUS the current partition of any matched key
@@ -816,10 +832,9 @@ def merge_into(
             # mode("overwrite") would delete the directory first,
             # voiding the exclusive-mkdir claim
             merged.write.mode("append").parquet(stage)
-
-        # our stage is ours to clean even inside a re-claimed dir; the
+        # the context manager runs the fenced promote+commit; our stage
+        # is ours to clean even inside a re-claimed dir, and the
         # committed state is untouched on any fence failure
-        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
 
@@ -887,13 +902,7 @@ def delete_rows(
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
     new_v = cur + 1
-    new_dir = _version_path(path, new_v)
-    os.mkdir(new_dir)
-    nonce = uuid.uuid4().hex
-    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
-    stage = _stage_dir(new_dir, nonce)
-
-    with _claim_heartbeat(new_dir):
+    with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
         if partition_by:
             scan = tgt
             if hint:
@@ -954,22 +963,32 @@ def delete_rows(
         else:
             remaining = tgt.join(dels.select(kcols), kcols, "left_anti")
             remaining.write.mode("append").parquet(stage)
-        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
     return {"version": new_v, "previous": cur, "commit_mode": commit_mode}
 
 
 def restore_version(
-    spark: SparkSession,
     path: str,
     version: int,
-    partition_by: str | None = None,
     commit_mode: str = "auto",
     owner: str | None = None,
 ) -> dict:
     """Delta RESTORE analog: make an older snapshot current again by
     committing a NEW version whose content is ``version``'s — a
-    metadata-only operation (links or manifest entries; zero data
-    bytes move in manifest mode, zero bytes COPY in link mode).
+    metadata-only operation on partitioned tables (links or manifest
+    entries; zero data bytes move).  Pure filesystem work: no
+    SparkSession parameter, unlike its write siblings (review r8
+    pass-5 — there is genuinely no Spark job here).
+
+    The snapshot's layout is derived from the snapshot ITSELF
+    (manifest entries / ``name=`` partition dirs vs loose parquet
+    files), never from a caller-supplied partition column — review r8
+    pass-5 #1: a wrong/omitted partition argument used to stage
+    nothing and commit an EMPTY snapshot, breaking every later read.
+    Unpartitioned snapshots are self-contained (each merge rewrites
+    the full row set), so their files hard-link across — or COPY on a
+    link-less filesystem, reported honestly as ``commit_mode="copy"``
+    (manifest entries are partition-named and cannot represent loose
+    files).
 
     Non-destructive by design: later versions stay on disk and
     time-travel-readable until ``expire_versions``, and the new
@@ -990,35 +1009,43 @@ def restore_version(
         raise ValueError(f"version {version} does not exist (current={cur})")
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
+    # layout from the snapshot itself: manifest entries + partition dirs
+    part_vers = {
+        e["name"]: (int(e["v"]), bool(e.get("rel", False)))
+        for e in _read_manifest(src_dir)
+    }
+    for name in os.listdir(src_dir):
+        if (
+            "=" in name and not name.startswith("_")
+            and os.path.isdir(os.path.join(src_dir, name))
+        ):
+            part_vers[name] = (version, False)
+    loose = [fn for fn in sorted(os.listdir(src_dir))
+             if fn.endswith(".parquet")]
+    if not part_vers and not loose:
+        raise ValueError(
+            f"version {version} holds no partitions and no parquet "
+            "files — refusing to restore an unreadable snapshot"
+        )
     new_v = cur + 1
-    new_dir = _version_path(path, new_v)
-    os.mkdir(new_dir)
-    nonce = uuid.uuid4().hex
-    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
-    stage = _stage_dir(new_dir, nonce)
-    os.makedirs(stage, exist_ok=True)
-    with _claim_heartbeat(new_dir):
-        if partition_by:
-            part_vers = _old_partitions(path, version, partition_by)
+    with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
+        if part_vers:
             manifest_entries = _carry_untouched(
                 path, stage, part_vers, set(), commit_mode
             )
             if manifest_entries:
                 _write_manifest(stage, manifest_entries)
         else:
-            # unpartitioned versions are self-contained (every merge
-            # rewrites the full row set) — link the files across, or
-            # copy where the fs refuses links (manifest entries are
-            # partition-named and cannot represent loose files)
-            for fn in sorted(os.listdir(src_dir)):
-                if fn.endswith(".parquet"):
-                    src = os.path.join(src_dir, fn)
-                    dst = os.path.join(stage, fn)
-                    try:
-                        os.link(src, dst)
-                    except OSError:
-                        shutil.copy2(src, dst)
-        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
+            copied = False
+            for fn in loose:
+                src = os.path.join(src_dir, fn)
+                dst = os.path.join(stage, fn)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+                    copied = True
+            commit_mode = "copy" if copied else "link"
     return {"version": new_v, "restored": version, "previous": cur,
             "commit_mode": commit_mode}
 
@@ -1110,16 +1137,10 @@ def compact_table(
             return {"version": cur, "compacted": 0,
                     "files_before": before, "files_after": before}
         new_v = cur + 1
-        new_dir = _version_path(path, new_v)
-        os.mkdir(new_dir)  # exclusive claim, same protocol as merge_into
-        nonce = uuid.uuid4().hex
-        _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
-        stage = _stage_dir(new_dir, nonce)
-        with _claim_heartbeat(new_dir):
+        with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
             read_table(spark, path).coalesce(max_files).write.mode(
                 "append"
             ).parquet(stage)
-            _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
         return {"version": new_v, "compacted": 1, "files_before": before,
                 "files_after": _count_parquet(new_dir)}
 
@@ -1134,12 +1155,7 @@ def compact_table(
         return {"version": cur, "compacted": 0,
                 "files_before": before, "files_after": before}
     new_v = cur + 1
-    new_dir = _version_path(path, new_v)
-    os.mkdir(new_dir)
-    nonce = uuid.uuid4().hex
-    _write_claim(new_dir, owner, hb_s=_CLAIM_HB_S, nonce=nonce)
-    stage = _stage_dir(new_dir, nonce)
-    with _claim_heartbeat(new_dir):
+    with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
         manifest_entries = _carry_untouched(
             path, stage, part_vers, touched, commit_mode
         )
@@ -1169,7 +1185,6 @@ def compact_table(
         )
         if manifest_entries:
             _write_manifest(stage, manifest_entries)
-        _fenced_promote_commit(path, stage, new_dir, nonce, new_v)
     after = sum(
         _count_parquet(_partition_src(path, name, v, rel))
         for name, (v, rel) in _old_partitions(path, new_v, partition_by).items()
