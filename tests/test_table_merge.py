@@ -1121,3 +1121,39 @@ def test_restore_layout_self_derived(spark, base):
     assert res["restored"] == 1
     t = read_table(spark, base)
     assert t.count() == 20 and 3 in {r["k"] for r in t.collect()}
+
+
+def test_wrong_partition_column_is_loud(spark, base):
+    """Review r8 pass-6 #1: a WRONG partition_by used to carry nothing
+    as untouched and silently drop every row outside the rewritten set
+    — _old_partitions now validates the caller's column against the
+    snapshot's physical layout, so merge/delete/compact all fail
+    loudly before any write."""
+    from veranda_spark.io.table import compact_table, delete_rows
+
+    upd = spark.createDataFrame([(3, 3, "x")], "k long, p long, val string")
+    with pytest.raises(ValueError, match="partitioned by"):
+        merge_into(spark, base, upd, keys=["k"], partition_by="val")
+    with pytest.raises(ValueError, match="partitioned by"):
+        delete_rows(spark, base, spark.createDataFrame([(3,)], "k long"),
+                    keys=["k"], partition_by="val")
+    with pytest.raises(ValueError, match="partitioned by|no .*partitions"):
+        compact_table(spark, base, partition_by="val", max_files=0)
+    # table untouched by all three
+    assert current_version(base) == 1
+    assert read_table(spark, base).count() == 20
+
+
+def test_restore_unpartitioned_manifest_mode_is_loud(spark, tmp_path):
+    from veranda_spark.io.table import delete_rows, restore_version
+
+    path = str(tmp_path / "flat_m")
+    create_table(
+        spark.createDataFrame([(i,) for i in range(4)], "k long"), path
+    )
+    delete_rows(spark, path, spark.createDataFrame([(1,)], "k long"),
+                keys=["k"])
+    with pytest.raises(ValueError, match="manifests name partitions"):
+        restore_version(path, 1, commit_mode="manifest")
+    # auto/link still work
+    assert restore_version(path, 1)["commit_mode"] in ("link", "copy")

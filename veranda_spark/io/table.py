@@ -224,9 +224,12 @@ def _unescape_partition_dir(name: str):
     return unquote(raw)
 
 
-def _link_tree(src: str, dst: str) -> None:
+def _link_tree(src: str, dst: str) -> bool:
     """Hard-link a partition directory into the new version (COW: bytes
-    are shared, directories are new)."""
+    are shared, directories are new).  Returns True when any file had
+    to be COPIED (the fs refused a link) so callers can report the
+    commit honestly."""
+    copied = False
     for root, _dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
         tgt = os.path.join(dst, rel) if rel != "." else dst
@@ -237,6 +240,8 @@ def _link_tree(src: str, dst: str) -> None:
                 os.link(s, d)
             except OSError:
                 shutil.copy2(s, d)
+                copied = True
+    return copied
 
 
 def _old_partitions(
@@ -251,9 +256,34 @@ def _old_partitions(
         e["name"]: (int(e["v"]), bool(e.get("rel", False)))
         for e in _read_manifest(old_dir)
     }
-    for name in os.listdir(old_dir):
+    physical = [
+        name for name in os.listdir(old_dir)
+        if "=" in name and not name.startswith("_")
+        and os.path.isdir(os.path.join(old_dir, name))
+    ]
+    for name in physical:
         if name.startswith(f"{partition_by}="):
             part_vers[name] = (cur, False)
+    # layout guard (review r8 pass-6 #1): the caller's partition column
+    # must AGREE with the snapshot's physical layout — a wrong name
+    # would carry NOTHING as untouched and the commit would silently
+    # drop every row outside the rewritten set
+    prefixes = {n.split("=", 1)[0] for n in part_vers} | {
+        n.split("=", 1)[0] for n in physical
+    }
+    if prefixes and prefixes != {partition_by}:
+        raise ValueError(
+            f"table at {path} is partitioned by "
+            f"{sorted(prefixes - {partition_by})}, not {partition_by!r} — "
+            "a wrong partition column would silently drop every "
+            "untouched partition"
+        )
+    if not part_vers:
+        raise ValueError(
+            f"table at {path} (version {cur}) has no "
+            f"'{partition_by}=' partitions — wrong partition_by, or an "
+            "unpartitioned table (omit partition_by)"
+        )
     return part_vers
 
 
@@ -263,16 +293,18 @@ def _carry_untouched(
     part_vers: dict[str, tuple[int, bool]],
     touched_names: set[str],
     commit_mode: str,
-) -> list[dict]:
+) -> tuple[list[dict], bool]:
     """Carry every partition NOT in ``touched_names`` into the new
     version — hard links (link mode) or manifest entries (returned; the
-    caller writes them after its data append)."""
+    caller writes them after its data append).  The second return value
+    is True when link mode had to COPY any file (fs refused links)."""
     manifest_entries: list[dict] = []
+    copied = False
     for name, (src_v, rel) in sorted(part_vers.items()):
         if name in touched_names:
             continue
         if commit_mode == "link":
-            _link_tree(
+            copied |= _link_tree(
                 _partition_src(path, name, src_v, rel),
                 os.path.join(new_dir, name),
             )
@@ -281,7 +313,7 @@ def _carry_untouched(
             if rel:
                 entry["rel"] = True
             manifest_entries.append(entry)
-    return manifest_entries
+    return manifest_entries, copied
 
 
 def _write_manifest(new_dir: str, entries: list[dict]) -> None:
@@ -763,6 +795,12 @@ def merge_into(
                 f.write("1")
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
+    # layout validation (and the partition inventory) runs BEFORE the
+    # version claim so a wrong partition_by fails cleanly with no
+    # orphan claimed dir (review r8 pass-6)
+    part_vers = (
+        _old_partitions(path, cur, partition_by) if partition_by else {}
+    )
     new_v = cur + 1
     with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
         if partition_by:
@@ -791,7 +829,6 @@ def merge_into(
             )
             affected = [r["_v"] for r in aff_rows]
             affected_strs = [r["_s"] for r in aff_rows]
-            part_vers = _old_partitions(path, cur, partition_by)
             # compare DECODED directory values against the affected set:
             # escaped characters and the NULL partition would otherwise be
             # linked as "untouched" AND rewritten → duplicated rows
@@ -807,7 +844,7 @@ def merge_into(
             # everything lands in the nonce-keyed STAGE subdir (carried
             # partitions, fresh writes, manifest) and is promoted only
             # after the commit fence passes — see _stage_dir
-            manifest_entries = _carry_untouched(
+            manifest_entries, _copied = _carry_untouched(
                 path, stage, part_vers, touched_names, commit_mode
             )
             tgt_aff = tgt.filter(
@@ -901,6 +938,9 @@ def delete_rows(
     dels = keys_df.select(kcols + ([partition_by] if hint else [])).distinct()
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
+    part_vers = (
+        _old_partitions(path, cur, partition_by) if partition_by else {}
+    )
     new_v = cur + 1
     with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
         if partition_by:
@@ -924,14 +964,13 @@ def delete_rows(
             aff_vals = [r["_v"] for r in aff_rows if r["_v"] is not None]
             aff_set = {r["_s"] for r in aff_rows if r["_s"] is not None}
             aff_null = any(r["_v"] is None for r in aff_rows)
-            part_vers = _old_partitions(path, cur, partition_by)
             touched_names = {
                 name for name in part_vers
                 if (
                     (v := _unescape_partition_dir(name)) is None and aff_null
                 ) or (v is not None and v in aff_set)
             }
-            manifest_entries = _carry_untouched(
+            manifest_entries, _copied = _carry_untouched(
                 path, stage, part_vers, touched_names, commit_mode
             )
             remaining = tgt.filter(
@@ -1007,6 +1046,7 @@ def restore_version(
     src_dir = _version_path(path, version)
     if version > cur or not os.path.isdir(src_dir):
         raise ValueError(f"version {version} does not exist (current={cur})")
+    requested_mode = commit_mode
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
     # layout from the snapshot itself: manifest entries + partition dirs
@@ -1014,27 +1054,39 @@ def restore_version(
         e["name"]: (int(e["v"]), bool(e.get("rel", False)))
         for e in _read_manifest(src_dir)
     }
-    for name in os.listdir(src_dir):
+    names = sorted(os.listdir(src_dir))
+    for name in names:
         if (
             "=" in name and not name.startswith("_")
             and os.path.isdir(os.path.join(src_dir, name))
         ):
             part_vers[name] = (version, False)
-    loose = [fn for fn in sorted(os.listdir(src_dir))
-             if fn.endswith(".parquet")]
+    loose = [fn for fn in names if fn.endswith(".parquet")]
     if not part_vers and not loose:
         raise ValueError(
             f"version {version} holds no partitions and no parquet "
             "files — refusing to restore an unreadable snapshot"
         )
+    if not part_vers and requested_mode == "manifest":
+        # manifest entries are partition-named and cannot represent
+        # loose files — fail the EXPLICIT request loudly instead of
+        # silently substituting links (review r8 pass-6 #2; 'auto' on
+        # a link-less fs legitimately falls through to the copy path)
+        raise ValueError(
+            "commit_mode='manifest' cannot restore an unpartitioned "
+            "snapshot (manifests name partitions, not files) — use "
+            "'auto' or 'link'"
+        )
     new_v = cur + 1
     with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
         if part_vers:
-            manifest_entries = _carry_untouched(
+            manifest_entries, copied = _carry_untouched(
                 path, stage, part_vers, set(), commit_mode
             )
             if manifest_entries:
                 _write_manifest(stage, manifest_entries)
+            if copied:
+                commit_mode = "copy"  # honest: the fs refused links
         else:
             copied = False
             for fn in loose:
@@ -1156,7 +1208,7 @@ def compact_table(
                 "files_before": before, "files_after": before}
     new_v = cur + 1
     with _claimed_version(path, new_v, owner) as (new_dir, stage, nonce):
-        manifest_entries = _carry_untouched(
+        manifest_entries, _copied = _carry_untouched(
             path, stage, part_vers, touched, commit_mode
         )
         # rewrite the oversized partitions: the predicate is over the
