@@ -1249,9 +1249,10 @@ def q_resample_average(spark, sf_dir):
         "layer_id int, bytes binary, h int, w int, channels int, "
         "dtype string",
     )
-    # parts=4: a 4-tile fixture under the session's shuffle_partitions
-    # would schedule dozens of empty tasks per pyramid level
-    pyr = build_pyramid(tiles, levels=2, parts=4)
+    # round-9: no explicit parts — build_pyramid's parent shuffles are
+    # now AQE-coalescible (unnumbered keyed repartition), so the 4-tile
+    # fixture runs one task per level instead of a pinned count
+    pyr = build_pyramid(tiles, levels=2)
     pyr_px = pyr.mapInPandas(explode_raw(None), px_schema)
 
     # round-8 (VERDICT r7 #2/#3): three more closed-form legs convert

@@ -56,12 +56,26 @@ def brute_force_topk(
     )
 
 
+def _sq_dists(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 distances via a per-centroid loop.  Each column
+    is ``((mat - c_j) ** 2).sum(-1)`` — the same values reduced along the
+    same axis as the broadcast form
+    ``((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)``, so
+    argmins (and hence assignments/probe lists) are bit-identical — but
+    WITHOUT materializing the n×k×dim float64 intermediate, whose memory
+    traffic dominated the old form (round-9, guide §4.2: whole-batch
+    native code, smallest working set)."""
+    out = np.empty((mat.shape[0], len(centroids)))
+    for j, cj in enumerate(centroids):
+        out[:, j] = ((mat - cj) ** 2).sum(-1)
+    return out
+
+
 def _kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
+        assign = _sq_dists(sample, centroids).argmin(1)
         for j in range(len(centroids)):
             m = assign == j
             if m.any():
@@ -75,13 +89,16 @@ def _train_sample(c: DataFrame, sample_rows: int, seed: int) -> np.ndarray:
     answer first (run-dependent); an id-ordered take is deterministic but
     biased toward low ids on id-correlated corpora.  Hash order is both —
     every row has equal probability of landing in the take, and the same
-    (corpus, seed) always yields the same sample."""
-    rows = (
+    (corpus, seed) always yields the same sample.  Collected via
+    ``toPandas`` (Arrow) — an order of magnitude cheaper than row-wise
+    ``collect`` for 10k × dim array rows (round-9, guide §6 "Arrow for
+    driver transfers"); same rows, same order."""
+    pdf = (
         c.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
         .limit(sample_rows)
-        .collect()
+        .toPandas()
     )
-    return np.stack([r["emb"] for r in rows])
+    return np.stack(pdf["emb"].to_numpy())
 
 
 def _cosine_rank(scored: DataFrame, k: int) -> DataFrame:
@@ -101,8 +118,7 @@ def _cell_udf(centroids: np.ndarray):
     @F.pandas_udf(T.IntegerType())
     def cell_of(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy())
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1).astype("int32"))
+        return pd.Series(_sq_dists(m, centroids).argmin(1).astype("int32"))
 
     return cell_of
 
@@ -118,8 +134,9 @@ def _select_probe_cells(
     kind="stable" pins equal-distance ties to lowest-cell-id order —
     review r8 pass-1 #3: the default quicksort is NOT stable, so ties
     were only accidentally consistent."""
-    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-    return np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
+    return np.argsort(
+        _sq_dists(mat, centroids), axis=1, kind="stable"
+    )[:, :nprobe].astype("int32")
 
 
 def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
@@ -279,7 +296,7 @@ def ivf_pq_topk(
     centroids = _kmeans(sample, nlist, seed=seed)
     ncodes = min(ncodes, max(2, len(sample) // 4))
     if residual:
-        assign = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)
+        assign = _sq_dists(sample, centroids).argmin(1)
         train = sample - centroids[assign]
     else:
         train = sample
@@ -326,8 +343,7 @@ def _pq_encode_udf(
     @F.pandas_udf("cell int, codes array<int>")
     def encode(emb: pd.Series) -> pd.DataFrame:
         mat = np.stack(emb.to_numpy())
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        cell = d.argmin(1).astype("int32")
+        cell = _sq_dists(mat, centroids).argmin(1).astype("int32")
         codes = _subspace_codes(
             _rotate(mat - centroids[cell] if residual else mat)
         )
@@ -492,9 +508,7 @@ def build_ivf_index(
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         if residual:
-            assign = (
-                ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)
-            )
+            assign = _sq_dists(sample, centroids).argmin(1)
             train = sample - centroids[assign]
         else:
             train = sample

@@ -206,11 +206,12 @@ def temporal_stats(
         raise ValueError(f"unknown stats {sorted(bad)}; allowed {sorted(allowed)}")
     keys = ["tile_id"] + (["var"] if "var" in tiles.columns else [])
     meta = [c for c in ("tile_row", "tile_col") if c in tiles.columns]
-    n_parts = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cols = keys + meta + ["layer_id", "bytes", "h", "w", "channels", "dtype"] + (
         [time_col] if time_col else []
     )
-    part = tiles.select(*cols).repartition(n_parts, *[F.col(k) for k in keys])
+    # unnumbered keyed repartition: AQE sizes the stack shuffle from the
+    # real canvas bytes (round-9, guide §2 scale-adaptive partitioning)
+    part = tiles.select(*cols).repartition(*[F.col(k) for k in keys])
 
     out_schema = (
         "tile_id string, tile_row long, tile_col long, var string, "

@@ -43,7 +43,16 @@ def unigram_logprob_score(
     toks = docs.select(
         F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # materialize the (Zipf-bounded, dim-sized) vocabulary once: it is
+    # consumed three ways (the broadcast build, the corpus total, and
+    # implicitly by both) and each consumer would otherwise re-run the
+    # corpus-wide normalize+explode+agg (round-9, guide §1/§2.4 — the
+    # corpus is now scanned twice total instead of four times; the
+    # checkpoint itself is vocabulary-sized, never corpus-sized)
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
         toks.join(F.broadcast(vocab), "tok")

@@ -187,22 +187,27 @@ def _hamming_block_pairs(sh: DataFrame, max_hamming: int, n_blocks: int) -> Data
             )
         ).alias("bk"),
     ).select("id", "sim", "bk.block", "bk.key")
-    cand = (
+    # Exact re-check BEFORE the distinct (round-9, guide §2.3 "shuffle
+    # fewer bytes"): hamming64 is a codegen'd bit op on columns already
+    # present at the join output, so filtering first costs nothing extra
+    # per candidate while the distinct then shuffles only TRUE pairs
+    # (≤ n_blocks duplicates each) instead of the full candidate
+    # explosion — on a degenerate block key (dense ids: the high blocks
+    # are all zero) that is orders of magnitude fewer rows through the
+    # Exchange.  Output-identical: hamming is a function of the pair, so
+    # distinct over (id_a, id_b, hamming) == distinct over (id_a, id_b).
+    return (
         blocks.alias("a")
         .join(blocks.alias("b"), ["block", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", hamming64(F.col("a.sim"), F.col("b.sim")))
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            "hamming",
         )
         .distinct()
-    )
-    return (
-        cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -305,25 +310,37 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
+    # Round-9 (guide §2.4 "remove shuffles outright"): a one-time
+    # self-loop per node folds the old separate labels⋈neigh "least(own,
+    # neighborhood-min)" join into the SAME aggregation that computes the
+    # neighborhood min — min over (in-neighbors ∪ self) ≡
+    # least(own label, min over in-neighbors).  The self row also carries
+    # the node's pre-round label out of the agg (``old``), so convergence
+    # is a shuffle-free filter-count on the checkpointed frame instead of
+    # a per-round new⋈old join.  Two joins fewer per round; identical
+    # label evolution, hence identical components and round count.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    edges2 = edges.union(
+        labels.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint(eager=True)
     for it in range(max_iter):
         if stats is not None:
             stats["rounds"] = it + 1
-        neigh = (
-            edges.join(labels, edges["dst"] == labels["node"])
+        upd = (
+            edges2.join(labels, edges2["dst"] == labels["node"])
             .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        upd = labels.join(neigh, labels["node"] == neigh["src"], "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
-                "label"
-            ),
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("old"),
+            )
+            .select(F.col("src").alias("node"), "label", "old")
         )
         # pointer doubling: label <- label(label) (labels cover every node)
         parents = upd.select(
@@ -336,16 +353,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("llabel", F.col("label"))
                 ).alias("label"),
+                "old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select(F.col("node"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -27,7 +27,7 @@ from veranda_spark.functions.geometry import (
     is_ring_list_column,
     points_in_polygon,
     points_in_rings,
-    polygon_bbox,
+    segment_intersects_boxes,
     spec_to_rings,
 )
 
@@ -39,20 +39,57 @@ def _polygon_cover_rows(
     polygons: dict[str, Sequence[tuple[float, float]]],
     res: int,
     to_px: callable,
-) -> list[tuple[str, int]]:
-    """Driver-side cell cover of each polygon's bbox at resolution res
-    (polygons are a small dimension — the H3 polyfill analog)."""
+) -> list[tuple[str, int, bool]]:
+    """Driver-side cell cover of each polygon at resolution res (polygons
+    are a small dimension — the H3 polyfill analog), CLASSIFIED per cell
+    (round-9, guide §4 "eliminate the Python boundary" applied to the
+    candidate volume):
+
+    - a cell no polygon edge touches is uniformly inside or outside
+      (the boundary cannot cross it) — decided by one center test:
+      entirely-outside cells are DROPPED from the cover (their
+      candidates were all UDF-rejected before), entirely-inside cells
+      are emitted with ``full=True`` (their candidates are hits by
+      construction and skip the exact re-check);
+    - boundary cells (an edge touches the box) emit ``full=False`` and
+      keep the exact ray-cast re-check.
+
+    Exactness: the polygon→cell-frame map is an affine (reflection), so
+    parity is preserved; boundary-degenerate center points cannot occur
+    in edge-free cells.  The emitted (full ∪ partial) cover is exactly
+    the polygon's touched cells, a subset of the old bbox cover — rows
+    that only ever produced UDF-rejected candidates are gone."""
     size = 1 << res
     out = []
-    for pid, poly in polygons.items():
-        xmin, ymin, xmax, ymax = polygon_bbox(np.asarray(poly, dtype="float64"))
-        (c0, r0), (c1, r1) = to_px(xmin, ymax), to_px(xmax, ymin)
-        from veranda_spark.cells import CELL_OFFSET
+    from veranda_spark.cells import CELL_OFFSET
 
-        for iy in range(int(np.floor(r0 / size)), int(np.floor(r1 / size)) + 1):
-            for ix in range(int(np.floor(c0 / size)), int(np.floor(c1 / size)) + 1):
-                cell = (res << 58) + (iy + CELL_OFFSET) * (1 << 29) + (ix + CELL_OFFSET)
-                out.append((pid, cell))
+    for pid, poly in polygons.items():
+        p = np.asarray(poly, dtype="float64")
+        u, v = zip(*(to_px(x, y) for x, y in p))
+        pp = np.stack([np.asarray(u, dtype="float64"),
+                       np.asarray(v, dtype="float64")], axis=1)
+        c0, c1 = pp[:, 0].min(), pp[:, 0].max()
+        r0, r1 = pp[:, 1].min(), pp[:, 1].max()
+        iys = range(int(np.floor(r0 / size)), int(np.floor(r1 / size)) + 1)
+        ixs = range(int(np.floor(c0 / size)), int(np.floor(c1 / size)) + 1)
+        xmin = np.array([ix * size for iy in iys for ix in ixs], dtype="float64")
+        ymin = np.array([iy * size for iy in iys for ix in ixs], dtype="float64")
+        xmax, ymax = xmin + size, ymin + size
+        edge_hit = np.zeros(xmin.shape, dtype=bool)
+        for i in range(len(pp)):
+            ax, ay = pp[i]
+            bx, by = pp[(i + 1) % len(pp)]
+            edge_hit |= segment_intersects_boxes(
+                ax, ay, bx, by, xmin, ymin, xmax, ymax
+            )
+        center_in = points_in_polygon(xmin + size / 2.0, ymin + size / 2.0, pp)
+        for idx, (iy, ix) in enumerate(
+            (iy, ix) for iy in iys for ix in ixs
+        ):
+            if not edge_hit[idx] and not center_in[idx]:
+                continue  # entirely outside — no candidates worth making
+            cell = (res << 58) + (iy + CELL_OFFSET) * (1 << 29) + (ix + CELL_OFFSET)
+            out.append((pid, cell, bool(not edge_hit[idx])))
     return out
 
 
@@ -77,7 +114,9 @@ def pip_join(
     """
     spark = points.sparkSession
     cover = _polygon_cover_rows(polygons, res, lambda x, y: (x, -y))
-    cover_df = spark.createDataFrame(cover, schema="polygon_id string, cell long")
+    cover_df = spark.createDataFrame(
+        cover, schema="polygon_id string, cell long, full boolean"
+    )
     pts = points.withColumn(
         "_cell", cell_id(F.col(x_col), -F.col(y_col), res)
     )
@@ -86,17 +125,26 @@ def pip_join(
     )
     polys = {k: np.asarray(v, dtype="float64") for k, v in polygons.items()}
 
+    # full-cell candidates are hits by construction (see
+    # _polygon_cover_rows): the exact ray-cast runs only on the
+    # O(polygon-perimeter) boundary-cell rows — identical hit set,
+    # but the per-candidate Python work collapses to the boundary band
     @F.pandas_udf("boolean")
-    def inside(px: pd.Series, py: pd.Series, pid: pd.Series) -> pd.Series:
-        out = np.zeros(len(px), dtype=bool)
+    def inside(
+        px: pd.Series, py: pd.Series, pid: pd.Series, full: pd.Series
+    ) -> pd.Series:
+        out = full.to_numpy(dtype=bool).copy()
+        todo = ~out
         xv, yv = px.to_numpy("float64"), py.to_numpy("float64")
         for p, poly in polys.items():
-            m = (pid == p).to_numpy()
+            m = todo & (pid == p).to_numpy()
             if m.any():
                 out[m] = points_in_polygon(xv[m], yv[m], poly)
         return pd.Series(out)
 
-    hits = cand.filter(inside(F.col(x_col), F.col(y_col), F.col("polygon_id")))
+    hits = cand.filter(
+        inside(F.col(x_col), F.col(y_col), F.col("polygon_id"), F.col("full"))
+    ).drop("full")
     if how == "inner":
         return hits
     if how == "left":
@@ -323,7 +371,16 @@ def knn_join(
         dy = F.col("_py") - F.col("_qy")
         cand = cand.withColumn("_d2", dx * dx + dy * dy)  # exact integer distance
         w = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_pid").asc())
-        ranked = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+        # localCheckpoint the (tiny: ≤ k rows/query) ranked frame — the
+        # round's convergence probe (take(1) on the anti-join), the
+        # sat_ids agg AND the caller's final action all read it, so
+        # without the materialization the big candidate join + window
+        # executes up to three times per round (round-9, guide §1/§2.4)
+        ranked = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .localCheckpoint(eager=True)
+        )
         # satisfied: k candidates AND kth distance within guaranteed radius
         guard = (r * size) ** 2
         sat_ids = (

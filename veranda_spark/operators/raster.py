@@ -179,7 +179,6 @@ def read_window(
             yield pd.DataFrame(rows or None, columns=cols)
 
     patches = pruned.mapInPandas(slice_window, schema=patch_schema)
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     mask = (
         rings_pixel_mask(
             poly, grid.ul_x, grid.ul_y, grid.psx, grid.psy, row0, col0,
@@ -224,7 +223,13 @@ def read_window(
                 }
             )
 
-    return patches.repartition(n_parts, *group).mapInPandas(
+    # keyed repartition WITHOUT an explicit count (round-9, guide §2):
+    # REPARTITION_BY_COL keeps the co-location guarantee while letting
+    # AQE size the exchange from the actual patch bytes — one task for a
+    # KB-sized fixture window, hundreds for a 100 TB read — instead of
+    # pinning spark.sql.shuffle.partitions mostly-empty tasks (each of
+    # which still pays a Python-worker round trip in mapInPandas)
+    return patches.repartition(*group).mapInPandas(
         assemble_partition, schema=ASSEMBLED_SCHEMA
     )
 
@@ -329,7 +334,6 @@ def burn_in(
     # co-location guarantee, while the per-batch Arrow path measures ~40%
     # faster than the per-group grouped-map machinery for many small
     # groups with binary payloads.
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     def assemble_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: dict[tuple, list[pd.DataFrame]] = {}
@@ -408,7 +412,11 @@ def burn_in(
                 }
             )
 
-    return patches.repartition(n_parts, *group).mapInPandas(
+    # unnumbered keyed repartition (round-9, guide §2): AQE sizes the
+    # exchange from the real patch bytes instead of a pinned
+    # shuffle_partitions constant — scale-adaptive at both fixture and
+    # 100 TB scale, co-location unchanged
+    return patches.repartition(*group).mapInPandas(
         assemble_partition, schema=TILE_SCHEMA
     )
 
@@ -496,7 +504,6 @@ def burn_in_salted(
             )
 
     patches = df.mapInPandas(slice_patches, schema=patch_schema)
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     partial_schema = (
         "tile_id string, tile_row long, tile_col long, "
@@ -534,7 +541,7 @@ def burn_in_salted(
             )
 
     partials = patches.repartition(
-        n_parts, "tile_id", "salt"
+        "tile_id", "salt"
     ).mapInPandas(assemble_partials, schema=partial_schema)
 
     def overlay(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -569,7 +576,7 @@ def burn_in_salted(
                 }
             )
 
-    return partials.repartition(n_parts, "tile_id").mapInPandas(
+    return partials.repartition("tile_id").mapInPandas(
         overlay, schema=TILE_SCHEMA
     )
 
@@ -1384,11 +1391,16 @@ PYRAMID_SCHEMA = (
 )
 
 
-def _pyramid_level_df(cur: DataFrame, nodata: float, parts: int) -> DataFrame:
+def _pyramid_level_df(
+    cur: DataFrame, nodata: float, parts: int | None
+) -> DataFrame:
     """ONE pyramid level: 2× block-mean shrink of every tile into its
     parent quadrant, then one parent-keyed shuffle assembling 2×2
     children into each parent tile.  Shared by build_pyramid (in-memory
-    chain) and build_pyramid_checkpointed (sink-committed chain)."""
+    chain) and build_pyramid_checkpointed (sink-committed chain).
+    ``parts=None`` (the default path) leaves the parent-keyed shuffle
+    unnumbered so AQE sizes it from the level's real bytes (round-9,
+    guide §2 scale-adaptive partitioning)."""
 
     def shrink(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1473,9 +1485,12 @@ def _pyramid_level_df(cur: DataFrame, nodata: float, parts: int) -> DataFrame:
         "layer_id int, bytes binary, h int, w int, channels int, dtype string"
     )
     quads = cur.mapInPandas(shrink, schema=quad_schema)
-    return quads.repartition(
-        max(parts, 4), "p_row", "p_col", "var", "layer_id"
-    ).mapInPandas(assemble, schema=lvl_schema)
+    keyed = (
+        quads.repartition("p_row", "p_col", "var", "layer_id")
+        if parts is None
+        else quads.repartition(max(parts, 4), "p_row", "p_col", "var", "layer_id")
+    )
+    return keyed.mapInPandas(assemble, schema=lvl_schema)
 
 
 def build_pyramid(
@@ -1511,20 +1526,16 @@ def build_pyramid(
     out: DataFrame | None = None
     cur = tiles
     level_frames: list[DataFrame] = []
-    # parts: override for small/fixture inputs where the session-wide
-    # shuffle_partitions would schedule mostly-empty tasks per level
-    n_parts = (
-        parts if parts is not None
-        else int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
+    # parts: explicit override; the default (None) lets AQE size each
+    # level's parent shuffle from its actual bytes
     for level in range(1, levels + 1):
         # persist each level: the returned union references level k from
         # BOTH its own branch and level k+1's lineage — without the shared
         # InMemoryRelation, evaluating the union would recompute every
         # lower level (and re-read the originals) once per higher level
-        nxt = _pyramid_level_df(cur, nodata, n_parts >> level).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        nxt = _pyramid_level_df(
+            cur, nodata, None if parts is None else parts >> level
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         tagged = nxt.withColumn("level", F.lit(level)).select(
             "level", "tile_id", "tile_row", "tile_col", "var", "layer_id",
             "bytes", "h", "w", "channels", "dtype",
@@ -1589,7 +1600,6 @@ def build_pyramid_checkpointed(
     )
 
     spark = tiles.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = ["tile_id", "tile_row", "tile_col", "var", "layer_id",
             "bytes", "h", "w", "channels", "dtype"]
     # parameter fingerprint in every level marker: resuming with a
@@ -1614,7 +1624,7 @@ def build_pyramid_checkpointed(
                     f"for {fp}"
                 )
         else:
-            lvl = _pyramid_level_df(cur, nodata, n_parts >> level)
+            lvl = _pyramid_level_df(cur, nodata, None)
             sink_ready = lvl.withColumn(
                 "tile_id",
                 F.concat_ws(

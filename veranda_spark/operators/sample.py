@@ -146,9 +146,15 @@ def global_rank(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
-    return part.withColumn(
+    out = part.withColumn(
         rank_col, F.row_number().over(w) + omap[F.col("_pid")]
     ).drop("_pid")
+    # total row count, already known from the offset pass — callers
+    # (contrastive_pairs) would otherwise run one more count() job over
+    # the window (round-9, guide §1: don't recompute what a prior job
+    # already established)
+    out._global_rank_total = acc
+    return out
 
 
 def contrastive_pairs(
@@ -171,8 +177,11 @@ def contrastive_pairs(
     keyed = df.select(F.col(id_col)).withColumn(
         "_mk", F.md5(F.col(id_col).cast("string"))
     )
-    ranked = global_rank(keyed, ["_mk", id_col]).drop("_mk")
-    n = ranked.count()
+    gr = global_rank(keyed, ["_mk", id_col])
+    ranked = gr.drop("_mk")
+    n = getattr(gr, "_global_rank_total", None)
+    if n is None:  # defensive: attribute contract broken
+        n = ranked.count()
     if n == 0:
         return ranked.select(
             F.col(id_col).alias("anchor_id"),

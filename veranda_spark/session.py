@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # round-9: the engine's keyed repartitions are now UNNUMBERED
+        # (REPARTITION_BY_COL) so AQE sizes every exchange from real
+        # bytes.  The merge floor drops 1m -> 64k because pixel kernels
+        # amplify CPU per shuffled byte (a 2 KB encoded patch becomes a
+        # 0.5 MB float canvas downstream): medium shuffles keep
+        # one-task-per-core parallelism, KB-sized fixture shuffles still
+        # collapse to one task.  At cluster scale totalBytes/parallelism
+        # >> 64k, so the floor is inert there (guide §2.2).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # maxBytesPerBatch caps the Python->JVM return direction the same
