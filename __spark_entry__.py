@@ -1189,11 +1189,15 @@ def q_resample_average(spark, sf_dir):
 
     yy, xx = np.mgrid[0:64, 0:64]
     arr = ((3 * xx + 5 * yy) % 251).astype("float64")
+    # round-9: 1-row createDataFrame defaults to defaultParallelism
+    # partitions — every downstream Arrow stage then schedules 32
+    # near-empty Python round-trips; coalesce(1) (narrow) collapses each
+    # leg to one task (guide §1.4/§4)
     df = spark.createDataFrame(
         [("img1", arr.tobytes(), 64, 64, "raw", "float64", 0, 0)],
         "image_id string, bytes binary, w int, h int, fmt string, "
         "dtype string, px_col0 long, px_row0 long",
-    )
+    ).coalesce(1)
     src = RegularGrid(ul_x=0, ul_y=0, psx=1.0, psy=1.0,
                       tile_cols=64, tile_rows=64, n_tile_cols=1, n_tile_rows=1)
     dst = RegularGrid(ul_x=0, ul_y=0, psx=4.0, psy=4.0,
@@ -1248,7 +1252,7 @@ def q_resample_average(spark, sf_dir):
         "tile_id string, tile_row long, tile_col long, var string, "
         "layer_id int, bytes binary, h int, w int, channels int, "
         "dtype string",
-    )
+    ).coalesce(1)
     # round-9: no explicit parts — build_pyramid's parent shuffles are
     # now AQE-coalescible (unnumbered keyed repartition), so the 4-tile
     # fixture runs one task per level instead of a pinned count
@@ -1288,7 +1292,7 @@ def q_resample_average(spark, sf_dir):
         [("imgq", quad.tobytes(), 64, 64, "raw", "float64", 0, 0)],
         "image_id string, bytes binary, w int, h int, fmt string, "
         "dtype string, px_col0 long, px_row0 long",
-    )
+    ).coalesce(1)
     cub = warp_window(df_q, src, dst25, 1, 1, 16, 16, method="cubic")
     cub_px = cub.mapInPandas(explode_raw("cub"), px_schema)
 
@@ -1305,11 +1309,11 @@ def q_resample_average(spark, sf_dir):
     ta = spark.createDataFrame(
         [("A00", 0, 0, "x", 1, va.tobytes(), 64, 64, 1, "float64", 1)],
         tile_schema,
-    )
+    ).coalesce(1)
     tb = spark.createDataFrame(
         [("A00", 0, 0, "y", 1, vb.tobytes(), 64, 64, 1, "float64", 1)],
         tile_schema,
-    )
+    ).coalesce(1)
     alg = tile_algebra(ta, tb, lambda x, y: (x - y) / (x + y + 1.0))
     alg_px = alg.mapInPandas(explode_raw("alg"), px_schema)
 

@@ -28,9 +28,9 @@ EVDIR = "/tmp/spark-events-r9"
 
 
 def main() -> None:
+    import shutil
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in os.listdir(EVDIR):
-        os.unlink(os.path.join(EVDIR, f))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     names = sys.argv[1:] or (
@@ -43,6 +43,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.range(1000).count()
@@ -59,9 +61,16 @@ def main() -> None:
         spark.sparkContext.setJobDescription(None)
     app_id = spark.sparkContext.applicationId
     spark.stop()
+    print("WALLS " + json.dumps(walls), file=sys.stderr)
 
-    # ---- parse event log -------------------------------------------------
+    # ---- parse event log (Spark 4 rolling dir or single file) -----------
     ev_path = os.path.join(EVDIR, app_id)
+    if not os.path.exists(ev_path):
+        d = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+        evs = [os.path.join(d, f) for f in sorted(os.listdir(d))
+               if f.startswith("events")]
+    else:
+        evs = [ev_path]
     jobs: dict[int, dict] = {}
     stage_of_job: dict[int, int] = {}
     per_q: dict[str, dict] = {
@@ -70,8 +79,11 @@ def main() -> None:
             "shuffle_fetch_ms": 0, "gc_ms": 0}
         for n in names
     }
-    with open(ev_path) as f:
-        for line in f:
+    import itertools
+    with open(evs[0]) as _f0:
+        lines = list(itertools.chain(_f0, *[open(e) for e in evs[1:]]))
+    if True:
+        for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:

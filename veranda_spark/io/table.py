@@ -807,11 +807,14 @@ def merge_into(
             # partitions touched by the update batch: the updates' own
             # partition values PLUS the current partition of any matched key
             # (a key may move across partitions)
-            upd_parts = updates.select(partition_by).distinct()
+            # round-9 (guide §2.4): no per-branch distincts — the final
+            # union.distinct() below is the only dedup the collect needs,
+            # and a left_semi probe side needs no distinct either, so two
+            # Exchanges (and their AQE stage jobs) disappear per merge
+            upd_parts = updates.select(partition_by)
             moved_parts = (
-                tgt.join(updates.select(keys).distinct(), keys, "left_semi")
+                tgt.join(updates.select(keys), keys, "left_semi")
                 .select(partition_by)
-                .distinct()
             )
             # collect each value twice: raw (for the typed isin filter) and
             # SPARK's cast-to-string (for directory-name matching — the
@@ -851,8 +854,9 @@ def merge_into(
                 _isin_or_null(partition_by, aff_vals, aff_null)
             )
             # every update row's partition is in `affected` by construction
+            # (left_anti needs no distinct probe side — round-9)
             merged = tgt_aff.join(
-                updates.select(keys).distinct(), keys, "left_anti"
+                updates.select(keys), keys, "left_anti"
             ).unionByName(updates)
             (
                 merged.write.mode("append")
@@ -863,7 +867,7 @@ def merge_into(
                 _write_manifest(stage, manifest_entries)
         else:
             merged = tgt.join(
-                updates.select(keys).distinct(), keys, "left_anti"
+                updates.select(keys), keys, "left_anti"
             ).unionByName(updates)
             # append INTO the stage under the claimed dir —
             # mode("overwrite") would delete the directory first,
@@ -935,7 +939,9 @@ def delete_rows(
         and partition_by is not None
         and partition_by in keys_df.columns
     )
-    dels = keys_df.select(kcols + ([partition_by] if hint else [])).distinct()
+    # no eager distinct: every consumer is a semi/anti join probe side or
+    # re-distincts itself (the hint collect) — round-9, guide §2.4
+    dels = keys_df.select(kcols + ([partition_by] if hint else []))
     if commit_mode == "auto":
         commit_mode = "link" if _links_supported(path) else "manifest"
     part_vers = (

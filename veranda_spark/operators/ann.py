@@ -24,7 +24,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from veranda_spark.functions.vectors import cosine
+from veranda_spark.functions.vectors import cosine, dot, norm
+
+
+def _cos_pre(emb, qemb, n_emb, n_qemb):
+    """cosine with per-side norms precomputed BELOW the join: the old
+    per-pair ``cosine(a, b)`` re-ran ``norm(a)`` and ``norm(b)`` (two
+    array aggregates) for every (corpus × query) pair; hoisting them to
+    the input projections cuts the pair work to one dot product
+    (round-9, guide §1.2 per-task work).  Bit-identical: same dot, same
+    norms, same ``dot / (na * nb)`` association."""
+    return dot(emb, qemb) / (n_emb * n_qemb)
 
 
 def brute_force_topk(
@@ -40,13 +50,17 @@ def brute_force_topk(
     deterministic and reproducible in the SQL oracle."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("emb")
-    )
+    ).withColumn("_ne", norm(F.col("emb")))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_emb).cast("array<double>").alias("qemb"),
-    )
+    ).withColumn("_nq", norm(F.col("qemb")))
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cos", F.round(cosine(F.col("emb"), F.col("qemb")), 6)
+        "cos",
+        F.round(
+            _cos_pre(F.col("emb"), F.col("qemb"), F.col("_ne"), F.col("_nq")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -169,9 +183,22 @@ def _explode_query_cells(
 def _ivf_cosine_score(ck: DataFrame, qx: DataFrame, k: int) -> DataFrame:
     """Exact-cosine rank of a cell-keyed corpus against the pre-exploded
     (query_id, qemb, cell) frame — shared by the train-per-call path
-    (ivf_topk) and the persisted-index path."""
-    scored = ck.join(F.broadcast(qx), "cell").withColumn(
-        "cos", F.round(cosine(F.col("emb"), F.col("qemb")), 6)
+    (ivf_topk) and the persisted-index path.  Norms are hoisted below
+    the join (see _cos_pre)."""
+    scored = (
+        ck.withColumn("_ne", norm(F.col("emb")))
+        .join(
+            F.broadcast(qx.withColumn("_nq", norm(F.col("qemb")))), "cell"
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                _cos_pre(
+                    F.col("emb"), F.col("qemb"), F.col("_ne"), F.col("_nq")
+                ),
+                6,
+            ),
+        )
     )
     return _cosine_rank(scored, k)
 
@@ -547,9 +574,13 @@ def build_ivf_index(
     if rot is not None:
         for i, rvec in enumerate(rot):
             rows.append(("rot", i, None, [float(x) for x in rvec], None))
+    # dim-sized meta in ONE partition/file: createDataFrame defaults to
+    # defaultParallelism partitions, which wrote ~32 near-empty parquet
+    # files and paid their task + commit overhead on every build, then
+    # again on every load_ivf_index scan (round-9, guide §6 small files)
     meta = spark.createDataFrame(
         rows, "kind string, i int, j int, vec array<double>, sval string"
-    )
+    ).coalesce(1)
     create_table(meta, meta_path)
     return v
 
