@@ -1189,15 +1189,23 @@ def q_resample_average(spark, sf_dir):
 
     yy, xx = np.mgrid[0:64, 0:64]
     arr = ((3 * xx + 5 * yy) % 251).astype("float64")
-    # round-9: 1-row createDataFrame defaults to defaultParallelism
-    # partitions — every downstream Arrow stage then schedules 32
-    # near-empty Python round-trips; coalesce(1) (narrow) collapses each
-    # leg to one task (guide §1.4/§4)
-    df = spark.createDataFrame(
+    # round-9: createDataFrame on a local list parallelizes into
+    # defaultParallelism slices, so every downstream Arrow stage of these
+    # KB-sized legs scheduled ~32 near-empty Python round-trips; a 1-slice
+    # parallelize keeps each leg single-task end to end.  (NOT
+    # .coalesce(1): a coalesced task computes all 32 parent slices
+    # SEQUENTIALLY, each paying its own Python-worker handshake —
+    # measured 4.1s vs 0.55s for one leg.)
+    def _one_part(rows, schema):
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
+
+    df = _one_part(
         [("img1", arr.tobytes(), 64, 64, "raw", "float64", 0, 0)],
         "image_id string, bytes binary, w int, h int, fmt string, "
         "dtype string, px_col0 long, px_row0 long",
-    ).coalesce(1)
+    )
     src = RegularGrid(ul_x=0, ul_y=0, psx=1.0, psy=1.0,
                       tile_cols=64, tile_rows=64, n_tile_cols=1, n_tile_rows=1)
     dst = RegularGrid(ul_x=0, ul_y=0, psx=4.0, psy=4.0,
@@ -1247,12 +1255,12 @@ def q_resample_average(spark, sf_dir):
             )
             tile_rows.append((f"T{tr}{tc}", tr, tc, "data", 1,
                               sub.tobytes(), 64, 64, 1, "float64"))
-    tiles = spark.createDataFrame(
+    tiles = _one_part(
         tile_rows,
         "tile_id string, tile_row long, tile_col long, var string, "
         "layer_id int, bytes binary, h int, w int, channels int, "
         "dtype string",
-    ).coalesce(1)
+    )
     # round-9: no explicit parts — build_pyramid's parent shuffles are
     # now AQE-coalescible (unnumbered keyed repartition), so the 4-tile
     # fixture runs one task per level instead of a pinned count
@@ -1288,11 +1296,11 @@ def q_resample_average(spark, sf_dir):
 
     rq, cq = np.mgrid[0:64, 0:64].astype("float64")
     quad = (rq * rq + 3 * rq + 7) * (cq * cq + 5 * cq + 11)
-    df_q = spark.createDataFrame(
+    df_q = _one_part(
         [("imgq", quad.tobytes(), 64, 64, "raw", "float64", 0, 0)],
         "image_id string, bytes binary, w int, h int, fmt string, "
         "dtype string, px_col0 long, px_row0 long",
-    ).coalesce(1)
+    )
     cub = warp_window(df_q, src, dst25, 1, 1, 16, 16, method="cubic")
     cub_px = cub.mapInPandas(explode_raw("cub"), px_schema)
 
@@ -1306,14 +1314,14 @@ def q_resample_average(spark, sf_dir):
         "layer_id int, bytes binary, h int, w int, channels int, "
         "dtype string, n_images long"
     )
-    ta = spark.createDataFrame(
+    ta = _one_part(
         [("A00", 0, 0, "x", 1, va.tobytes(), 64, 64, 1, "float64", 1)],
         tile_schema,
-    ).coalesce(1)
-    tb = spark.createDataFrame(
+    )
+    tb = _one_part(
         [("A00", 0, 0, "y", 1, vb.tobytes(), 64, 64, 1, "float64", 1)],
         tile_schema,
-    ).coalesce(1)
+    )
     alg = tile_algebra(ta, tb, lambda x, y: (x - y) / (x + y + 1.0))
     alg_px = alg.mapInPandas(explode_raw("alg"), px_schema)
 

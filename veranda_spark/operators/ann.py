@@ -574,13 +574,17 @@ def build_ivf_index(
     if rot is not None:
         for i, rvec in enumerate(rot):
             rows.append(("rot", i, None, [float(x) for x in rvec], None))
-    # dim-sized meta in ONE partition/file: createDataFrame defaults to
-    # defaultParallelism partitions, which wrote ~32 near-empty parquet
-    # files and paid their task + commit overhead on every build, then
-    # again on every load_ivf_index scan (round-9, guide §6 small files)
+    # dim-sized meta in ONE partition/file (round-9, guide §6 small
+    # files): createDataFrame on a local list defaults to
+    # defaultParallelism slices, writing ~32 near-empty parquet files
+    # whose task + commit + re-scan overhead every build and every
+    # load_ivf_index paid.  1-slice parallelize, NOT .coalesce(1) — a
+    # coalesced task computes all parent slices sequentially, each with
+    # its own Python-worker handshake (measured 4.4s vs 0.24s).
     meta = spark.createDataFrame(
-        rows, "kind string, i int, j int, vec array<double>, sval string"
-    ).coalesce(1)
+        spark.sparkContext.parallelize(rows, 1),
+        "kind string, i int, j int, vec array<double>, sval string",
+    )
     create_table(meta, meta_path)
     return v
 
