@@ -395,11 +395,17 @@ def test_compact_table_manifest_partial(spark, tmp_path, monkeypatch):
         [(i, i % 3, f"v{i}") for i in range(30)], "k long, p long, val string"
     ).coalesce(1)
     create_table(df, path, partition_by="p")
-    # fragment ONLY p=1 via a merge that rewrites it in many tasks
     upd = spark.createDataFrame(
         [(100 + j, 1, f"u{j}") for j in range(8)], "k long, p long, val string"
     ).repartition(8)
     merge_into(spark, path, upd, keys=["k"], partition_by="p")
+    # fragment ONLY p=1: merge_into now writes one file per rewritten
+    # partition (round-9), so fragmentation comes from outside the merge
+    # path — append a schema-only empty part file (the shape an empty
+    # CDC batch or a crashed external writer leaves behind)
+    spark.createDataFrame([], "k long, val string").coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "_versions", "000002", "p=1"))
     res = compact_table(spark, path, partition_by="p")
     assert res["compacted"] == 1
     v3 = os.path.join(path, "_versions", "000003")
@@ -534,7 +540,15 @@ def test_relocate_versions_reclaims_manifest_bytes(spark, base, monkeypatch):
     # untouched partitions (p=1,2,3) still fully present
     assert {t for t in got if t[1] == 3} == {t for t in got_before if t[1] == 3}
 
-    # and compact_table resolves relocated partition paths for counting
+    # and compact_table resolves relocated partition paths for counting:
+    # fragment the current version's physical p=0 (merges themselves now
+    # write one file per partition — round-9), then compact; the
+    # relocated partitions must be counted (and carried) correctly
+    cur_v = max(list_versions(base))
+    spark.createDataFrame([], "k long, val string").coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(base, "_versions", f"{cur_v:06d}", "p=0"))
+    got = _rows(read_table(spark, base))
     from veranda_spark.io.table import compact_table
 
     r = compact_table(spark, base, partition_by="p", max_files=1,

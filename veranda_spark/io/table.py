@@ -858,8 +858,14 @@ def merge_into(
             merged = tgt_aff.join(
                 updates.select(keys), keys, "left_anti"
             ).unionByName(updates)
+            # one task (hence one file) per rewritten partition: without
+            # the keyed repartition every scan task writes its own file
+            # into each partition dir (~50 tiny files per version), and
+            # every later read_table/merge pays the listing + open cost
+            # (round-9, guide §6 small files; unnumbered = AQE-sized)
             (
-                merged.write.mode("append")
+                merged.repartition(F.col(partition_by))
+                .write.mode("append")
                 .partitionBy(partition_by)
                 .parquet(stage)
             )
@@ -983,7 +989,8 @@ def delete_rows(
                 _isin_or_null(partition_by, aff_vals, aff_null)
             ).join(dels.select(kcols), kcols, "left_anti")
             (
-                remaining.write.mode("append")
+                remaining.repartition(F.col(partition_by))
+                .write.mode("append")
                 .partitionBy(partition_by)
                 .parquet(stage)
             )

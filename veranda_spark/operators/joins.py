@@ -35,6 +35,40 @@ from veranda_spark.functions.geometry import (
 # ---- point-in-polygon -------------------------------------------------------
 
 
+def _is_convex(poly: np.ndarray) -> bool:
+    """Strictly convex ring test (no collinear runs — those fall back to
+    the generic ray-cast): all consecutive-edge cross products share one
+    strict sign."""
+    p = np.asarray(poly, dtype="float64")
+    if len(p) < 3:
+        return False
+    x, y = p[:, 0], p[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    x2, y2 = np.roll(x, -2), np.roll(y, -2)
+    cr = (x1 - x) * (y2 - y1) - (y1 - y) * (x2 - x1)
+    return bool((cr > 0).all() or (cr < 0).all())
+
+
+def _convex_inside_pred(poly: np.ndarray, xc: Column, yc: Column) -> Column:
+    """Strict point-in-convex-polygon as a Column expression: every edge
+    cross product shares one strict sign — identical in form to the SQL
+    oracle's predicate, so it runs in whole-stage codegen with no Python
+    boundary."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        ax, ay = float(poly[i][0]), float(poly[i][1])
+        bx, by = float(poly[(i + 1) % n][0]), float(poly[(i + 1) % n][1])
+        terms.append(
+            (F.lit(bx) - F.lit(ax)) * (yc - F.lit(ay))
+            - (F.lit(by) - F.lit(ay)) * (xc - F.lit(ax))
+        )
+    pos, neg = terms[0] > 0, terms[0] < 0
+    for t in terms[1:]:
+        pos, neg = pos & (t > 0), neg & (t < 0)
+    return pos | neg
+
+
 def _polygon_cover_rows(
     polygons: dict[str, Sequence[tuple[float, float]]],
     res: int,
@@ -125,26 +159,48 @@ def pip_join(
     )
     polys = {k: np.asarray(v, dtype="float64") for k, v in polygons.items()}
 
-    # full-cell candidates are hits by construction (see
-    # _polygon_cover_rows): the exact ray-cast runs only on the
-    # O(polygon-perimeter) boundary-cell rows — identical hit set,
-    # but the per-candidate Python work collapses to the boundary band
-    @F.pandas_udf("boolean")
-    def inside(
-        px: pd.Series, py: pd.Series, pid: pd.Series, full: pd.Series
-    ) -> pd.Series:
-        out = full.to_numpy(dtype=bool).copy()
-        todo = ~out
-        xv, yv = px.to_numpy("float64"), py.to_numpy("float64")
-        for p, poly in polys.items():
-            m = todo & (pid == p).to_numpy()
-            if m.any():
-                out[m] = points_in_polygon(xv[m], yv[m], poly)
-        return pd.Series(out)
+    # Exact re-check, cheapest applicable tier per row (round-9, guide
+    # §4.1 "built-ins over UDFs"):
+    #   - full-cell candidates are hits by construction (see
+    #     _polygon_cover_rows) — no check at all;
+    #   - CONVEX polygons get the strict all-same-sign half-plane test
+    #     as a JVM Column expression inside whole-stage codegen (the
+    #     same form the SQL oracle uses) — boundary-cell rows included;
+    #   - only non-convex polygons' boundary-cell rows cross the Python
+    #     boundary for the even-odd ray-cast.
+    # For points strictly inside/outside (the operator's contract —
+    # boundary points already follow fp-sensitive crossing conventions)
+    # the tiers agree, so the hit set is unchanged.
+    xc, yc = F.col(x_col), F.col(y_col)
+    decided = F.when(F.col("full"), F.lit(True))
+    n_convex = 0
+    for p, poly in polys.items():
+        if _is_convex(poly):
+            decided = decided.when(
+                F.col("polygon_id") == p, _convex_inside_pred(poly, xc, yc)
+            )
+            n_convex += 1
+    if n_convex == len(polys):
+        hits = cand.filter(decided).drop("full")
+    else:
+        @F.pandas_udf("boolean")
+        def inside(
+            px: pd.Series, py: pd.Series, pid: pd.Series, dec: pd.Series
+        ) -> pd.Series:
+            todo = dec.isna().to_numpy()
+            out = dec.fillna(False).to_numpy(dtype=bool).copy()
+            xv, yv = px.to_numpy("float64"), py.to_numpy("float64")
+            for p, poly in polys.items():
+                m = todo & (pid == p).to_numpy()
+                if m.any():
+                    out[m] = points_in_polygon(xv[m], yv[m], poly)
+            return pd.Series(out)
 
-    hits = cand.filter(
-        inside(F.col(x_col), F.col(y_col), F.col("polygon_id"), F.col("full"))
-    ).drop("full")
+        hits = (
+            cand.withColumn("_dec", decided)
+            .filter(inside(xc, yc, F.col("polygon_id"), F.col("_dec")))
+            .drop("full", "_dec")
+        )
     if how == "inner":
         return hits
     if how == "left":

@@ -60,6 +60,16 @@ def get_spark(
         # collapse to one task.  At cluster scale totalBytes/parallelism
         # >> 64k, so the floor is inert there (guide §2.2).
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # let AQE coalesce shuffles INSIDE cached plans too (off by
+        # default to keep cache partitioning stable): build_pyramid /
+        # quicklook persist their levels, and without this every cached
+        # level's keyed repartition stays at the static partition count —
+        # 32 near-empty Python-worker tasks per level at fixture scale
+        # (round-9; nothing here depends on cache partitioning)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # maxBytesPerBatch caps the Python->JVM return direction the same
