@@ -1832,7 +1832,12 @@ def q_ann_ivf_build(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     e = _t(spark, sf_dir, "embeddings")
     v = build_ivf_index(e, path, nlist=16)
-    return spark.createDataFrame([(int(v), 16)], "version long, nlist int")
+    # 1-slice: a 1-row createDataFrame otherwise schedules 32 Python
+    # slice tasks under the count action (round-9)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([(int(v), 16)], 1),
+        "version long, nlist int",
+    )
 
 
 def q_ann_ivf_query(spark, sf_dir):

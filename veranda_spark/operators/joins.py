@@ -148,8 +148,13 @@ def pip_join(
     """
     spark = points.sparkSession
     cover = _polygon_cover_rows(polygons, res, lambda x, y: (x, -y))
+    # dim-sized local frame as ONE slice: createDataFrame-from-list
+    # parallelizes into defaultParallelism Python slices, and the
+    # broadcast build then pays ~32 Python-worker round trips for a few
+    # hundred rows (measured 1.5s of the old pip wall — round-9)
     cover_df = spark.createDataFrame(
-        cover, schema="polygon_id string, cell long, full boolean"
+        spark.sparkContext.parallelize(cover, 1),
+        schema="polygon_id string, cell long, full boolean",
     )
     pts = points.withColumn(
         "_cell", cell_id(F.col(x_col), -F.col(y_col), res)
@@ -512,8 +517,13 @@ def salted_broadcast_join(
     spark = big.sparkSession
     if salt_map:
         entries = [(int(c), int(n)) for c, n in salt_map.items()]
+        # 1-slice local dim (see pip_join: avoids ~32 Python round trips
+        # in each broadcast build of this tiny frame)
         sm = F.broadcast(
-            spark.createDataFrame(entries, schema=f"{key} long, _nsalt int")
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(entries, 1),
+                schema=f"{key} long, _nsalt int",
+            )
         )
         big = big.join(sm, key, "left").withColumn(
             "_nsalt", F.coalesce(F.col("_nsalt"), F.lit(default_salt))
