@@ -1197,17 +1197,13 @@ def q_resample_average(spark, sf_dir):
 
     yy, xx = np.mgrid[0:64, 0:64]
     arr = ((3 * xx + 5 * yy) % 251).astype("float64")
-    # round-9: createDataFrame on a local list parallelizes into
-    # defaultParallelism slices, so every downstream Arrow stage of these
-    # KB-sized legs scheduled ~32 near-empty Python round-trips; a 1-slice
-    # parallelize keeps each leg single-task end to end.  (NOT
-    # .coalesce(1): a coalesced task computes all 32 parent slices
-    # SEQUENTIALLY, each paying its own Python-worker handshake —
-    # measured 4.1s vs 0.55s for one leg.)
+    # round-9: 1-slice local frames (veranda_spark.session.local_df) so
+    # each KB-sized leg runs single-task instead of scheduling ~32
+    # near-empty Python round-trips per Arrow stage
+    from veranda_spark.session import local_df as _one_part_df
+
     def _one_part(rows, schema):
-        return spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1), schema
-        )
+        return _one_part_df(spark, rows, schema)
 
     df = _one_part(
         [("img1", arr.tobytes(), 64, 64, "raw", "float64", 0, 0)],
@@ -1832,12 +1828,9 @@ def q_ann_ivf_build(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     e = _t(spark, sf_dir, "embeddings")
     v = build_ivf_index(e, path, nlist=16)
-    # 1-slice: a 1-row createDataFrame otherwise schedules 32 Python
-    # slice tasks under the count action (round-9)
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize([(int(v), 16)], 1),
-        "version long, nlist int",
-    )
+    from veranda_spark.session import local_df
+
+    return local_df(spark, [(int(v), 16)], "version long, nlist int")
 
 
 def q_ann_ivf_query(spark, sf_dir):

@@ -50,6 +50,42 @@ def test_pip_join_matches_bruteforce(spark, points):
     assert len(want) > 50
 
 
+def test_pip_join_classified_cover_edge_and_concave(spark):
+    # round-9 regression: the cell cover is now classified
+    # (outside-dropped / full-skip / boundary ray-cast).  This pins the
+    # classification against brute force for (a) points EXACTLY on
+    # polygon edges — they live in boundary cells, so the r1-r8
+    # half-open ray-cast convention must be preserved bit-for-bit, (b) a
+    # CONCAVE polygon whose bbox contains cells fully outside the
+    # polygon (the dropped-cell and full-cell classes both appear), and
+    # (c) interior points in full cells (skip path).
+    concave = [(10.0, -10.0), (700.0, -10.0), (700.0, -700.0),
+               (360.0, -360.0), (10.0, -700.0)]  # notch up the middle
+    square = [(64.0, -64.0), (512.0, -64.0), (512.0, -512.0),
+              (64.0, -512.0)]  # integer-vertex: real on-edge points exist
+    ids = np.arange(N)
+    xs, ys = (ids * 7919) % 1024, -((ids * 104729) % 1024)
+    df = spark.createDataFrame(
+        [(int(i), int(x), int(y)) for i, x, y in zip(ids, xs, ys)],
+        "point_id long, px long, py long",
+    )
+    got = pip_join(df, {"cv": concave, "sq": square}).collect()
+    want = set()
+    n_on_edge = 0
+    for pid, poly in [("cv", concave), ("sq", square)]:
+        inside = points_in_polygon(
+            xs.astype(float), ys.astype(float), np.array(poly)
+        )
+        want |= {(pid, int(i)) for i in ids[inside]}
+        if pid == "sq":
+            on_edge = (
+                ((xs == 64) | (xs == 512)) & (ys <= -64) & (ys >= -512)
+            ) | (((ys == -64) | (ys == -512)) & (xs >= 64) & (xs <= 512))
+            n_on_edge = int(on_edge.sum())
+    assert {(r["polygon_id"], r["point_id"]) for r in got} == want
+    assert len(want) > 100 and n_on_edge > 0  # edge cases actually present
+
+
 @pytest.mark.parametrize("k", [1, 5, 20])
 def test_knn_matches_bruteforce(spark, points, k):
     rng = np.random.default_rng(42)

@@ -75,13 +75,14 @@ def main() -> None:
     stage_of_job: dict[int, int] = {}
     per_q: dict[str, dict] = {
         n: {"wall": walls[n], "n_jobs": 0, "n_stages": 0, "n_tasks": 0,
-            "task_run_ms": 0, "job_ms": 0, "py_eval_ms": 0,
+            "n_stages_submitted": 0, "task_run_ms": 0, "job_ms": 0,
             "shuffle_fetch_ms": 0, "gc_ms": 0}
         for n in names
     }
-    import itertools
-    with open(evs[0]) as _f0:
-        lines = list(itertools.chain(_f0, *[open(e) for e in evs[1:]]))
+    lines = []
+    for e in evs:
+        with open(e) as f:
+            lines.extend(f)
     if True:
         for line in lines:
             try:
@@ -100,8 +101,8 @@ def main() -> None:
                     q = desc[2:]
                     if q in per_q:
                         per_q[q]["n_jobs"] += 1
-                        per_q[q]["n_stages_submitted"] = per_q[q].get(
-                            "n_stages_submitted", 0) + len(ev.get("Stage IDs", []))
+                        per_q[q]["n_stages_submitted"] += len(
+                            ev.get("Stage IDs", []))
             elif et == "SparkListenerJobEnd":
                 j = jobs.get(ev["Job ID"])
                 if j and j["desc"].startswith("Q:"):

@@ -575,15 +575,11 @@ def build_ivf_index(
         for i, rvec in enumerate(rot):
             rows.append(("rot", i, None, [float(x) for x in rvec], None))
     # dim-sized meta in ONE partition/file (round-9, guide §6 small
-    # files): createDataFrame on a local list defaults to
-    # defaultParallelism slices, writing ~32 near-empty parquet files
-    # whose task + commit + re-scan overhead every build and every
-    # load_ivf_index paid.  1-slice parallelize, NOT .coalesce(1) — a
-    # coalesced task computes all parent slices sequentially, each with
-    # its own Python-worker handshake (measured 4.4s vs 0.24s).
-    meta = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        "kind string, i int, j int, vec array<double>, sval string",
+    # files; see session.local_df for why not createDataFrame/coalesce)
+    from veranda_spark.session import local_df
+
+    meta = local_df(
+        spark, rows, "kind string, i int, j int, vec array<double>, sval string"
     )
     create_table(meta, meta_path)
     return v

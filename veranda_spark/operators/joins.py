@@ -35,40 +35,6 @@ from veranda_spark.functions.geometry import (
 # ---- point-in-polygon -------------------------------------------------------
 
 
-def _is_convex(poly: np.ndarray) -> bool:
-    """Strictly convex ring test (no collinear runs — those fall back to
-    the generic ray-cast): all consecutive-edge cross products share one
-    strict sign."""
-    p = np.asarray(poly, dtype="float64")
-    if len(p) < 3:
-        return False
-    x, y = p[:, 0], p[:, 1]
-    x1, y1 = np.roll(x, -1), np.roll(y, -1)
-    x2, y2 = np.roll(x, -2), np.roll(y, -2)
-    cr = (x1 - x) * (y2 - y1) - (y1 - y) * (x2 - x1)
-    return bool((cr > 0).all() or (cr < 0).all())
-
-
-def _convex_inside_pred(poly: np.ndarray, xc: Column, yc: Column) -> Column:
-    """Strict point-in-convex-polygon as a Column expression: every edge
-    cross product shares one strict sign — identical in form to the SQL
-    oracle's predicate, so it runs in whole-stage codegen with no Python
-    boundary."""
-    terms = []
-    n = len(poly)
-    for i in range(n):
-        ax, ay = float(poly[i][0]), float(poly[i][1])
-        bx, by = float(poly[(i + 1) % n][0]), float(poly[(i + 1) % n][1])
-        terms.append(
-            (F.lit(bx) - F.lit(ax)) * (yc - F.lit(ay))
-            - (F.lit(by) - F.lit(ay)) * (xc - F.lit(ax))
-        )
-    pos, neg = terms[0] > 0, terms[0] < 0
-    for t in terms[1:]:
-        pos, neg = pos & (t > 0), neg & (t < 0)
-    return pos | neg
-
-
 def _polygon_cover_rows(
     polygons: dict[str, Sequence[tuple[float, float]]],
     res: int,
@@ -146,15 +112,14 @@ def pip_join(
     ``points`` uses world coords equal to pixel coords here (grid with
     ul=0, ps=1); pass transformed columns otherwise.
     """
+    from veranda_spark.session import local_df
+
     spark = points.sparkSession
     cover = _polygon_cover_rows(polygons, res, lambda x, y: (x, -y))
-    # dim-sized local frame as ONE slice: createDataFrame-from-list
-    # parallelizes into defaultParallelism Python slices, and the
-    # broadcast build then pays ~32 Python-worker round trips for a few
-    # hundred rows (measured 1.5s of the old pip wall — round-9)
-    cover_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(cover, 1),
-        schema="polygon_id string, cell long, full boolean",
+    # one-slice dim frame (see session.local_df: the default ~32 Python
+    # slices cost ~1.5s of broadcast build for a few hundred rows)
+    cover_df = local_df(
+        spark, cover, "polygon_id string, cell long, full boolean"
     )
     pts = points.withColumn(
         "_cell", cell_id(F.col(x_col), -F.col(y_col), res)
@@ -164,48 +129,30 @@ def pip_join(
     )
     polys = {k: np.asarray(v, dtype="float64") for k, v in polygons.items()}
 
-    # Exact re-check, cheapest applicable tier per row (round-9, guide
-    # §4.1 "built-ins over UDFs"):
-    #   - full-cell candidates are hits by construction (see
-    #     _polygon_cover_rows) — no check at all;
-    #   - CONVEX polygons get the strict all-same-sign half-plane test
-    #     as a JVM Column expression inside whole-stage codegen (the
-    #     same form the SQL oracle uses) — boundary-cell rows included;
-    #   - only non-convex polygons' boundary-cell rows cross the Python
-    #     boundary for the even-odd ray-cast.
-    # For points strictly inside/outside (the operator's contract —
-    # boundary points already follow fp-sensitive crossing conventions)
-    # the tiers agree, so the hit set is unchanged.
-    xc, yc = F.col(x_col), F.col(y_col)
-    decided = F.when(F.col("full"), F.lit(True))
-    n_convex = 0
-    for p, poly in polys.items():
-        if _is_convex(poly):
-            decided = decided.when(
-                F.col("polygon_id") == p, _convex_inside_pred(poly, xc, yc)
-            )
-            n_convex += 1
-    if n_convex == len(polys):
-        hits = cand.filter(decided).drop("full")
-    else:
-        @F.pandas_udf("boolean")
-        def inside(
-            px: pd.Series, py: pd.Series, pid: pd.Series, dec: pd.Series
-        ) -> pd.Series:
-            todo = dec.isna().to_numpy()
-            out = dec.fillna(False).to_numpy(dtype=bool).copy()
-            xv, yv = px.to_numpy("float64"), py.to_numpy("float64")
-            for p, poly in polys.items():
-                m = todo & (pid == p).to_numpy()
-                if m.any():
-                    out[m] = points_in_polygon(xv[m], yv[m], poly)
-            return pd.Series(out)
+    # Exact re-check only where the boundary can reach (round-9, guide
+    # §4): full-cell candidates are hits by construction and skip the
+    # ray-cast inside the UDF; boundary-cell candidates — the ONLY rows
+    # where a point can sit near/on an edge — keep the r1-r8 even-odd
+    # ray-cast BIT-FOR-BIT, so edge-point behavior (the half-open
+    # crossing convention) is exactly what it always was.  (A convex
+    # all-same-sign Column predicate was tried here and reverted in
+    # review: it excluded exactly-on-edge points the ray-cast admits.)
+    @F.pandas_udf("boolean")
+    def inside(
+        px: pd.Series, py: pd.Series, pid: pd.Series, full: pd.Series
+    ) -> pd.Series:
+        out = full.to_numpy(dtype=bool).copy()
+        todo = ~out
+        xv, yv = px.to_numpy("float64"), py.to_numpy("float64")
+        for p, poly in polys.items():
+            m = todo & (pid == p).to_numpy()
+            if m.any():
+                out[m] = points_in_polygon(xv[m], yv[m], poly)
+        return pd.Series(out)
 
-        hits = (
-            cand.withColumn("_dec", decided)
-            .filter(inside(xc, yc, F.col("polygon_id"), F.col("_dec")))
-            .drop("full", "_dec")
-        )
+    hits = cand.filter(
+        inside(F.col(x_col), F.col(y_col), F.col("polygon_id"), F.col("full"))
+    ).drop("full")
     if how == "inner":
         return hits
     if how == "left":
@@ -516,15 +463,10 @@ def salted_broadcast_join(
         raise ValueError(f"salted_broadcast_join supports inner/left, got {how!r}")
     spark = big.sparkSession
     if salt_map:
+        from veranda_spark.session import local_df
+
         entries = [(int(c), int(n)) for c, n in salt_map.items()]
-        # 1-slice local dim (see pip_join: avoids ~32 Python round trips
-        # in each broadcast build of this tiny frame)
-        sm = F.broadcast(
-            spark.createDataFrame(
-                spark.sparkContext.parallelize(entries, 1),
-                schema=f"{key} long, _nsalt int",
-            )
-        )
+        sm = F.broadcast(local_df(spark, entries, f"{key} long, _nsalt int"))
         big = big.join(sm, key, "left").withColumn(
             "_nsalt", F.coalesce(F.col("_nsalt"), F.lit(default_salt))
         )

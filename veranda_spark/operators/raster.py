@@ -1043,11 +1043,14 @@ def _quad_cell_coverage(qc: "np.ndarray", qr: "np.ndarray"):
     x = qc - cbase[:, None]
     y = qr - rbase[:, None]
     # flat (pixel, row, col) accumulators scattered via bincount rather
-    # than np.add.at (round-9, guide §4.2): bincount's counting-sort
-    # accumulation is ~2× faster for this shape and BIT-IDENTICAL — per
-    # flat index it adds the ravel-order entries in the same sequence
-    # add.at applied them (verified max|Δ| = 0.0 on the 30° bench quad
-    # set)
+    # than np.add.at (round-9, guide §4.2): ~2× faster for this shape.
+    # WITHIN one edge the accumulation order matches add.at exactly
+    # (ravel order per flat index; measured max|Δ| = 0.0 on the 30°
+    # bench quad set); ACROSS edges the per-edge partial sums are
+    # reassociated ((a+c1)+c2 vs a+(c1+c2)), so cells fed by several
+    # edges can drift by an ulp vs the pre-r9 kernel — inside the
+    # kernel's documented accuracy (weights are later tolerance-checked
+    # against scalar clipping, never bit-compared)
     area = np.zeros(n * k * k)
     cover = np.zeros(n * k * k)
     base_idx = np.arange(n) * (k * k)

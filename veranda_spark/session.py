@@ -100,6 +100,22 @@ def get_spark(
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema, slices: int = 1):
+    """Small local rows → DataFrame in ``slices`` partitions (default 1).
+
+    ``spark.createDataFrame(list)`` parallelizes into defaultParallelism
+    Python slices, so every downstream stage of a dim-sized frame
+    schedules ~cores near-empty Python tasks — and ``.coalesce(1)`` is
+    WORSE: the coalesced task computes all parent slices sequentially,
+    each paying its own Python-worker handshake (measured 4.1s vs 0.55s
+    for one KB-sized pipeline in round 9).  A 1-slice parallelize is
+    single-task end to end.  Use for fixture rows, salt maps, cell
+    covers, index metadata — anything dim-sized and driver-local."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema
+    )
+
+
 def stop_spark() -> None:
     """Stop the active session (needed between local[8]/local[32] bench runs)."""
     active = SparkSession.getActiveSession()
